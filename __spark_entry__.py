@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship duplicate-edge extraction (the
+reference's find-duplicates loop, cli.py:459-678, re-designed as one
+distributed LSH self-join) over the sf0.001 documents corpus.
+
+``queries()`` / ``oracle_sql()`` expose every driver-checkable operator
+(see deja_view_spark/queries.py); the KG pipeline itself is covered by
+tests/ (its repos source table is engine-synthesized, so it has no
+pre-registered DuckDB view).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from deja_view_spark import queries as Q  # noqa: E402
+from deja_view_spark.functions.embedding import make_embed_udf  # noqa: E402
+from deja_view_spark.operators.selfjoin import duplicate_edges  # noqa: E402
+from deja_view_spark.sources.catalog import load_table  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: embed the documents corpus with the deterministic
+    vectorized embedder, then extract duplicate edges via the LSH band
+    self-join (threshold 0.8, top-3 per source, report-convention
+    similarity = 1 - d/2 per reference cli.py:550)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    embed = make_embed_udf(dim=64, seed=42)
+    emb = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        embed(F.col("text")).alias("vector"),
+    )
+    return duplicate_edges(
+        emb, threshold=0.8, top_k=3, convention="report", method="lsh"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

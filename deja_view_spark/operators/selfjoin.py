@@ -1,0 +1,261 @@
+"""All-pairs duplicate-edge extraction (the flagship operator, J2).
+
+Reference semantics (cli.py:459-678 `find-duplicates`, independent
+variant find_similar_issues.py:17-141): for EVERY indexed document,
+find its nearest neighbors by cosine, keep those with
+similarity >= threshold, keep the top-k (3) per source, excluding
+self-matches. The reference executes this as a sequential per-row loop
+of Chroma ANN queries — O(n) network round-trips; here it is ONE
+distributed job:
+
+    embeddings --simhash bands (pandas UDF)--> explode
+      --> self equi-join on (scope, band)        [shuffle hash join]
+      --> distinct candidate pairs (a < b)       [dedup across bands]
+      --> exact cosine verify (column expr)      [codegen, no Python]
+      --> threshold filter
+      --> mirror to directed edges
+      --> Window top-k per src
+      --> duplicate triples (src, 'duplicates', dst, similarity)
+
+Scale design:
+- the band table is (doc_id, scope, band:long) — narrow; vectors are
+  NOT carried through the explode/join (joined back only for surviving
+  candidate pairs), so shuffle volume is O(n·bands·~24B), not O(n·dim);
+- hot buckets (hot repos × common sign patterns) are the skew risk:
+  buckets larger than ``max_bucket`` are split with an explicit salt —
+  members are assigned ``ceil(size/max_bucket)`` salt groups and pairs
+  are generated within (salt_a, salt_b) sub-blocks, preserving the
+  exact pair set while bounding any single join partition (north_rule:
+  "explicit salting of hot repos"); AQE skew-join splitting backs this
+  up at runtime;
+- distinct-pairs dedup happens BEFORE the vector join and cosine, so
+  each candidate pair is scored exactly once;
+- top-k per src is a single Window (shuffle on src), ties broken by
+  (similarity desc, dst asc) so results are identical at any
+  parallelism (SURVEY §7.4.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from deja_view_spark.functions.hashing import (
+    make_minhash_bands_udf,
+    make_simhash_udf,
+)
+from deja_view_spark.functions.similarity import cosine_sim
+
+
+def _similarity(cos: Column, convention: str) -> Column:
+    # cosine distance d = 1 - cos;
+    # 'service': sim = 1 - d = cos                (github_similarity_service.py:410)
+    # 'report':  sim = 1 - d/2 = (1 + cos) / 2    (cli.py:550)
+    if convention == "service":
+        return cos
+    if convention == "report":
+        return (F.lit(1.0) + cos) / 2.0
+    raise ValueError(convention)
+
+
+def candidate_pairs_lsh(
+    emb: DataFrame,
+    scope_col: str | None,
+    bands: int,
+    rows: int,
+    seed: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Hyperplane-LSH band candidates over embedding vectors
+    -> distinct (src, dst) with src<dst.
+
+    ``emb`` must have columns (doc_id, vector[, scope_col]).
+    """
+    simhash = make_simhash_udf(bands=bands, rows=rows, seed=seed)
+    scope = F.col(scope_col) if scope_col else F.lit("")
+    bt = emb.select(
+        F.col("doc_id"),
+        scope.alias("_scope"),
+        F.explode(simhash(F.col("vector"))).alias("band"),
+    )
+    return _pairs_from_band_table(bt, max_bucket)
+
+
+def candidate_pairs_minhash(
+    text_df: DataFrame,
+    scope_col: str | None,
+    bands: int,
+    rows: int,
+    shingle_k: int,
+    seed: int,
+    max_bucket: int,
+) -> DataFrame:
+    """MinHash band candidates over token shingles of ``doc_text``
+    -> distinct (src, dst) with src<dst.
+
+    This is the north-star candidate generator ("MinHash + bucketed
+    band signatures"): near-duplicate text collides on whole signature
+    segments, while documents that merely share a few phrases almost
+    never do — far sharper than hyperplane bands when the corpus has a
+    heavy shared-vocabulary background (see tools/tune_lsh.py).
+    ``text_df`` must have columns (doc_id, doc_text[, scope_col]).
+    """
+    mh = make_minhash_bands_udf(
+        bands=bands, rows=rows, shingle_k=shingle_k, seed=seed
+    )
+    scope = F.col(scope_col) if scope_col else F.lit("")
+    bt = text_df.select(
+        F.col("doc_id"),
+        scope.alias("_scope"),
+        F.explode(mh(F.col("doc_text"))).alias("band"),
+    )
+    return _pairs_from_band_table(bt, max_bucket)
+
+
+def _pairs_from_band_table(bt: DataFrame, max_bucket: int) -> DataFrame:
+    """Shared band-join machinery: (doc_id, _scope, band) -> distinct
+    candidate pairs, with explicit salting of hot buckets."""
+    # bucket sizes -> salt fan-out per bucket (explicit hot-bucket split)
+    sizes = bt.groupBy("_scope", "band").agg(F.count("*").alias("_sz"))
+    bt = bt.join(sizes, ["_scope", "band"])
+    n_salt = F.ceil(F.col("_sz") / max_bucket).cast("int")
+    salted = bt.select(
+        "doc_id",
+        "_scope",
+        "band",
+        n_salt.alias("_nsalt"),
+        F.pmod(F.xxhash64("doc_id"), n_salt).cast("int").alias("_salt"),
+    )
+
+    a = salted.alias("a")
+    # replicate the right side across the left's salt groups so every
+    # cross-salt pair is still generated exactly once (a.salt covers all
+    # left groups; right rows are exploded to every salt id >= their own
+    # is unnecessary — we pair group i with groups j>=i via two-sided
+    # replication below). Simpler and still bounded: pair within equal
+    # salt, plus pair (i, j) for i<j via replicated right side.
+    b = salted.alias("b")
+
+    same = a.join(
+        b,
+        (F.col("a._scope") == F.col("b._scope"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a._salt") == F.col("b._salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+
+    # cross-salt-group pairs: replicate each right row to every OTHER
+    # salt group (only for buckets actually split, i.e. _nsalt > 1).
+    split_right = (
+        salted.where(F.col("_nsalt") > 1)
+        .withColumn(
+            "_tgt",
+            F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1)),
+        )
+        .where(F.col("_tgt") != F.col("_salt"))
+    )
+    cross = a.join(
+        split_right.alias("b"),
+        (F.col("a._scope") == F.col("b._scope"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a._salt") == F.col("b._tgt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+
+    return same.unionByName(cross).distinct()
+
+
+def candidate_pairs_exact(emb: DataFrame, scope_col: str | None) -> DataFrame:
+    """Exhaustive within-scope pairs (src < dst) — the small-scale oracle."""
+    cols = ["doc_id"] + ([scope_col] if scope_col else [])
+    ids = emb.select(*cols)
+    a, b = ids.alias("a"), ids.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if scope_col:
+        cond = cond & (F.col(f"a.{scope_col}") == F.col(f"b.{scope_col}"))
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+    )
+
+
+def duplicate_edges(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    top_k: int = 3,
+    scope_col: str | None = None,
+    convention: str = "report",
+    method: str = "lsh",
+    bands: int = 24,
+    rows: int = 8,
+    seed: int = 1337,
+    max_bucket: int = 200,
+    assume_normalized: bool = True,
+    text: DataFrame | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Directed duplicate edges: per src its top-k neighbors above
+    threshold. Returns (src, dst, similarity, rank).
+
+    method: 'exact' (exhaustive, small-scale oracle), 'lsh' (hyperplane
+    bands over vectors), 'minhash' (MinHash bands over ``text`` — a
+    DataFrame of (doc_id, doc_text[, scope_col]); the scale path).
+
+    Semantics preserved from the reference: self-exclusion
+    (github_similarity_service.py:405-407 / cli.py:543-545), threshold
+    filter (cli.py:552), top-3 per source (cli.py:571), similarity
+    rounded to 4dp (github_similarity_service.py:417).
+    """
+    if method == "lsh":
+        pairs = candidate_pairs_lsh(emb, scope_col, bands, rows, seed, max_bucket)
+    elif method == "minhash":
+        if text is None:
+            raise ValueError("method='minhash' requires text=(doc_id, doc_text)")
+        pairs = candidate_pairs_minhash(
+            text, scope_col, bands, rows, shingle_k, seed, max_bucket
+        )
+    elif method == "exact":
+        pairs = candidate_pairs_exact(emb, scope_col)
+    else:
+        raise ValueError(method)
+
+    vecs = emb.select("doc_id", "vector")
+    scored = (
+        pairs.join(vecs.withColumnRenamed("doc_id", "src").withColumnRenamed("vector", "_va"), "src")
+        .join(vecs.withColumnRenamed("doc_id", "dst").withColumnRenamed("vector", "_vb"), "dst")
+        .withColumn(
+            "_cos", cosine_sim(F.col("_va"), F.col("_vb"), assume_normalized)
+        )
+        .withColumn("similarity", F.round(_similarity(F.col("_cos"), convention), 4))
+        .where(F.col("similarity") >= threshold)
+        .select("src", "dst", "similarity")
+    )
+
+    # mirror: the reference scans every issue and reports ITS neighbors,
+    # so the edge set is directed — both directions of each pair count.
+    directed = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity"
+        )
+    )
+
+    w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.asc("dst"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("src", "dst", "similarity", "rank")
+    )
+
+
+def duplicate_report(edges: DataFrame) -> DataFrame:
+    """Per-src rollup matching the reference report shape: max
+    similarity + band counts (cli.py:572,576,589-590)."""
+    per_src = edges.groupBy("src").agg(
+        F.max("similarity").alias("max_similarity"),
+        F.count("*").alias("n_similar"),
+    )
+    return per_src.withColumn(
+        "band",
+        F.when(F.col("max_similarity") >= 0.90, F.lit("very_high"))
+        .when(F.col("max_similarity") >= 0.80, F.lit("high"))
+        .otherwise(F.lit("below")),
+    ).orderBy(F.desc("max_similarity"), F.asc("src"))

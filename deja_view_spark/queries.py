@@ -1,0 +1,303 @@
+"""Driver-checkable query registry.
+
+Each ``q_*`` takes (spark, sf_dir) and returns a DataFrame; ``ORACLES``
+holds the DuckDB-equivalent SQL over the same parquet tables
+(pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names/aliases match
+exactly on both sides (the driver hashes values with columns sorted by
+name).
+
+Numeric-compare discipline:
+- money aggregates rounded to 2dp;
+- float similarity values kept OUT of compared output where the oracle
+  engine's float-fold order could differ (ranks + ids compared
+  instead); where a similarity value is compared, it is rounded to 4dp
+  on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deja_view_spark.functions.similarity import cosine_sim
+from deja_view_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------- relational
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (A-class operators: partial aggs,
+    conditional sums) — one shuffle, map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                             AS sum_qty,
+       round(sum(l_extendedprice), 2)                        AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+       round(avg(l_quantity), 4)                             AS avg_qty,
+       count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + exact top-k (J/A/O classes). customer and nation are
+    broadcast (small dims) — only orders shuffles, on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)                    AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join flavor (EXISTS) + histogram (P/A classes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    has_line = li.where(F.col("l_quantity") > 30).select("l_orderkey").distinct()
+    return (
+        orders.join(has_line, orders.o_orderkey == has_line.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ----------------------------------------------------------------- windows
+def q_events_weekly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (ST2 / W3): weekly counts per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("week_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_WEEKLY = """
+SELECT date_trunc('week', ts) AS week_start, event_type,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-class window top-k: each user's 3 highest-value events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rank")
+        .orderBy("user_id", "rank")
+    )
+
+
+ORACLE_EVENTS_TOP3 = """
+SELECT user_id, event_id, round(value, 4) AS value, rank
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events) t
+WHERE rank <= 3
+ORDER BY user_id, rank
+"""
+
+
+# ------------------------------------------------------------------- text
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (md5 over a 30-char prefix —
+    the testdata corpus has no full-text duplicates, so the prefix
+    fingerprint is what yields non-trivial groups; md5 is identical in
+    Spark and DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.col("text"), 1, 30))
+    return (
+        docs.groupBy(fp.alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("canonical_doc_id")
+    )
+
+
+ORACLE_DOCS_EXACT_DEDUP = """
+SELECT md5(substr(text, 1, 30)) AS content_hash,
+       count(*)  AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+ORDER BY canonical_doc_id
+"""
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-score components per language
+    (text-analysis ops: whitespace tokens, punct ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9_]+"), 0))
+    return (
+        docs.select(
+            "lang",
+            toks.alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOCS_TOKEN_STATS = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM (
+  SELECT lang,
+         length(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents) t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ------------------------------------------------------------- similarity
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for probe vectors
+    (vec_id < 50). The probe side is tiny -> broadcast; candidate side
+    streams; ranks compared (not raw floats — float fold order differs
+    between engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn(
+            "cos",
+            cosine_sim(F.col("embedding"), F.col("probe_vec"), assume_normalized=False),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("probe_id", "neighbor_id", "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+ORACLE_KNN_BRUTEFORCE = """
+SELECT probe_id, neighbor_id, rank
+FROM (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_cosine_similarity(p.embedding, e.embedding) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 50 AND e.vec_id <> p.vec_id) t
+WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+
+
+# ------------------------------------------------------------------ registry
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "top_customers_by_revenue": q_top_customers_by_revenue,
+    "order_priority_counts": q_order_priority_counts,
+    "events_weekly_by_type": q_events_weekly_by_type,
+    "events_top3_per_user": q_events_top3_per_user,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "knn_bruteforce": q_knn_bruteforce,
+}
+
+ORACLES: dict[str, str] = {
+    "lineitem_pricing_summary": ORACLE_LINEITEM_PRICING,
+    "top_customers_by_revenue": ORACLE_TOP_CUSTOMERS,
+    "order_priority_counts": ORACLE_ORDER_PRIORITY,
+    "events_weekly_by_type": ORACLE_EVENTS_WEEKLY,
+    "events_top3_per_user": ORACLE_EVENTS_TOP3,
+    "docs_exact_dedup": ORACLE_DOCS_EXACT_DEDUP,
+    "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,
+    "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+}

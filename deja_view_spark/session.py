@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench and the driver
+all run the same configuration. Defaults target the sandbox
+(local[N], 32 threads) but every setting is the one we would ship to a
+1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting);
+- Arrow on (vectorized pandas UDF transport for embed/minhash);
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from a high initial value;
+- broadcast threshold left at default (10MB) — small dims (probe rows,
+  band tables of new docs) broadcast automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "deja-view-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` controls local parallelism (``local[cores]``); None means
+    ``SPARK_GRAFT_CPUS`` env or all cores. On a real cluster this module
+    would not set master at all (spark-submit provides it).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core avoids tiny-task
+        # overhead; cluster mode would start high and let AQE coalesce.
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
