@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 
 from deja_view_spark import queries as Q  # noqa: E402
+from deja_view_spark.deploy import ensure_py_files  # noqa: E402
 from deja_view_spark.functions.embedding import make_embed_udf  # noqa: E402
 from deja_view_spark.operators.selfjoin import duplicate_edges  # noqa: E402
 from deja_view_spark.sources.catalog import load_table  # noqa: E402
@@ -31,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     vectorized embedder, then extract duplicate edges via the LSH band
     self-join (threshold 0.8, top-3 per source, report-convention
     similarity = 1 - d/2 per reference cli.py:550)."""
+    ensure_py_files(spark)  # --py-files equivalent for arbitrary sessions
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     embed = make_embed_udf(dim=64, seed=42)
     emb = docs.select(
@@ -43,7 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.QUERIES)
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_py_files(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -74,6 +74,9 @@ class KGPipeline:
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.metrics: dict[str, dict] = {}
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        from deja_view_spark.deploy import ensure_py_files
+
+        ensure_py_files(spark)  # UDF workers need the package (--py-files)
 
     # ------------------------------------------------------------ stages
     def documents(self) -> DataFrame:
@@ -124,6 +127,12 @@ class KGPipeline:
                 "embeddings", self.run_id,
             )
         self.metrics["embeddings"] = {"input_rows": n_in, "sec": time.time() - t0}
+        if not os.path.exists(self._emb_path()):
+            # zero-input run that never wrote: empty table, right schema
+            return self.spark.createDataFrame(
+                [], "doc_id string, lang string, sha256 string, "
+                    "vector array<float>, repo string"
+            )
         return self.spark.read.parquet(self._emb_path())
 
     def build_duplicate_edges(self, emb: DataFrame) -> DataFrame:

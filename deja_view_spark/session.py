@@ -55,4 +55,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from deja_view_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)  # ship the package to UDF workers (--py-files)
+    return spark
