@@ -115,6 +115,10 @@ def candidate_pairs_minhash(
 def _pairs_from_band_table(bt: DataFrame, max_bucket: int) -> DataFrame:
     """Shared band-join machinery: (doc_id, _scope, band) -> distinct
     candidate pairs, with explicit salting of hot buckets."""
+    # the band table embeds the signature UDF and feeds FOUR consumers
+    # (sizes agg, both join sides, the split-right explode) — checkpoint
+    # so the Arrow UDF runs exactly once per row, not per consumer.
+    bt = bt.localCheckpoint(eager=True)
     # bucket sizes -> salt fan-out per bucket (explicit hot-bucket split)
     sizes = bt.groupBy("_scope", "band").agg(F.count("*").alias("_sz"))
     bt = bt.join(sizes, ["_scope", "band"])
@@ -125,7 +129,7 @@ def _pairs_from_band_table(bt: DataFrame, max_bucket: int) -> DataFrame:
         "band",
         n_salt.alias("_nsalt"),
         F.pmod(F.xxhash64("doc_id"), n_salt).cast("int").alias("_salt"),
-    )
+    ).localCheckpoint(eager=True)  # feeds a-side, b-side and split-right
 
     a = salted.alias("a")
     # replicate the right side across the left's salt groups so every
@@ -228,7 +232,7 @@ def duplicate_edges(
         .withColumn("similarity", F.round(_similarity(F.col("_cos"), convention), 4))
         .where(F.col("similarity") >= threshold)
         .select("src", "dst", "similarity")
-    )
+    ).localCheckpoint(eager=True)  # consumed twice by the mirror union
 
     # mirror: the reference scans every issue and reports ITS neighbors,
     # so the edge set is directed — both directions of each pair count.

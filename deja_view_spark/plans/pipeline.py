@@ -158,12 +158,21 @@ class KGPipeline:
         if emb is None:
             emb = self.spark.read.parquet(self._emb_path())
         docs = self.documents()
-        dup_edges = self.build_duplicate_edges(emb)
+        # the LSH self-join feeds three consumers (duplicate triples,
+        # connected components, the final union write) — checkpoint it
+        # once so the band join + cosine verify run exactly once, not
+        # per-consumer (on a cluster: persist(DISK_ONLY) / a staged
+        # Iceberg table; localCheckpoint is its single-JVM analogue).
+        t_dup = time.time()
+        dup_edges = self.build_duplicate_edges(emb).localCheckpoint(eager=True)
+        self.metrics["dup_edges"] = {"sec": time.time() - t_dup}
         dups = duplicate_triples(dup_edges)
         # canonicalization over the (undirected half of the) dup graph
+        t_cc = time.time()
         comp = connected_components(
             dup_edges.where(F.col("src") < F.col("dst")), src="src", dst="dst"
         )
+        self.metrics["cc"] = {"sec": time.time() - t_cc}
         triples = (
             contains_triples(docs)
             .unionByName(mention_triples(docs))

@@ -1,0 +1,81 @@
+"""One end-to-end KG build at a given parallelism — the unit of the
+scaling study (north_rule: throughput at N and 4N executors, efficiency
+>= 0.8).
+
+Run as a SUBPROCESS (one JVM per parallelism level):
+
+    python tools/kg_run.py --cores 8 --rows 50000
+
+Prints one JSON line:
+    {"cores": 8, "rows": 50000, "triples": N, "sec": S,
+     "triples_per_sec": T, "stages": {...}}
+
+The input is the deterministic synthetic repos table (datagen.py) —
+identical bytes at any parallelism, so the two runs measure pure
+scaling, and the triple count equality across runs doubles as a
+determinism check.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from deja_view_spark.datagen import generate_repos  # noqa: E402
+from deja_view_spark.plans.pipeline import KGPipeline  # noqa: E402
+from deja_view_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--rows", type=int, required=True)
+    ap.add_argument("--dim", type=int, default=128)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name=f"kg-bench-{args.cores}", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix=f"kg_bench_{args.cores}_")
+    try:
+        # materialize the source first so generation cost (identical at
+        # both parallelism levels anyway) is excluded from the timed
+        # window; the timed job reads parquet like the real pipeline.
+        src_path = f"{out_dir}/repos_src"
+        generate_repos(spark, args.rows).repartition(
+            max(args.cores * 2, 8)
+        ).write.mode("overwrite").parquet(src_path)
+        src = spark.read.parquet(src_path)
+
+        t0 = time.time()
+        pipe = KGPipeline(spark, src, f"{out_dir}/kg", dim=args.dim)
+        triples = pipe.run()
+        n_triples = triples.count()
+        sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cores": args.cores,
+                    "rows": args.rows,
+                    "triples": n_triples,
+                    "sec": round(sec, 2),
+                    "triples_per_sec": round(n_triples / sec, 1),
+                    "stages": {
+                        k: round(v.get("sec", 0.0), 2)
+                        for k, v in pipe.metrics.items()
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
