@@ -167,17 +167,24 @@ def make_simhash64_udf(seed: int = 99):
             if not toks:
                 continue
             acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
             for t in toks:
-                h = cache.get(t)
-                if h is None:
-                    h = int.from_bytes(
-                        hashlib.md5(f"{seed}:{t}".encode()).digest()[:8], "little"
+                bits = cache.get(t)
+                if bits is None:
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(f"{seed}:{t}".encode()).digest()[:8],
+                            "little",
+                        )
                     )
-                    cache[t] = h
-                bits = (h >> np.arange(64)) & 1
-                acc += np.where(bits == 1, 1, -1)
-            fp = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
-            out[i] = np.int64(np.uint64(fp).astype(np.int64))
+                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                    cache[t] = bits
+                acc += 2 * bits - 1
+            fp = np.uint64(0)
+            one = np.uint64(1)
+            for b in np.nonzero(acc > 0)[0]:
+                fp |= one << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
         return pd.Series(out)
 
     return simhash64

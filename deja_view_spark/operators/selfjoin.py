@@ -169,6 +169,22 @@ def _pairs_from_band_table(bt: DataFrame, max_bucket: int) -> DataFrame:
     return same.unionByName(cross).distinct()
 
 
+def candidate_pairs_stored(
+    emb: DataFrame, scope_col: str | None, max_bucket: int
+) -> DataFrame:
+    """Band candidates from a PRE-COMPUTED ``bands`` column (written by
+    the single-pass featurizer, functions/features.py) — the scale
+    path: no second pass over raw text, no Python in this stage at all.
+    ``emb`` must have columns (doc_id, bands[, scope_col])."""
+    scope = F.col(scope_col) if scope_col else F.lit("")
+    bt = emb.select(
+        F.col("doc_id"),
+        scope.alias("_scope"),
+        F.explode(F.col("bands")).alias("band"),
+    )
+    return _pairs_from_band_table(bt, max_bucket)
+
+
 def candidate_pairs_exact(emb: DataFrame, scope_col: str | None) -> DataFrame:
     """Exhaustive within-scope pairs (src < dst) — the small-scale oracle."""
     cols = ["doc_id"] + ([scope_col] if scope_col else [])
@@ -211,6 +227,8 @@ def duplicate_edges(
     """
     if method == "lsh":
         pairs = candidate_pairs_lsh(emb, scope_col, bands, rows, seed, max_bucket)
+    elif method == "stored":
+        pairs = candidate_pairs_stored(emb, scope_col, max_bucket)
     elif method == "minhash":
         if text is None:
             raise ValueError("method='minhash' requires text=(doc_id, doc_text)")

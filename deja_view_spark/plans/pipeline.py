@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deja_view_spark.functions.embedding import make_embed_udf
+from deja_view_spark.functions.hashing import make_minhash_bands_udf
 from deja_view_spark.functions.text import truncate_body
 from deja_view_spark.operators.components import connected_components
 from deja_view_spark.operators.selfjoin import duplicate_edges
@@ -55,6 +56,7 @@ class KGPipeline:
         bands: int = 16,
         rows: int = 4,
         run_id: str | None = None,
+        store_bands: bool = True,
     ):
         # defaults: threshold 0.85 is the reference's real-run setting
         # (test-final-report.md:3-6); report-convention 0.85 == cosine
@@ -72,6 +74,7 @@ class KGPipeline:
         self.bands = bands
         self.rows = rows
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.store_bands = store_bands
         self.metrics: dict[str, dict] = {}
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         from deja_view_spark.deploy import ensure_py_files
@@ -105,14 +108,27 @@ class KGPipeline:
             todo = docs.join(
                 done.withColumnRenamed("part_key", "repo"), "repo", "left_anti"
             )
+        # embed + minhash in ONE projection/stage: the text is scanned
+        # once and featurized here; the duplicate self-join downstream
+        # re-reads no text and runs no Python (method='stored'). Two
+        # scalar UDFs in the same stage measured faster than a fused
+        # struct-returning UDF (44s vs 56s / 1M rows / local[32]).
         embed = make_embed_udf(dim=self.dim)
-        emb = todo.select(
-            "doc_id",
-            "repo",
-            "lang",
-            "sha256",
+        cols = [
+            F.col("doc_id"),
+            F.col("repo"),
+            F.col("lang"),
+            F.col("sha256"),
             embed(F.col("doc_text")).alias("vector"),
-        )
+        ]
+        if self.store_bands:
+            # seed matches duplicate_edges' default LSH seed so stored
+            # and recomputed band paths emit identical candidate sets
+            mh = make_minhash_bands_udf(
+                bands=self.bands, rows=self.rows, seed=1337
+            )
+            cols.append(mh(F.col("doc_text")).alias("bands"))
+        emb = todo.select(*cols)
         n_in = todo.count()
         if n_in > 0:
             emb.write.mode("overwrite").partitionBy("repo").parquet(self._emb_path())
@@ -131,13 +147,17 @@ class KGPipeline:
             # zero-input run that never wrote: empty table, right schema
             return self.spark.createDataFrame(
                 [], "doc_id string, lang string, sha256 string, "
-                    "vector array<float>, repo string"
+                    "vector array<float>, bands array<bigint>, repo string"
             )
         return self.spark.read.parquet(self._emb_path())
 
     def build_duplicate_edges(self, emb: DataFrame) -> DataFrame:
+        # 'minhash' rides the bands column the featurizer already wrote
+        # (method='stored'): the candidate stage re-reads no text and
+        # runs no Python. 'lsh'/'exact' keep their own generators.
+        method = "stored" if self.method == "minhash" and "bands" in emb.columns else self.method
         text = None
-        if self.method == "minhash":
+        if method == "minhash":
             text = self.documents().select("doc_id", "repo", "doc_text")
         return duplicate_edges(
             emb,
@@ -145,7 +165,7 @@ class KGPipeline:
             top_k=self.top_k,
             scope_col="repo",
             convention=self.convention,
-            method=self.method,
+            method=method,
             bands=self.bands,
             rows=self.rows,
             text=text,

@@ -301,3 +301,48 @@ ORACLES: dict[str, str] = {
     "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
 }
+
+
+# ------------------------------------------------- LSH dedup / ANN (no oracle:
+# signature hashing is not SQL-expressible; driver records rows-only checks,
+# recall gates live in tests/test_dedup.py and tools/tune_lsh.py)
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs (shingle->minhash->band->bucket join),
+    exact-Jaccard verified at threshold 0.2."""
+    from deja_view_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprint dedup, 4x16-bit chunk banding,
+    hamming <= 3."""
+    from deja_view_spark.operators.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-3 (probes vec_id<50) — approximate variant
+    of knn_bruteforce; recall gate in tests/test_ann.py."""
+    from deja_view_spark.operators.ann import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ann_topk_lsh(emb, probes, k=3)
+
+
+QUERIES["docs_minhash_pairs"] = q_docs_minhash_pairs
+QUERIES["docs_simhash_pairs"] = q_docs_simhash_pairs
+QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+
+# merge the text/scoring and events/relational registries
+from deja_view_spark import queries_events as _QE  # noqa: E402
+from deja_view_spark import queries_text as _QT  # noqa: E402
+
+QUERIES.update(_QT.QUERIES)
+ORACLES.update(_QT.ORACLES)
+QUERIES.update(_QE.QUERIES)
+ORACLES.update(_QE.ORACLES)

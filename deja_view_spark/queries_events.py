@@ -1,0 +1,218 @@
+"""Event/relational query registry: discussions-metrics analogs (WoW
+windows, rate math with zero guards — reference discussions_metrics.py),
+sessionization (lag windows), JSON extraction, multi-join TPC-H-Q5
+shape, and A1-style distinct-collect stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deja_view_spark.sources.catalog import load_table
+
+
+# ------------------------------------------------------------ WoW metrics (A5/A6)
+def q_events_wow_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """This-week vs last-week counts anchored at max(ts), WoW % with
+    the reference's divide-by-zero guard (discussions_metrics.py:
+    95-114): one scan, conditional sums, broadcast scalar anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    j = ev.crossJoin(F.broadcast(anchor))
+    wk1 = F.col("ts") >= F.col("anchor") - F.expr("INTERVAL 7 DAYS")
+    wk2 = (F.col("ts") >= F.col("anchor") - F.expr("INTERVAL 14 DAYS")) & ~wk1
+    agg = j.agg(
+        F.sum(wk1.cast("long")).alias("this_week"),
+        F.sum(wk2.cast("long")).alias("last_week"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count("*").alias("total"),
+    )
+    change = F.col("this_week") - F.col("last_week")
+    pct = F.when(
+        F.col("last_week") == 0,
+        F.when(F.col("this_week") > 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+    ).otherwise(F.round(change * 100.0 / F.col("last_week"), 4))
+    return agg.select(
+        "this_week",
+        "last_week",
+        change.alias("wow_change"),
+        pct.alias("wow_pct"),
+        "avg_value",
+        "total",
+    )
+
+
+ORACLE_EVENTS_WOW = """
+WITH a AS (SELECT max(ts) AS anchor FROM events),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN ts >= anchor - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS this_week,
+    CAST(sum(CASE WHEN ts >= anchor - INTERVAL 14 DAY
+              AND ts < anchor - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS last_week,
+    round(avg(value), 4) AS avg_value,
+    count(*) AS total
+  FROM events, a)
+SELECT this_week, last_week,
+       this_week - last_week AS wow_change,
+       CASE WHEN last_week = 0 THEN (CASE WHEN this_week > 0 THEN 100.0 ELSE 0.0 END)
+            ELSE round((this_week - last_week) * 100.0 / last_week, 4) END AS wow_pct,
+       avg_value, total
+FROM c
+"""
+
+
+# ------------------------------------------------------------- sessionization
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize per user with a 30-min inactivity gap (lag window +
+    running sum — the classic streaming-session shape executed as a
+    batch window): sessions and events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        with_flag.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------------ JSON extraction
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: extract $.k, aggregate per
+    event_type (JSON path pushdown stays JVM-side via get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------- multi-join (Q5 shape)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with dims broadcast, fact-fact
+    co-partitioned shuffle join on orderkey; tests Catalyst join
+    ordering + broadcast selection at scale."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            (supplier.s_nationkey == nation.n_nationkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_REGIONAL_SUPPLIER = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------- corpus stats (A1)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style stats row: counts + sorted distinct collections
+    (reference get_stats, github_similarity_service.py:428-441) —
+    array outputs joined to strings for cross-engine comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT count(*) AS total_docs,
+       count(DISTINCT lang) AS n_langs,
+       (SELECT string_agg(lang, ',' ORDER BY lang)
+        FROM (SELECT DISTINCT lang FROM documents)) AS langs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------- registry
+QUERIES = {
+    "events_wow_metrics": q_events_wow_metrics,
+    "events_sessions": q_events_sessions,
+    "events_json_props": q_events_json_props,
+    "regional_supplier_volume": q_regional_supplier_volume,
+    "corpus_stats": q_corpus_stats,
+}
+
+ORACLES = {
+    "events_wow_metrics": ORACLE_EVENTS_WOW,
+    "events_sessions": ORACLE_EVENTS_SESSIONS,
+    "events_json_props": ORACLE_EVENTS_JSON,
+    "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER,
+    "corpus_stats": ORACLE_CORPUS_STATS,
+}

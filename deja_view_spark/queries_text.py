@@ -1,0 +1,293 @@
+"""Text-analysis / dedup / scoring query registry (driver-checkable).
+
+These are the training-data-pipeline operators (dedup families,
+similarity search, text analysis) plus the reference's scoring banks
+(github_similarity_service.py:451-547), each as a (spark_fn, oracle_sql)
+pair over the driver's pre-registered parquet views.
+
+Oracle-parity discipline: the DuckDB SQL is GENERATED from the same
+pattern/keyword lists the Spark expressions use (single source of
+truth), md5 is the cross-engine hash, and float outputs are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deja_view_spark.functions import scoring as S
+from deja_view_spark.functions.similarity import cosine_sim
+from deja_view_spark.sources.catalog import load_table
+
+TOKEN_RE = "[a-z0-9_]+"
+
+
+# ------------------------------------------------------------- scoring (F8-F10)
+def q_docs_discussion_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference discussion-suitability scoring over the documents
+    corpus: pattern banks, keyword scaling, bug penalty, open-state
+    bonus, clamp, confidence bucket — all whole-stage-codegen columns
+    (no UDF). title := first 60 chars, state := deterministic split."""
+    docs = load_table(spark, sf_dir, "documents")
+    title = F.substring(F.col("text"), 1, 60)
+    state = F.when(F.col("doc_id") % 3 == 0, F.lit("closed")).otherwise(
+        F.lit("open")
+    )
+    score = S.discussion_score(title, F.col("text"), state=state)
+    rounded, conf = S.score_with_confidence(score)
+    return (
+        docs.select(
+            "doc_id",
+            rounded.alias("score"),
+            conf.alias("confidence"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_bank(patterns: list[str], col: str) -> str:
+    ors = " OR ".join(f"regexp_matches({col}, '{p}')" for p in patterns)
+    return f"(CASE WHEN {ors} THEN 1 ELSE 0 END)"
+
+
+def _sql_contains_any(words: list[str], col: str) -> str:
+    ors = " OR ".join(f"contains({col}, '{w}')" for w in words)
+    return f"(CASE WHEN {ors} THEN 1 ELSE 0 END)"
+
+
+def _sql_kw_count(words: list[str], col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN contains({col}, '{w}') THEN 1 ELSE 0 END)" for w in words
+    )
+    return f"({terms})"
+
+
+ORACLE_DISCUSSION_SCORES = f"""
+WITH base AS (
+  SELECT doc_id,
+         lower(substr(text, 1, 60)) AS title_l,
+         concat_ws(' ', lower(substr(text, 1, 60)), lower(text)) AS combined,
+         CASE WHEN doc_id % 3 = 0 THEN 'closed' ELSE 'open' END AS state
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+    {_sql_bank(S.QUESTION_PATTERNS, 'combined')} * 0.4
+    + {_sql_bank(S.FEATURE_PATTERNS, 'combined')} * 0.35
+    + {_sql_bank(S.PROPOSAL_PATTERNS, 'combined')} * 0.45
+    + {_sql_bank(S.DISCUSSION_PHRASES, 'combined')} * 0.3
+    + least(0.3, {_sql_kw_count(S.DISCUSSION_KEYWORDS, 'combined')} * 0.1)
+    - {_sql_contains_any(S.BUG_KEYWORDS, 'combined')} * 0.15
+    + {_sql_contains_any(S.NON_BUG_INDICATORS, 'title_l')} * 0.2
+    + {_sql_bank(S.TITLE_DISCUSSION_PATTERNS, 'title_l')} * 0.25
+    + (CASE WHEN state = 'open' THEN 0.15 ELSE 0 END) AS raw
+  FROM base)
+SELECT doc_id,
+       round(greatest(0.0, least(1.0, raw)), 3) AS score,
+       CASE WHEN greatest(0.0, least(1.0, raw)) >= 0.7 THEN 'high'
+            WHEN greatest(0.0, least(1.0, raw)) >= 0.5 THEN 'medium'
+            ELSE 'low' END AS confidence
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- quality / lang-id
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring per language: token stats, stopword ratio,
+    numeric-token ratio — the standard pre-training corpus filters,
+    computed in one JVM pass and aggregated per lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-stopword presence
+    n_num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    enriched = docs.select(
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stop_kinds"),
+        n_num.alias("n_numeric"),
+        (F.length("text") / n_tok).alias("chars_per_token"),
+    )
+    return (
+        enriched.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_stop_kinds"), 4).alias("avg_stop_kinds"),
+            F.round(F.avg("n_numeric"), 4).alias("avg_numeric"),
+            F.round(F.avg("chars_per_token"), 4).alias("avg_chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOCS_QUALITY = f"""
+WITH t AS (
+  SELECT lang,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+         length(text) AS n_chars
+  FROM documents),
+e AS (
+  SELECT lang,
+         len(toks) AS n_tokens,
+         len(list_intersect(toks, {_STOPWORDS!r})) AS n_stop_kinds,
+         len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS n_numeric,
+         n_chars * 1.0 / len(toks) AS chars_per_token
+  FROM t)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_stop_kinds), 4) AS avg_stop_kinds,
+       round(avg(n_numeric), 4) AS avg_numeric,
+       round(avg(chars_per_token), 4) AS avg_chars_per_token
+FROM e
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ------------------------------------------------------ fingerprint (shingles)
+def _shingle_col(text_col, k: int = 3):
+    """k-token shingles as an array column (JVM higher-order fns)."""
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash-of-shingles (winnowing-style
+    1-fingerprint summary; md5 as the cross-engine rolling hash).
+    Identical fingerprints <=> shared minimal shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_col(F.col("text"))
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOCS_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS h
+  FROM t WHERE len(toks) >= 3)
+SELECT doc_id, min(h) AS fingerprint
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- exact n-gram Jaccard dedup
+def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-duplicate pairs (threshold 0.2) via a
+    distributed inverted-index join — the exact-counterpart/oracle of
+    the MinHash LSH path. Shuffle keys are shingles; common-shingle
+    counts aggregate map-side; doc sizes join back broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("src_doc"), F.col("b.doc_id").alias("dst_doc")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = (
+        common.join(F.broadcast(sizes.withColumnRenamed("doc_id", "src_doc").withColumnRenamed("n", "na")), "src_doc")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "dst_doc").withColumnRenamed("n", "nb")), "dst_doc")
+        .withColumn("jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4))
+        .where(F.col("jaccard") >= 0.2)
+    )
+    return jac.select("src_doc", "dst_doc", "jaccard").orderBy("src_doc", "dst_doc")
+
+
+ORACLE_DOCS_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+s AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS c
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT src_doc, dst_doc,
+       round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+FROM common
+JOIN sz x ON src_doc = x.doc_id
+JOIN sz y ON dst_doc = y.doc_id
+WHERE c * 1.0 / (x.n + y.n - c) >= 0.2
+ORDER BY src_doc, dst_doc
+"""
+
+
+# ------------------------------------------------------ embedding near-dup
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4),
+    brute-force within the (small) embeddings table; ranks/ids + 4dp
+    cosine compared. The LSH-bucketed variant (queries_ann) is the
+    scale path; this is its exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src_vec"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst_vec"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("src_vec") < F.col("dst_vec"))
+        .withColumn("cos", F.round(cosine_sim(F.col("va"), F.col("vb"), assume_normalized=False), 4))
+        .where(F.col("cos") >= 0.4)
+        .select("src_vec", "dst_vec", "cos")
+        .orderBy("src_vec", "dst_vec")
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS src_vec, b.vec_id AS dst_vec,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+ORDER BY src_vec, dst_vec
+"""
+
+
+# ----------------------------------------------------------------- registry
+QUERIES = {
+    "docs_discussion_scores": q_docs_discussion_scores,
+    "docs_quality": q_docs_quality,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLES = {
+    "docs_discussion_scores": ORACLE_DISCUSSION_SCORES,
+    "docs_quality": ORACLE_DOCS_QUALITY,
+    "docs_fingerprint": ORACLE_DOCS_FINGERPRINT,
+    "docs_jaccard_pairs": ORACLE_DOCS_JACCARD,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+}

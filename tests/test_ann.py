@@ -1,0 +1,35 @@
+"""ANN: LSH-bucketed top-k recall vs the brute-force baseline."""
+
+from pyspark.sql import functions as F
+
+from deja_view_spark.operators.ann import ann_topk_lsh
+from deja_view_spark.queries import q_knn_bruteforce
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ann_lsh_recall_at_3(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_topk_lsh(emb, probes, k=3).collect()
+    }
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in q_knn_bruteforce(spark, SF_DIR).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall@3 {recall}"
+
+
+def test_ann_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    a = [tuple(r) for r in ann_topk_lsh(emb, probes, k=3).collect()]
+    b = [tuple(r) for r in ann_topk_lsh(emb.repartition(7), probes, k=3).collect()]
+    assert a == b

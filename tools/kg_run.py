@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--rows", type=int, required=True)
     ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument(
+        "--warmup",
+        type=int,
+        default=-1,
+        help="untimed warmup rows (spins up Python UDF workers / JIT; "
+        "-1 = rows/10 capped at 20k, 0 = no warmup)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name=f"kg-bench-{args.cores}", cores=args.cores)
@@ -51,6 +58,14 @@ def main() -> None:
             max(args.cores * 2, 8)
         ).write.mode("overwrite").parquet(src_path)
         src = spark.read.parquet(src_path)
+
+        # untimed warmup: first Python UDF stage pays worker spawn +
+        # numpy/pandas import on every core; steady-state throughput is
+        # what the scaling comparison is about.
+        warmup = args.warmup if args.warmup >= 0 else min(args.rows // 10, 20000)
+        if warmup:
+            wp = KGPipeline(spark, src.limit(warmup), f"{out_dir}/kg_warm")
+            wp.run().count()
 
         t0 = time.time()
         pipe = KGPipeline(spark, src, f"{out_dir}/kg", dim=args.dim)
