@@ -99,8 +99,19 @@ def main() -> None:
         "queries": timings,
     }
 
+    # The sandbox host is oversubscribed (6-18% CPU steal observed
+    # under load), so single runs swing +-50%. Each level runs
+    # `repeats` times INTERLEAVED (N,4N,N,4N) and the best throughput
+    # per level is compared — max filters host-contention noise while
+    # keeping the two levels drawn from the same time window.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     pair = [int(c) for c in scaling_env.split(",") if c.strip()]
-    kg_big = run_kg(max(pair) if pair else cores, kg_rows)
+    runs: dict[int, list[dict]] = {c: [] for c in (pair or [cores])}
+    for _ in range(max(1, repeats)):
+        for c in sorted(runs):
+            runs[c].append(run_kg(c, kg_rows))
+    best = {c: max(rs, key=lambda r: r["triples_per_sec"]) for c, rs in runs.items()}
+    kg_big = best[max(runs)]
     result["kg"] = {
         "rows": kg_big["rows"],
         "triples": kg_big["triples"],
@@ -109,7 +120,7 @@ def main() -> None:
         "stages": kg_big["stages"],
     }
     if len(pair) == 2:
-        kg_small = run_kg(min(pair), kg_rows)
+        kg_small = best[min(pair)]
         ratio = max(pair) / min(pair)
         eff = kg_big["triples_per_sec"] / (ratio * kg_small["triples_per_sec"])
         result["scaling"] = {
@@ -119,6 +130,10 @@ def main() -> None:
             "tps_4n": kg_big["triples_per_sec"],
             "efficiency": round(eff, 3),
             "determinism_ok": kg_small["triples"] == kg_big["triples"],
+            "all_runs": {
+                str(c): [r["triples_per_sec"] for r in rs]
+                for c, rs in runs.items()
+            },
         }
 
     result["value"] = round(sum(timings.values()) + kg_big["sec"], 2)

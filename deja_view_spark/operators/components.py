@@ -49,24 +49,32 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # neighbor labels: for edge (a,b), a receives b's current label
+        # neighbor labels: for edge (a,b), a receives b's current label.
+        # The previous label rides along as `old` (unique non-null per
+        # id), so convergence is read off the SAME aggregation — no
+        # extra labels-vs-labels join per round.
         nbr = und.join(
             labels.withColumnRenamed("id", "b"), "b"
-        ).select(F.col("a").alias("id"), "component")
+        ).select(
+            F.col("a").alias("id"),
+            "component",
+            F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
+        )
         new_labels = (
-            labels.unionByName(nbr)
+            labels.withColumn("old", F.col("component"))
+            .unionByName(nbr)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),  # min ignores nulls -> prev label
+            )
             .localCheckpoint(eager=True)
         )
+        # narrow scan over checkpointed data — no shuffle, no join
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("component") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     return labels

@@ -112,13 +112,18 @@ def candidate_pairs_minhash(
     return _pairs_from_band_table(bt, max_bucket)
 
 
-def _pairs_from_band_table(bt: DataFrame, max_bucket: int) -> DataFrame:
+def _pairs_from_band_table(
+    bt: DataFrame, max_bucket: int, checkpoint_bt: bool = True
+) -> DataFrame:
     """Shared band-join machinery: (doc_id, _scope, band) -> distinct
     candidate pairs, with explicit salting of hot buckets."""
-    # the band table embeds the signature UDF and feeds FOUR consumers
+    # when the band table embeds a signature UDF it feeds FOUR consumers
     # (sizes agg, both join sides, the split-right explode) — checkpoint
     # so the Arrow UDF runs exactly once per row, not per consumer.
-    bt = bt.localCheckpoint(eager=True)
+    # When bands are STORED (parquet explode, no Python), recompute is
+    # cheaper than materializing 16 bands/doc — callers pass False.
+    if checkpoint_bt:
+        bt = bt.localCheckpoint(eager=True)
     # bucket sizes -> salt fan-out per bucket (explicit hot-bucket split)
     sizes = bt.groupBy("_scope", "band").agg(F.count("*").alias("_sz"))
     bt = bt.join(sizes, ["_scope", "band"])
@@ -182,7 +187,7 @@ def candidate_pairs_stored(
         scope.alias("_scope"),
         F.explode(F.col("bands")).alias("band"),
     )
-    return _pairs_from_band_table(bt, max_bucket)
+    return _pairs_from_band_table(bt, max_bucket, checkpoint_bt=False)
 
 
 def candidate_pairs_exact(emb: DataFrame, scope_col: str | None) -> DataFrame:

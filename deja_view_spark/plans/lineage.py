@@ -89,3 +89,28 @@ def record_lineage(
         )
     )
     lin.write.mode("append").parquet(lineage_path(out_dir))
+
+
+def record_lineage_from_table(
+    table: DataFrame,
+    out_dir: str,
+    stage: str,
+    run_id: str,
+    part_col: str = "repo",
+) -> None:
+    """Fast path for stages whose output is 1:1 with its input and
+    carries the sha256 column (embeddings): ONE aggregation over the
+    written table yields input_rows == output_rows and the sha digest —
+    no source re-scan, no join."""
+    lin = table.groupBy(F.col(part_col).alias("part_key")).agg(
+        F.count("*").alias("input_rows"),
+        sha_agg_col().alias("input_sha_agg"),
+    )
+    lin.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        "part_key",
+        "input_rows",
+        "input_sha_agg",
+        F.col("input_rows").alias("output_rows"),
+    ).write.mode("append").parquet(lineage_path(out_dir))

@@ -132,15 +132,14 @@ class KGPipeline:
         n_in = todo.count()
         if n_in > 0:
             emb.write.mode("overwrite").partitionBy("repo").parquet(self._emb_path())
-            counts = (
-                self.spark.read.parquet(self._emb_path())
-                .join(todo.select("repo").distinct(), "repo", "left_semi")
-                .groupBy(F.col("repo").alias("part_key"))
-                .agg(F.count("*").alias("output_rows"))
+            # embeddings are 1:1 with inputs and carry sha256 — one agg
+            # over what was just written (scoped to this run's repos)
+            # records lineage; no source re-scan, no join
+            written = self.spark.read.parquet(self._emb_path()).join(
+                todo.select("repo").distinct(), "repo", "left_semi"
             )
-            L.record_lineage(
-                todo.select("repo", "sha256"), counts, self.out_dir,
-                "embeddings", self.run_id,
+            L.record_lineage_from_table(
+                written, self.out_dir, "embeddings", self.run_id
             )
         self.metrics["embeddings"] = {"input_rows": n_in, "sec": time.time() - t0}
         if not os.path.exists(self._emb_path()):

@@ -216,3 +216,75 @@ ORACLES = {
     "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER,
     "corpus_stats": ORACLE_CORPUS_STATS,
 }
+
+
+# ----------------------------------------------------- release tiers (F15/A8/A9)
+_TIER_ALIASES = {
+    1: ["tier 1", "tier-1", "tier1"],
+    2: ["tier 2", "tier-2", "tier2"],
+    3: ["tier 3", "tier-3", "tier3"],
+}
+_LABEL_CHOICES = [
+    "Tier 1", "tier-2", "TIER3", "bug", "enhancement", "tier 2", "docs",
+]
+
+
+def q_release_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference release-notes tier classification (release_notes.py:
+    26-30,94-107): first tier whose alias set intersects the item's
+    labels case-insensitively, else tier 0; per-tier counts + sorted
+    distinct contributor set (A8/A9). Labels synthesized
+    deterministically from doc_id (the corpus has no label column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in _LABEL_CHOICES]),
+        (F.col("doc_id") % len(_LABEL_CHOICES) + 1).cast("int"),
+    )
+    lowered = F.lower(label)
+    tier = (
+        F.when(lowered.isin(_TIER_ALIASES[1]), 1)
+        .when(lowered.isin(_TIER_ALIASES[2]), 2)
+        .when(lowered.isin(_TIER_ALIASES[3]), 3)
+        .otherwise(0)
+    )
+    return (
+        docs.select(tier.alias("tier"), F.col("source").alias("author"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.array_join(F.sort_array(F.collect_set("author")), ",").alias(
+                "contributors"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+def _sql_tier_aliases(t: int) -> str:
+    return ", ".join(f"'{a}'" for a in _TIER_ALIASES[t])
+
+
+ORACLE_RELEASE_TIERS = f"""
+WITH labeled AS (
+  SELECT source AS author,
+         lower((ARRAY[{", ".join(f"'{x}'" for x in _LABEL_CHOICES)}])
+               [CAST(doc_id % {len(_LABEL_CHOICES)} + 1 AS INT)]) AS lbl
+  FROM documents),
+tiered AS (
+  SELECT author,
+         CASE WHEN lbl IN ({_sql_tier_aliases(1)}) THEN 1
+              WHEN lbl IN ({_sql_tier_aliases(2)}) THEN 2
+              WHEN lbl IN ({_sql_tier_aliases(3)}) THEN 3
+              ELSE 0 END AS tier
+  FROM labeled)
+SELECT tier, count(*) AS n_items,
+       (SELECT string_agg(a, ',' ORDER BY a)
+        FROM (SELECT DISTINCT author AS a FROM tiered i WHERE i.tier = o.tier)) AS contributors
+FROM tiered o
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+QUERIES["release_tiers"] = q_release_tiers
+ORACLES["release_tiers"] = ORACLE_RELEASE_TIERS

@@ -291,3 +291,59 @@ ORACLES = {
     "docs_jaccard_pairs": ORACLE_DOCS_JACCARD,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
 }
+
+
+# ------------------------------------------------ similarity bands (F5/F16/F17)
+def q_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-report banding (reference cli.py:572,576,589-590 /
+    find_similar_issues.py:160-161): per probe, max similarity under
+    the REPORT convention sim = 1 - d/2 = (1+cos)/2 (F5), banded and
+    counted (A4). Thresholds parametrized to this corpus' similarity
+    range; the when/otherwise band logic is the reference's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    cand = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    sim = (
+        F.lit(1.0)
+        + cosine_sim(F.col("embedding"), F.col("pvec"), assume_normalized=False)
+    ) / 2.0
+    per_probe = (
+        cand.join(F.broadcast(probes), F.col("nid") != F.col("probe_id"))
+        .groupBy("probe_id")
+        .agg(F.round(F.max(sim), 4).alias("max_similarity"))
+    )
+    band = (
+        F.when(F.col("max_similarity") >= 0.72, F.lit("very_high"))
+        .when(F.col("max_similarity") >= 0.70, F.lit("high"))
+        .otherwise(F.lit("below"))
+    )
+    return (
+        per_probe.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_probes"))
+        .orderBy("band")
+    )
+
+
+ORACLE_SIMILARITY_BANDS = """
+WITH per_probe AS (
+  SELECT p.vec_id AS probe_id,
+         round(max((1.0 + list_cosine_similarity(p.embedding, e.embedding)) / 2.0), 4)
+           AS max_similarity
+  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+  WHERE p.vec_id < 100
+  GROUP BY p.vec_id)
+SELECT CASE WHEN max_similarity >= 0.72 THEN 'very_high'
+            WHEN max_similarity >= 0.70 THEN 'high'
+            ELSE 'below' END AS band,
+       count(*) AS n_probes
+FROM per_probe
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["similarity_bands"] = q_similarity_bands
+ORACLES["similarity_bands"] = ORACLE_SIMILARITY_BANDS
