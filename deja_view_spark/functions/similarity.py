@@ -39,6 +39,15 @@ def cosine_sim(a: Column, b: Column, assume_normalized: bool = False) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def dot_over_norms(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """Cosine for PAIR-SCORING plans: norms precomputed once per row on
+    each side (one projection), so the per-pair work is a single
+    zip_with/aggregate pass instead of three. Use for large candidate
+    joins; cosine_sim stays for one-off scoring."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(va, vb) / denom)
+
+
 def distance_to_similarity(distance: Column, convention: str = "service") -> Column:
     """'service' -> 1-d (github_similarity_service.py:410);
     'report' -> 1-d/2 (cli.py:550)."""

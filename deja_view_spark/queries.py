@@ -243,16 +243,22 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id < 50). The probe side is tiny -> broadcast; candidate side
     streams; ranks compared (not raw floats — float fold order differs
     between engines)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    from deja_view_spark.functions.similarity import dot_over_norms, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("nrm").alias("pn"),
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm")
     scored = (
         cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
         .withColumn(
             "cos",
-            cosine_sim(F.col("embedding"), F.col("probe_vec"), assume_normalized=False),
+            dot_over_norms(F.col("embedding"), F.col("probe_vec"), F.col("nrm"), F.col("pn")),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

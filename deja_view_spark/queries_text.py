@@ -172,10 +172,14 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical fingerprints <=> shared minimal shingle."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_col(F.col("text"))
-    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    # explode -> top-level md5 -> groupBy min: every step whole-stage
+    # codegen (md5 inside a transform() lambda falls back to
+    # interpreted eval — measured 3x slower)
     return (
-        docs.select("doc_id", fp.alias("fingerprint"))
-        .where(F.col("fingerprint").isNotNull())
+        docs.select("doc_id", F.explode(sh).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
         .orderBy("doc_id")
     )
 
@@ -253,12 +257,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force within the (small) embeddings table; ranks/ids + 4dp
     cosine compared. The LSH-bucketed variant (queries_ann) is the
     scale path; this is its exact baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("src_vec"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst_vec"), F.col("embedding").alias("vb"))
+    from deja_view_spark.functions.similarity import dot_over_norms, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src_vec"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst_vec"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_over_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("src_vec") < F.col("dst_vec"))
-        .withColumn("cos", F.round(cosine_sim(F.col("va"), F.col("vb"), assume_normalized=False), 4))
+        .withColumn("cos", F.round(cos, 4))
         .where(F.col("cos") >= 0.4)
         .select("src_vec", "dst_vec", "cos")
         .orderBy("src_vec", "dst_vec")
@@ -300,14 +317,20 @@ def q_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the REPORT convention sim = 1 - d/2 = (1+cos)/2 (F5), banded and
     counted (A4). Thresholds parametrized to this corpus' similarity
     range; the when/otherwise band logic is the reference's."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    from deja_view_spark.functions.similarity import dot_over_norms, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
-    cand = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    probes = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("nrm").alias("pn"),
+    )
+    cand = emb.select(F.col("vec_id").alias("nid"), "embedding", "nrm")
     sim = (
         F.lit(1.0)
-        + cosine_sim(F.col("embedding"), F.col("pvec"), assume_normalized=False)
+        + dot_over_norms(F.col("embedding"), F.col("pvec"), F.col("nrm"), F.col("pn"))
     ) / 2.0
     per_probe = (
         cand.join(F.broadcast(probes), F.col("nid") != F.col("probe_id"))
@@ -347,3 +370,72 @@ ORDER BY 1
 
 QUERIES["similarity_bands"] = q_similarity_bands
 ORACLES["similarity_bands"] = ORACLE_SIMILARITY_BANDS
+
+
+# ------------------------------------------------------------ language ID
+# stopword-profile n-gram heuristic: score each candidate language by
+# distinct-stopword presence, argmax with deterministic tie-break on
+# profile order. (The synthetic corpus is English-vocab for every lang
+# label — the op's contract is deterministic prediction, not accuracy.)
+_LANG_PROFILES = [
+    ("en", ["the", "a", "of", "and", "is"]),
+    ("de", ["der", "die", "und", "nicht", "ist"]),
+    ("fr", ["le", "la", "et", "les", "est"]),
+    ("es", ["el", "los", "y", "que", "es"]),
+]
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts (columns
+    only, one pass), argmax via greatest + chained when; confusion
+    counts vs the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in _LANG_PROFILES
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    # first profile in declaration order wins ties (reversed fold)
+    for lang, _ in reversed(_LANG_PROFILES):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return (
+        docs.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+def _sql_lang_score(words: list[str]) -> str:
+    return f"len(list_intersect(toks, {words!r}))"
+
+
+_SQL_SCORES = {lang: _sql_lang_score(words) for lang, words in _LANG_PROFILES}
+_SQL_BEST = "greatest(" + ", ".join(f"s_{k}" for k in _SQL_SCORES) + ")"
+_SQL_PRED = "CASE WHEN " + " WHEN ".join(
+    f"best > 0 AND s_{lang} = best THEN '{lang}'" for lang, _ in _LANG_PROFILES
+) + " ELSE 'unknown' END"
+
+ORACLE_DOCS_LANG_ID = f"""
+WITH t AS (
+  SELECT lang AS labeled,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+s AS (
+  SELECT labeled,
+         {", ".join(f"{sql} AS s_{lang}" for lang, sql in _SQL_SCORES.items())}
+  FROM t),
+p AS (
+  SELECT labeled, {_SQL_BEST} AS best, * FROM s)
+SELECT labeled, {_SQL_PRED} AS predicted, count(*) AS n
+FROM p
+GROUP BY labeled, predicted
+ORDER BY labeled, predicted
+"""
+
+QUERIES["docs_lang_id"] = q_docs_lang_id
+ORACLES["docs_lang_id"] = ORACLE_DOCS_LANG_ID

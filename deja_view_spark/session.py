@@ -39,10 +39,18 @@ def get_spark(
         # overhead; cluster mode would start high and let AQE coalesce.
         shuffle_partitions = max(cores, 8)
 
+    # Under spark-submit, master/driver-memory come from the CLI (the
+    # JVM is already configured; see tools/submit_kg.sh) — setting them
+    # here would fight the launcher. Plain-python runs set both.
+    from pyspark import SparkConf
+
+    submit_mode = SparkConf().contains("spark.master")
+
+    builder = SparkSession.builder.appName(app_name)
+    if not submit_mode:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
