@@ -84,7 +84,7 @@ def run_kg(cores: int, rows: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    kg_rows = int(os.environ.get("SPARK_GRAFT_KG_ROWS", "500000"))
+    kg_rows = int(os.environ.get("SPARK_GRAFT_KG_ROWS", "1000000"))
     scaling_env = os.environ.get("SPARK_GRAFT_SCALING", "8,32")
 
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)

@@ -124,8 +124,18 @@ def _pairs_from_band_table(
     # cheaper than materializing 16 bands/doc — callers pass False.
     if checkpoint_bt:
         bt = bt.localCheckpoint(eager=True)
-    # bucket sizes -> salt fan-out per bucket (explicit hot-bucket split)
-    sizes = bt.groupBy("_scope", "band").agg(F.count("*").alias("_sz"))
+    # bucket sizes -> salt fan-out per bucket (explicit hot-bucket split).
+    # Singleton buckets — ~94% of all buckets on the 500k-row corpus —
+    # cannot produce a pair: prune them HERE so the salting machinery,
+    # self-joins and distinct all run on the multi-member sliver only.
+    # The surviving bucket list is small, so AQE turns the join below
+    # into a broadcast join (no shuffle of the full band table); at
+    # scales where it isn't small, AQE falls back to a shuffle join.
+    sizes = (
+        bt.groupBy("_scope", "band")
+        .agg(F.count("*").alias("_sz"))
+        .where(F.col("_sz") >= 2)
+    )
     bt = bt.join(sizes, ["_scope", "band"])
     n_salt = F.ceil(F.col("_sz") / max_bucket).cast("int")
     salted = bt.select(
@@ -245,6 +255,11 @@ def duplicate_edges(
     else:
         raise ValueError(method)
 
+    # checkpoint the candidate pairs: (a) the band machinery runs once,
+    # (b) the pair set gets ACCURATE size stats, so AQE broadcasts it
+    # into both verify joins — the (wide) vector table is then scanned
+    # in place twice and never shuffled.
+    pairs = pairs.localCheckpoint(eager=True)
     vecs = emb.select("doc_id", "vector")
     scored = (
         pairs.join(vecs.withColumnRenamed("doc_id", "src").withColumnRenamed("vector", "_va"), "src")

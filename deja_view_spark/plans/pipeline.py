@@ -113,6 +113,13 @@ class KGPipeline:
         # re-reads no text and runs no Python (method='stored'). Two
         # scalar UDFs in the same stage measured faster than a fused
         # struct-returning UDF (44s vs 56s / 1M rows / local[32]).
+        # range-partition the INPUT on (repo, doc_id): the range sampler
+        # then reads only those two columns (pruned scan, no UDF), and
+        # featurization runs once, after the exchange, inside the write
+        # stage. Each write task spans 1-2 repo dirs (~10x fewer files).
+        todo = todo.repartitionByRange(
+            self.spark.sparkContext.defaultParallelism, "repo", "doc_id"
+        )
         embed = make_embed_udf(dim=self.dim)
         cols = [
             F.col("doc_id"),
@@ -131,6 +138,13 @@ class KGPipeline:
         emb = todo.select(*cols)
         n_in = todo.count()
         if n_in > 0:
+            # Dynamic partition overwrite only when RESUMING (subset
+            # write must keep other repos' files); full builds use
+            # static overwrite — no staging-dir rename dance.
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode",
+                "dynamic" if resume else "static",
+            )
             emb.write.mode("overwrite").partitionBy("repo").parquet(self._emb_path())
             # embeddings are 1:1 with inputs and carry sha256 — one agg
             # over what was just written (scoped to this run's repos)
@@ -198,7 +212,9 @@ class KGPipeline:
             .unionByName(dups)
             .unionByName(same_as_triples(comp))
         )
-        triples.write.mode("overwrite").partitionBy("pred").parquet(
+        triples.repartitionByRange(
+            self.spark.sparkContext.defaultParallelism, "pred", "subj"
+        ).write.mode("overwrite").partitionBy("pred").parquet(
             self._triples_path()
         )
         out = self.spark.read.parquet(self._triples_path())
