@@ -76,3 +76,106 @@ def ann_topk_lsh(
         .select("probe_id", "neighbor_id", "cos", "rank")
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- IVF
+def ivf_index(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 11,
+    max_iter: int = 10,
+):
+    """Train the IVF coarse quantizer (seeded KMeans) and assign every
+    vector to its nearest centroid bucket.
+
+    Returns (assigned_df with `_bucket` column, centroid ndarray).
+    The centroid set is tiny model metadata (k x dim floats) — the
+    scale pattern is: fit on a seeded SAMPLE, broadcast centroids,
+    assign the full table in one map-side pass (KMeans.transform)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    df = emb.withColumn("_v", array_to_vector(F.col(vec_col)))
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_v",
+        predictionCol="_bucket",
+    )
+    model = km.fit(df)
+    assigned = model.transform(df).drop("_v")
+    centroids = np.stack([c for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize candidates into centroid buckets, probe
+    only the `nprobe` nearest buckets per query, exact cosine re-rank.
+
+    probes: (probe_id, probe_vec). Returns
+    (probe_id, neighbor_id, cos, rank). The inverted-list layout is a
+    plain bucket column — the probe-side bucket fan-out is an explode +
+    equi-join, so at cluster scale the search is one shuffle on the
+    bucket key with the probe side broadcast."""
+    import numpy as np
+
+    assigned, centroids = ivf_index(emb, vec_col, n_centroids, seed)
+    spark = emb.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    cents = spark.createDataFrame(cent_rows, "bucket int, cvec array<float>")
+
+    # nprobe nearest buckets per probe: tiny cross join (n_probes x k)
+    pc = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "_pdist",
+        F.aggregate(
+            F.zip_with(F.col("probe_vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("_pdist"), F.asc("bucket"))
+    probe_buckets = (
+        pc.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select("probe_id", "probe_vec", F.col("bucket").alias("_bucket"))
+    )
+
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        "_bucket",
+    )
+    scored = (
+        cand.join(
+            F.broadcast(probe_buckets),
+            (cand._bucket == probe_buckets._bucket)
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .withColumn(
+            "cos",
+            F.round(cosine_sim(F.col("nvec"), F.col("probe_vec"), assume_normalized), 4),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+        .orderBy("probe_id", "rank")
+    )

@@ -340,6 +340,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, probes, k=3)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 (seeded KMeans coarse quantizer, nprobe nearest
+    inverted lists, exact cosine re-rank); recall gate in
+    tests/test_ann.py."""
+    from deja_view_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ivf_topk(emb, probes, k=3, n_centroids=16, nprobe=6)
+
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 QUERIES["docs_minhash_pairs"] = q_docs_minhash_pairs
 QUERIES["docs_simhash_pairs"] = q_docs_simhash_pairs
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk

@@ -33,3 +33,35 @@ def test_ann_deterministic(spark):
     a = [tuple(r) for r in ann_topk_lsh(emb, probes, k=3).collect()]
     b = [tuple(r) for r in ann_topk_lsh(emb.repartition(7), probes, k=3).collect()]
     assert a == b
+
+
+def test_ivf_recall_at_3(spark):
+    from deja_view_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_topk(emb, probes, k=3, n_centroids=16, nprobe=6).collect()
+    }
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in q_knn_bruteforce(spark, SF_DIR).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"IVF recall@3 {recall}"
+
+
+def test_ivf_prunes_candidates(spark):
+    """nprobe < n_centroids must search fewer candidates than brute
+    force (the point of the inverted lists)."""
+    from deja_view_spark.operators.ann import ivf_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, n_centroids=16)
+    sizes = assigned.groupBy("_bucket").count().collect()
+    assert len(sizes) > 4  # clustering found real structure
+    total = sum(r["count"] for r in sizes)
+    assert total == emb.count()
