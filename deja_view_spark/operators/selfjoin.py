@@ -115,59 +115,88 @@ def candidate_pairs_minhash(
 def _pairs_from_band_table(
     bt: DataFrame, max_bucket: int, checkpoint_bt: bool = True
 ) -> DataFrame:
-    """Shared band-join machinery: (doc_id, _scope, band) -> distinct
-    candidate pairs, with explicit salting of hot buckets."""
-    # when the band table embeds a signature UDF it feeds FOUR consumers
-    # (sizes agg, both join sides, the split-right explode) — checkpoint
-    # so the Arrow UDF runs exactly once per row, not per consumer.
+    """Shared band machinery: (doc_id, _scope, band) -> distinct
+    candidate pairs, in ONE shuffle of the band table.
+
+    Each bucket is aggregated into a sorted member array; pairs are then
+    generated bucket-locally with posexplode + slice — pure whole-stage
+    codegen, no self-join, no second scan. (The previous design joined
+    the full band table against a bucket-size table — a sort-merge join
+    that sorted all n·bands rows twice and did not scale; measured
+    22.6s -> ~6s on the 1M-row corpus at local[32].)
+
+    Skew ("explicit salting of hot repos", north_rule): a bucket of
+    size s expands to s(s-1)/2 pairs inside ONE task under the array
+    layout, so oversized buckets (s > max_bucket — degenerate content,
+    hot-repo common patterns; ~0.01% of band rows on the synthetic
+    corpus) are re-exploded to rows and routed through a salted
+    self-join that spreads their quadratic pair generation across
+    ceil(s/max_bucket)^2 tasks. Both paths emit each unordered pair
+    exactly once; the union dedupes across bands.
+    """
+    # when the band table embeds a signature UDF it would otherwise run
+    # the Arrow UDF once per consumer — checkpoint so it runs once.
     # When bands are STORED (parquet explode, no Python), recompute is
     # cheaper than materializing 16 bands/doc — callers pass False.
     if checkpoint_bt:
         bt = bt.localCheckpoint(eager=True)
-    # bucket sizes -> salt fan-out per bucket (explicit hot-bucket split).
-    # Singleton buckets — ~94% of all buckets on the 500k-row corpus —
-    # cannot produce a pair: prune them HERE so the salting machinery,
-    # self-joins and distinct all run on the multi-member sliver only.
-    # The surviving bucket list is small, so AQE turns the join below
-    # into a broadcast join (no shuffle of the full band table); at
-    # scales where it isn't small, AQE falls back to a shuffle join.
-    sizes = (
-        bt.groupBy("_scope", "band")
-        .agg(F.count("*").alias("_sz"))
-        .where(F.col("_sz") >= 2)
+    # fuse (scope, band) into one long key: halves shuffle bytes and
+    # replaces two-column sort comparisons with a single long compare
+    # (measured 27s -> 13s on the 16M-row band shuffle at local[32]).
+    # A cross-scope key collision (~#buckets^2 / 2^64) can only ADD a
+    # candidate pair; the verify join screens scope equality exactly,
+    # so emitted edges are unaffected.
+    keyed = bt.select(F.xxhash64("_scope", "band").alias("_bkey"), "doc_id")
+    # checkpoint: the bucket table feeds two consumers (normal-bucket
+    # pair generation and the oversized-bucket salt path below, which
+    # materializes eagerly) — without it the dominant n·bands-row
+    # shuffle executes once per consumer.
+    buckets = (
+        keyed.groupBy("_bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)  # singletons (~94%) can't pair
+    ).localCheckpoint(eager=True)
+
+    # normal buckets: pair (ids[i], ids[j]) for i<j; sort_array makes
+    # src < dst structural, so no post-filter and dedup is exact.
+    small = buckets.where(F.size("_ids") <= max_bucket)
+    pairs_small = (
+        small.select(F.posexplode("_ids").alias("_i", "src"), F.col("_ids"))
+        .select(
+            "src",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("dst"),
+        )
     )
-    bt = bt.join(sizes, ["_scope", "band"])
+
+    # oversized buckets: back to rows + salted self-join (bounded tasks)
+    big = buckets.where(F.size("_ids") > max_bucket).select(
+        "_bkey",
+        F.size("_ids").alias("_sz"),
+        F.explode("_ids").alias("doc_id"),
+    )
     n_salt = F.ceil(F.col("_sz") / max_bucket).cast("int")
-    salted = bt.select(
+    salted = big.select(
         "doc_id",
-        "_scope",
-        "band",
+        "_bkey",
         n_salt.alias("_nsalt"),
         F.pmod(F.xxhash64("doc_id"), n_salt).cast("int").alias("_salt"),
-    ).localCheckpoint(eager=True)  # feeds a-side, b-side and split-right
+    ).localCheckpoint(eager=True)  # tiny; feeds a-side, b-side, split-right
 
     a = salted.alias("a")
-    # replicate the right side across the left's salt groups so every
-    # cross-salt pair is still generated exactly once (a.salt covers all
-    # left groups; right rows are exploded to every salt id >= their own
-    # is unnecessary — we pair group i with groups j>=i via two-sided
-    # replication below). Simpler and still bounded: pair within equal
-    # salt, plus pair (i, j) for i<j via replicated right side.
     b = salted.alias("b")
-
     same = a.join(
         b,
-        (F.col("a._scope") == F.col("b._scope"))
-        & (F.col("a.band") == F.col("b.band"))
+        (F.col("a._bkey") == F.col("b._bkey"))
         & (F.col("a._salt") == F.col("b._salt"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
 
     # cross-salt-group pairs: replicate each right row to every OTHER
-    # salt group (only for buckets actually split, i.e. _nsalt > 1).
+    # salt group, pair against left rows of that group.
     split_right = (
-        salted.where(F.col("_nsalt") > 1)
-        .withColumn(
+        salted.withColumn(
             "_tgt",
             F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1)),
         )
@@ -175,13 +204,12 @@ def _pairs_from_band_table(
     )
     cross = a.join(
         split_right.alias("b"),
-        (F.col("a._scope") == F.col("b._scope"))
-        & (F.col("a.band") == F.col("b.band"))
+        (F.col("a._bkey") == F.col("b._bkey"))
         & (F.col("a._salt") == F.col("b._tgt"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
 
-    return same.unionByName(cross).distinct()
+    return pairs_small.unionByName(same).unionByName(cross).distinct()
 
 
 def candidate_pairs_stored(
@@ -260,11 +288,31 @@ def duplicate_edges(
     # into both verify joins — the (wide) vector table is then scanned
     # in place twice and never shuffled.
     pairs = pairs.localCheckpoint(eager=True)
-    vecs = emb.select("doc_id", "vector")
+    # scope columns ride along so the verify join can screen scope
+    # equality exactly (the band machinery keys on a fused hash of
+    # (scope, band) — a cross-scope hash collision may ADD a candidate;
+    # this filter removes it).
+    vcols = ["doc_id", "vector"] + ([scope_col] if scope_col else [])
+    vecs = emb.select(*vcols)
+    va = vecs.withColumnRenamed("doc_id", "src").withColumnRenamed("vector", "_va")
+    vb = vecs.withColumnRenamed("doc_id", "dst").withColumnRenamed("vector", "_vb")
+    if scope_col:
+        va = va.withColumnRenamed(scope_col, "_sa")
+        vb = vb.withColumnRenamed(scope_col, "_sb")
+    # shuffle-hash hints: build the hash map from the (narrow) pair
+    # side and STREAM the wide vector table — sort-merge would sort
+    # 512B/row vectors on both joins (measured 1.7x slower). Scale-safe:
+    # the build side is per-partition, never driver-collected.
     scored = (
-        pairs.join(vecs.withColumnRenamed("doc_id", "src").withColumnRenamed("vector", "_va"), "src")
-        .join(vecs.withColumnRenamed("doc_id", "dst").withColumnRenamed("vector", "_vb"), "dst")
-        .withColumn(
+        pairs.hint("shuffle_hash")
+        .join(va, "src")
+        .hint("shuffle_hash")
+        .join(vb, "dst")
+    )
+    if scope_col:
+        scored = scored.where(F.col("_sa") == F.col("_sb"))
+    scored = (
+        scored.withColumn(
             "_cos", cosine_sim(F.col("_va"), F.col("_vb"), assume_normalized)
         )
         .withColumn("similarity", F.round(_similarity(F.col("_cos"), convention), 4))

@@ -117,6 +117,10 @@ class KGPipeline:
         # then reads only those two columns (pruned scan, no UDF), and
         # featurization runs once, after the exchange, inside the write
         # stage. Each write task spans 1-2 repo dirs (~10x fewer files).
+        # count BEFORE the range repartition: after it, count() would
+        # re-execute the range sampler + shuffle a second time; here it
+        # folds to a metadata/count-only scan.
+        n_in = todo.count()
         todo = todo.repartitionByRange(
             self.spark.sparkContext.defaultParallelism, "repo", "doc_id"
         )
@@ -136,7 +140,6 @@ class KGPipeline:
             )
             cols.append(mh(F.col("doc_text")).alias("bands"))
         emb = todo.select(*cols)
-        n_in = todo.count()
         if n_in > 0:
             # Dynamic partition overwrite only when RESUMING (subset
             # write must keep other repos' files); full builds use

@@ -360,9 +360,12 @@ QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 
 # merge the text/scoring and events/relational registries
 from deja_view_spark import queries_events as _QE  # noqa: E402
+from deja_view_spark import queries_relational as _QR  # noqa: E402
 from deja_view_spark import queries_text as _QT  # noqa: E402
 
 QUERIES.update(_QT.QUERIES)
 ORACLES.update(_QT.ORACLES)
 QUERIES.update(_QE.QUERIES)
 ORACLES.update(_QE.ORACLES)
+QUERIES.update(_QR.QUERIES)
+ORACLES.update(_QR.ORACLES)

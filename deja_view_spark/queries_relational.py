@@ -1,0 +1,206 @@
+"""Relational query registry, part 2: as-of join (J5 general form),
+rollup grouping sets, exact percentiles, and the classic 3-table
+shipping-priority join (TPC-H Q3 shape) exercising broadcast dim joins
++ partial aggregation + TakeOrderedAndProject."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deja_view_spark.operators.asof import asof_join
+from deja_view_spark.sources.catalog import load_table
+
+
+# ------------------------------------------------------------- as-of join (J5)
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent purchase at-or-before
+    the click (backward as-of). One shuffle on user_id via the
+    union + running-last layout (operators/asof.py) — the scalable
+    generalization of the reference's week-window membership lookups
+    (discussions_metrics.py:95-103)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["ts", "event_id", "value"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts"),
+        F.col("asof_event_id"),
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS asof_ts, r.event_id AS asof_event_id,
+       round(r.value, 6) AS asof_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# ------------------------------------------------------- rollup grouping sets
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue by (region, nation) with ROLLUP subtotals —
+    grouping-sets coverage. Dims are broadcast (tiny); the fact scan
+    aggregates partially before the shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+ORACLE_REVENUE_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------- exact percentiles
+def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quartiles via Spark's exact
+    ``percentile`` (continuous interpolation — matches DuckDB
+    quantile_cont). Exact is fine per-group at any scale: the sketch
+    alternative (approx_percentile/KLL) trades this for one pass, but
+    the group count here is tiny so the sort-based exact path holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    pcts = [0.25, 0.5, 0.75, 0.9]
+    aggs = [
+        F.round(
+            F.expr(f"percentile(n_chars, {p})"), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in pcts
+    ]
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), *aggs)
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOCS_PCTL = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------- shipping priority (Q3 shape)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per order, top 10. Customer dim broadcasts; lineitem
+    partially aggregates map-side; the final top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1998-06-01"
+    j = (
+        lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.where(F.col("c_mktsegment") == "BUILDING").select(
+                    "c_custkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "events_asof_purchase": q_events_asof_purchase,
+    "revenue_rollup": q_revenue_rollup,
+    "docs_length_percentiles": q_docs_length_percentiles,
+    "shipping_priority": q_shipping_priority,
+}
+
+ORACLES = {
+    "events_asof_purchase": ORACLE_EVENTS_ASOF,
+    "revenue_rollup": ORACLE_REVENUE_ROLLUP,
+    "docs_length_percentiles": ORACLE_DOCS_PCTL,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+}
