@@ -60,6 +60,12 @@ def connected_components(
             "component",
             F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
         )
+        # LAZY checkpoint: the convergence count below is the job that
+        # materializes it (persisted partitions are written as that job
+        # computes them), so each round costs ONE job, not a separate
+        # eager-checkpoint job plus a count job. Full count (no
+        # limit(1)): a short-circuited job would leave partitions
+        # unpersisted and re-derive the whole lineage next round.
         new_labels = (
             labels.withColumn("old", F.col("component"))
             .unionByName(nbr)
@@ -68,12 +74,9 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.min("old").alias("old"),  # min ignores nulls -> prev label
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # narrow scan over checkpointed data — no shuffle, no join
-        changed = (
-            new_labels.where(F.col("component") != F.col("old")).limit(1).count()
-        )
+        changed = new_labels.where(F.col("component") != F.col("old")).count()
         labels = new_labels.drop("old")
         if changed == 0:
             break

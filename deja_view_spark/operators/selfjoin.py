@@ -299,15 +299,17 @@ def duplicate_edges(
     if scope_col:
         va = va.withColumnRenamed(scope_col, "_sa")
         vb = vb.withColumnRenamed(scope_col, "_sb")
-    # shuffle-hash hints: build the hash map from the (narrow) pair
-    # side and STREAM the wide vector table — sort-merge would sort
-    # 512B/row vectors on both joins (measured 1.7x slower). Scale-safe:
-    # the build side is per-partition, never driver-collected.
+    # shuffle-hash joins: sort-merge would SORT 512B/row vector rows on
+    # both joins (measured 1.7x slower). Build sides chosen so the hash
+    # map is never the widest relation in the join: join 1 builds from
+    # the narrow pair list; join 2 builds from the vector table — NOT
+    # from the (pairs + left-vector) stream, which at 2M rows overflowed
+    # the per-task memory budget. Per-partition map size is bounded by
+    # the shuffle partition count (session default cores*4 + AQE).
     scored = (
         pairs.hint("shuffle_hash")
         .join(va, "src")
-        .hint("shuffle_hash")
-        .join(vb, "dst")
+        .join(vb.hint("shuffle_hash"), "dst")
     )
     if scope_col:
         scored = scored.where(F.col("_sa") == F.col("_sb"))

@@ -35,9 +35,13 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
-        # local mode: one shuffle partition per core avoids tiny-task
-        # overhead; cluster mode would start high and let AQE coalesce.
-        shuffle_partitions = max(cores, 8)
+        # start HIGH and let AQE coalesce small shuffles back down:
+        # the initial count is the upper bound that keeps per-partition
+        # structures (shuffle-hash build maps, sort buffers) inside the
+        # per-task memory budget on large shuffles. cores*4 measured
+        # safe for the 2M-row build at 8 cores / 8g heap, where
+        # one-partition-per-core overflowed the hash-join build.
+        shuffle_partitions = max(cores * 4, 32)
 
     # Under spark-submit, master/driver-memory come from the CLI (the
     # JVM is already configured; see tools/submit_kg.sh) — setting them
