@@ -69,6 +69,17 @@ def _exact_jaccard(
             )
         ).alias("shset"),
     )
+    # shingle sets are the expensive projection (regex tokenize + k-gram
+    # build over full text) and feed BOTH verify joins: restrict to docs
+    # that actually appear in a candidate pair (typically a small
+    # fraction of the corpus), then checkpoint so the projection runs
+    # once, not once per join side.
+    pair_ids = (
+        pairs.select(F.col("src_doc").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst_doc").alias("doc_id")))
+        .distinct()
+    )
+    sets = sets.join(pair_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     return (
         pairs.join(sets.withColumnRenamed("doc_id", "src_doc").withColumnRenamed("shset", "sa"), "src_doc")
         .join(sets.withColumnRenamed("doc_id", "dst_doc").withColumnRenamed("shset", "sb"), "dst_doc")

@@ -191,8 +191,85 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------- tumbling window()
+def q_events_tumbling_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 7-day tumbling windows per event_type via Spark's
+    window() — the batch twin of the streaming watermark aggregation
+    (streaming/windows.py); state in streaming mode is bounded by the
+    watermark, here it is a plain hash aggregate."""
+    from deja_view_spark.streaming.windows import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev)
+
+
+ORACLE_EVENTS_TUMBLING = """
+WITH b AS (
+  SELECT *, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+  FROM events
+)
+SELECT CAST(DATE '1970-01-01' + (ed - ed % 7) * INTERVAL 1 DAY AS TIMESTAMP) AS week_start,
+       CAST(DATE '1970-01-01' + (ed - ed % 7 + 7) * INTERVAL 1 DAY AS TIMESTAMP) AS week_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM b
+GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------- flagship J2 semantics, exact oracle
+def q_duplicate_edges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference find-duplicates semantics (cli.py:459-678: directed
+    edges, 1-d/2 report convention, threshold, top-3 per src, 4dp
+    rounding, (sim desc, dst asc) ties) over the pre-embedded
+    ``embeddings`` table with the EXACT all-pairs generator — the one
+    J2 configuration DuckDB can replay verbatim
+    (list_cosine_similarity), so the flagship operator gets a full
+    value-hash oracle, not just rows-only. Subsampled (vec_id % 5) to
+    keep the quadratic oracle bounded at any sf."""
+    from deja_view_spark.operators.selfjoin import duplicate_edges
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("vec_id").cast("string").alias("doc_id"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    return duplicate_edges(
+        emb,
+        threshold=0.65,
+        top_k=3,
+        convention="report",
+        method="exact",
+        assume_normalized=False,
+    )
+
+
+ORACLE_DUP_EXACT = """
+WITH e AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+), p AS (
+  SELECT a.id AS src, b.id AS dst,
+         round((1 + list_cosine_similarity(a.embedding, b.embedding)) / 2, 4)
+           AS similarity
+  FROM e a JOIN e b ON a.id <> b.id
+), f AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY src ORDER BY similarity DESC, dst ASC) AS INT) AS rank
+  FROM p WHERE similarity >= 0.65
+)
+SELECT src, dst, similarity, rank FROM f WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
+    "events_tumbling_weeks": q_events_tumbling_weeks,
+    "duplicate_edges_exact": q_duplicate_edges_exact,
     "revenue_rollup": q_revenue_rollup,
     "docs_length_percentiles": q_docs_length_percentiles,
     "shipping_priority": q_shipping_priority,
@@ -200,6 +277,8 @@ QUERIES = {
 
 ORACLES = {
     "events_asof_purchase": ORACLE_EVENTS_ASOF,
+    "events_tumbling_weeks": ORACLE_EVENTS_TUMBLING,
+    "duplicate_edges_exact": ORACLE_DUP_EXACT,
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,
     "docs_length_percentiles": ORACLE_DOCS_PCTL,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,

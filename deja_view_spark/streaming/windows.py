@@ -1,0 +1,180 @@
+"""Streaming windowed aggregation + custom stateful operator.
+
+The reference's scheduled weekly metrics job (ST2,
+.github/workflows/weekly-discussions-metrics.yml + discussions_metrics.py)
+is a periodic tumbling-window aggregation. Batch mode re-runs it
+statelessly (queries_events.q_events_weekly_by_type); this module is
+the Structured Streaming form: a file source watched continuously,
+7-day tumbling windows, a watermark bounding state for late data.
+
+``running_user_counts`` adds the custom-stateful-operator surface
+(applyInPandasWithState): per-user running event count + last-seen
+timestamp kept in explicit GroupState across micro-batches — the shape
+any bespoke streaming operator (sessionizer, dedup-within-horizon,
+rate limiter) takes when window()/agg() can't express it.
+
+Scale notes: the window aggregation is a standard partial-agg +
+state-store plan (state keyed by (window, event_type) — small); the
+stateful operator's state is keyed by user — state-store partitioning
+spreads it across executors, and the watermark/timeout bound its size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "7 days",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark bounding
+    late-data state. Works identically on a batch OR streaming frame
+    (batch ignores the watermark) — the ST2 weekly rollup, streamified.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("week_start"),
+            F.col("win.end").alias("week_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    window: str = "7 days",
+    watermark: str = "1 day",
+):
+    """File-source streaming form of ``windowed_event_counts``:
+    watch ``in_dir`` for new parquet, maintain windowed counts, write
+    completed windows to ``out_dir``. Returns the started query
+    (trigger availableNow — drains what exists, then stops; a deployed
+    job would use a processingTime trigger)."""
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    agg = windowed_event_counts(src, window=window, watermark=watermark)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+
+def _update_running(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update fn: fold this micro-batch's rows
+    for one user into (count, last_ts, last_type) state; emit the
+    updated running row."""
+    n_prev, last_us, last_type = (
+        state.get if state.exists else (0, None, None)
+    )
+    n_new = 0
+    for pdf in pdfs:
+        n_new += len(pdf)
+        if len(pdf):
+            mx = pdf.loc[pdf["ts"].idxmax()]
+            us = int(mx["ts"].value // 1000)
+            if last_us is None or us >= last_us:
+                last_us, last_type = us, str(mx["event_type"])
+    n = n_prev + n_new
+    state.update((n, last_us, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    and last-seen event, state carried across micro-batches in explicit
+    GroupState (applyInPandasWithState, Arrow-batched — no per-row
+    Python). Input: a STREAMING frame of (user_id, ts, event_type, ...).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_running_user_counts(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+):
+    """File-source wrapper for ``running_user_counts``; availableNow
+    drain, parquet sink of per-batch updated rows."""
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    out = running_user_counts(src)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        out.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
