@@ -69,6 +69,27 @@ def mention_triples(src: DataFrame) -> DataFrame:
     )
 
 
+def mention_triples_from_emb(emb: DataFrame) -> DataFrame:
+    """(doc, mentions, file) from a featurized table carrying a
+    pre-extracted ``mentions`` array (self-references already dropped,
+    per-doc deduped at extraction) — the scale path: the triples stage
+    re-reads no source text (plans/pipeline.py stores mentions in the
+    same single content pass as vectors and bands)."""
+    return (
+        emb.select(
+            F.col("doc_id").alias("subj"),
+            F.explode(F.col("mentions")).alias("obj"),
+        )
+        .select(
+            "subj",
+            F.lit("mentions").alias("pred"),
+            "obj",
+            F.lit(1.0).alias("weight"),
+        )
+        .distinct()
+    )
+
+
 def duplicate_triples(edges: DataFrame) -> DataFrame:
     """(src, duplicates, dst, similarity) from duplicate_edges output."""
     return edges.select(

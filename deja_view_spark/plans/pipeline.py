@@ -31,10 +31,11 @@ from deja_view_spark.functions.text import truncate_body
 from deja_view_spark.operators.components import connected_components
 from deja_view_spark.operators.selfjoin import duplicate_edges
 from deja_view_spark.operators.triples import (
+    PATH_TOKEN_RE,
     contains_triples,
     doc_key,
     duplicate_triples,
-    mention_triples,
+    mention_triples_from_emb,
     same_as_triples,
 )
 from deja_view_spark.plans import lineage as L
@@ -125,11 +126,25 @@ class KGPipeline:
             self.spark.sparkContext.defaultParallelism, "repo", "doc_id"
         )
         embed = make_embed_udf(dim=self.dim)
+        # mentions ride the same single text pass (pure column exprs,
+        # extracted from FULL content — not the 10k-capped doc_text —
+        # self-references dropped): the triples stage then reads no
+        # source text at all (one corpus scan for the whole pipeline).
+        mentions = F.filter(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.col("content"), F.lit(PATH_TOKEN_RE), 1
+                )
+            ),
+            lambda x: x != F.col("path"),
+        )
         cols = [
             F.col("doc_id"),
             F.col("repo"),
+            F.col("path"),
             F.col("lang"),
             F.col("sha256"),
+            mentions.alias("mentions"),
             embed(F.col("doc_text")).alias("vector"),
         ]
         if self.store_bands:
@@ -162,7 +177,8 @@ class KGPipeline:
         if not os.path.exists(self._emb_path()):
             # zero-input run that never wrote: empty table, right schema
             return self.spark.createDataFrame(
-                [], "doc_id string, lang string, sha256 string, "
+                [], "doc_id string, path string, lang string, "
+                    "sha256 string, mentions array<string>, "
                     "vector array<float>, bands array<bigint>, repo string"
             )
         return self.spark.read.parquet(self._emb_path())
@@ -193,7 +209,6 @@ class KGPipeline:
         t0 = time.time()
         if emb is None:
             emb = self.spark.read.parquet(self._emb_path())
-        docs = self.documents()
         # the LSH self-join feeds three consumers (duplicate triples,
         # connected components, the final union write) — checkpoint it
         # once so the band join + cosine verify run exactly once, not
@@ -209,9 +224,12 @@ class KGPipeline:
             dup_edges.where(F.col("src") < F.col("dst")), src="src", dst="dst"
         )
         self.metrics["cc"] = {"sec": time.time() - t_cc}
+        # contains + mentions come from the featurized table (path and
+        # pre-extracted mentions stored at embed time) — the triples
+        # stage performs NO source-text scan.
         triples = (
-            contains_triples(docs)
-            .unionByName(mention_triples(docs))
+            contains_triples(emb)
+            .unionByName(mention_triples_from_emb(emb))
             .unionByName(dups)
             .unionByName(same_as_triples(comp))
         )
@@ -231,7 +249,7 @@ class KGPipeline:
             .agg(F.count("*").alias("output_rows"))
         )
         L.record_lineage(
-            docs.select("repo", "sha256"), counts, self.out_dir,
+            emb.select("repo", "sha256"), counts, self.out_dir,
             "triples", self.run_id,
         )
         self.metrics["triples"] = {"sec": time.time() - t0}
