@@ -58,6 +58,7 @@ class KGPipeline:
         rows: int = 4,
         run_id: str | None = None,
         store_bands: bool = True,
+        range_partition_write: bool = False,
     ):
         # defaults: threshold 0.85 is the reference's real-run setting
         # (test-final-report.md:3-6); report-convention 0.85 == cosine
@@ -76,6 +77,7 @@ class KGPipeline:
         self.rows = rows
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.store_bands = store_bands
+        self.range_partition_write = range_partition_write
         self.metrics: dict[str, dict] = {}
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         from deja_view_spark.deploy import ensure_py_files
@@ -118,13 +120,21 @@ class KGPipeline:
         # then reads only those two columns (pruned scan, no UDF), and
         # featurization runs once, after the exchange, inside the write
         # stage. Each write task spans 1-2 repo dirs (~10x fewer files).
-        # count BEFORE the range repartition: after it, count() would
-        # re-execute the range sampler + shuffle a second time; here it
-        # folds to a metadata/count-only scan.
+        # count BEFORE any repartition: after an exchange, count() would
+        # re-execute the sampler + shuffle a second time; here it folds
+        # to a metadata/count-only scan.
         n_in = todo.count()
-        todo = todo.repartitionByRange(
-            self.spark.sparkContext.defaultParallelism, "repo", "doc_id"
-        )
+        if self.range_partition_write:
+            # optional tidy-file layout: each write task spans 1-2 repo
+            # dirs. Costs a full-corpus shuffle (~1.5KB/row) + a
+            # sampling pass; default OFF — the pipelined
+            # scan->featurize->write stage needs no exchange at all,
+            # and downstream scans handle the extra files fine. At
+            # cluster scale, prefer writing to an Iceberg table
+            # bucketed by repo instead of re-sorting here.
+            todo = todo.repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, "repo", "doc_id"
+            )
         embed = make_embed_udf(dim=self.dim)
         # mentions ride the same single text pass (pure column exprs,
         # extracted from FULL content — not the 10k-capped doc_text —

@@ -266,10 +266,49 @@ SELECT src, dst, similarity, rank FROM f WHERE rank <= 3
 """
 
 
+# ------------------------------------------------------- SQL-text surface
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape via the spark.sql TEXT interface (temp views +
+    ANSI SQL string) — exercises the SQL parser path end-to-end; every
+    other registry entry uses the DataFrame API. Left join so
+    zero-order customers count, then histogram of order counts."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM v_customer c LEFT JOIN v_orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+ORACLE_CUSTOMER_HISTOGRAM = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_tumbling_weeks": q_events_tumbling_weeks,
     "duplicate_edges_exact": q_duplicate_edges_exact,
+    "customer_order_histogram": q_customer_order_histogram,
     "revenue_rollup": q_revenue_rollup,
     "docs_length_percentiles": q_docs_length_percentiles,
     "shipping_priority": q_shipping_priority,
@@ -279,6 +318,7 @@ ORACLES = {
     "events_asof_purchase": ORACLE_EVENTS_ASOF,
     "events_tumbling_weeks": ORACLE_EVENTS_TUMBLING,
     "duplicate_edges_exact": ORACLE_DUP_EXACT,
+    "customer_order_histogram": ORACLE_CUSTOMER_HISTOGRAM,
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,
     "docs_length_percentiles": ORACLE_DOCS_PCTL,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,

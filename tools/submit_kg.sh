@@ -25,7 +25,7 @@ MEM=$(( CORES / 2 > 8 ? CORES / 2 : 8 ))g
 exec spark-submit \
   --master "local[$CORES]" \
   --driver-memory "$MEM" \
-  --conf spark.sql.shuffle.partitions="$CORES" \
+  --conf spark.sql.shuffle.partitions="$(( CORES * 4 ))" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.ui.enabled=false \
