@@ -213,15 +213,26 @@ def _pairs_from_band_table(
 
 
 def candidate_pairs_stored(
-    emb: DataFrame, scope_col: str | None, max_bucket: int
+    emb: DataFrame, scope_col: str | None, max_bucket: int,
+    hash_ids: bool = False,
 ) -> DataFrame:
     """Band candidates from a PRE-COMPUTED ``bands`` column (written by
     the single-pass featurizer, functions/features.py) — the scale
     path: no second pass over raw text, no Python in this stage at all.
-    ``emb`` must have columns (doc_id, bands[, scope_col])."""
+    ``emb`` must have columns (doc_id, bands[, scope_col]).
+
+    ``hash_ids``: run the whole pair machinery on xxhash64(doc_id)
+    surrogates — every shuffle row becomes fixed-width 16B instead of
+    carrying doc_id strings, and bucket-array sorts compare longs. The
+    caller resolves surrogates back to real ids in its verify join. A
+    surrogate collision (~n^2/2^64) only perturbs the CANDIDATE set
+    (a lost or extra pair), which the exact cosine verify screens —
+    emitted edges stay exact.
+    """
     scope = F.col(scope_col) if scope_col else F.lit("")
+    doc = F.xxhash64("doc_id") if hash_ids else F.col("doc_id")
     bt = emb.select(
-        F.col("doc_id"),
+        doc.alias("doc_id"),
         scope.alias("_scope"),
         F.explode(F.col("bands")).alias("band"),
     )
@@ -268,10 +279,15 @@ def duplicate_edges(
     filter (cli.py:552), top-3 per source (cli.py:571), similarity
     rounded to 4dp (github_similarity_service.py:417).
     """
+    hashed = method == "stored"
     if method == "lsh":
         pairs = candidate_pairs_lsh(emb, scope_col, bands, rows, seed, max_bucket)
     elif method == "stored":
-        pairs = candidate_pairs_stored(emb, scope_col, max_bucket)
+        # surrogate-id mode: the band machinery shuffles 16B rows of
+        # (bucket, xxhash64(doc_id)) instead of doc_id strings; the
+        # verify joins below key on the same surrogate and resolve the
+        # real ids from the vector side for free.
+        pairs = candidate_pairs_stored(emb, scope_col, max_bucket, hash_ids=True)
     elif method == "minhash":
         if text is None:
             raise ValueError("method='minhash' requires text=(doc_id, doc_text)")
@@ -294,11 +310,19 @@ def duplicate_edges(
     # this filter removes it).
     vcols = ["doc_id", "vector"] + ([scope_col] if scope_col else [])
     vecs = emb.select(*vcols)
-    va = vecs.withColumnRenamed("doc_id", "src").withColumnRenamed("vector", "_va")
-    vb = vecs.withColumnRenamed("doc_id", "dst").withColumnRenamed("vector", "_vb")
-    if scope_col:
-        va = va.withColumnRenamed(scope_col, "_sa")
-        vb = vb.withColumnRenamed(scope_col, "_sb")
+    key = F.xxhash64("doc_id") if hashed else F.col("doc_id")
+    va = vecs.select(
+        key.alias("src"),
+        F.col("doc_id").alias("_aid"),
+        F.col("vector").alias("_va"),
+        *([F.col(scope_col).alias("_sa")] if scope_col else []),
+    )
+    vb = vecs.select(
+        key.alias("dst"),
+        F.col("doc_id").alias("_bid"),
+        F.col("vector").alias("_vb"),
+        *([F.col(scope_col).alias("_sb")] if scope_col else []),
+    )
     # shuffle-hash joins: sort-merge would SORT 512B/row vector rows on
     # both joins (measured 1.7x slower). Build sides chosen so the hash
     # map is never the widest relation in the join: join 1 builds from
@@ -319,7 +343,11 @@ def duplicate_edges(
         )
         .withColumn("similarity", F.round(_similarity(F.col("_cos"), convention), 4))
         .where(F.col("similarity") >= threshold)
-        .select("src", "dst", "similarity")
+        .select(
+            F.col("_aid").alias("src"),
+            F.col("_bid").alias("dst"),
+            "similarity",
+        )
     ).localCheckpoint(eager=True)  # consumed twice by the mirror union
 
     # mirror: the reference scans every issue and reports ITS neighbors,
