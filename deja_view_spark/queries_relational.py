@@ -304,11 +304,39 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# ------------------------------------------------- ST1 incremental probe
+def q_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-driven incremental query (ST1, reference action.py:72-166):
+    'new' documents (every 50th) probed against the embedding index of
+    the rest — broadcast of the small new side, one scan of the big
+    side, J1 semantics (self-exclusion, threshold, top-k). Rows-only
+    driver check (the embedder is not SQL-expressible); exactness vs
+    the batch duplicate join is asserted in tests/test_streaming.py."""
+    from deja_view_spark.functions.embedding import make_embed_udf
+    from deja_view_spark.streaming.incremental import (
+        incremental_duplicate_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").alias("doc_text"),
+    )
+    is_new = F.xxhash64("doc_id") % 50 == 0
+    embed = make_embed_udf(dim=64)
+    existing = docs.where(~is_new).select(
+        "doc_id", embed("doc_text").alias("vector")
+    )
+    return incremental_duplicate_probe(
+        docs.where(is_new), existing, dim=64, threshold=0.6, top_k=3
+    ).orderBy("src", "rank")
+
+
 QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_tumbling_weeks": q_events_tumbling_weeks,
     "duplicate_edges_exact": q_duplicate_edges_exact,
     "customer_order_histogram": q_customer_order_histogram,
+    "incremental_probe": q_incremental_probe,
     "revenue_rollup": q_revenue_rollup,
     "docs_length_percentiles": q_docs_length_percentiles,
     "shipping_priority": q_shipping_priority,

@@ -51,6 +51,18 @@ CHECKS = [
     # the fact-fact join falls back to SMJ via AQE
     ("regional_supplier_volume", [r"BroadcastHashJoin", PARTIAL_AGG], []),
     ("docs_exact_dedup", [r"HashAggregate", PARTIAL_AGG], []),
+    # rollup: dims broadcast, grouping-sets expand feeds a partial agg
+    ("revenue_rollup", [r"BroadcastHashJoin", r"Expand", PARTIAL_AGG], []),
+    # as-of join: union + running-last — exactly one hash exchange on
+    # the key, NO join operator of any kind in the plan
+    (
+        "events_asof_purchase",
+        [r"Window", r"Exchange", r"Union"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"ShuffledHashJoin",
+         r"BroadcastNestedLoopJoin"],
+    ),
+    # Q3 shape: dim broadcast + top-10 via TakeOrdered, no global sort
+    ("shipping_priority", [r"BroadcastHashJoin", r"TakeOrdered", PARTIAL_AGG], []),
 ]
 
 
