@@ -304,6 +304,47 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# ----------------------------------------------------- promo revenue (Q14)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from PROMO parts.
+    The part dim broadcasts into the fact scan; one pass, conditional
+    sum over the join output, month bucketing via date_trunc."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------- ST1 incremental probe
 def q_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-driven incremental query (ST1, reference action.py:72-166):
@@ -337,6 +378,7 @@ QUERIES = {
     "duplicate_edges_exact": q_duplicate_edges_exact,
     "customer_order_histogram": q_customer_order_histogram,
     "incremental_probe": q_incremental_probe,
+    "promo_revenue": q_promo_revenue,
     "revenue_rollup": q_revenue_rollup,
     "docs_length_percentiles": q_docs_length_percentiles,
     "shipping_priority": q_shipping_priority,
@@ -347,6 +389,7 @@ ORACLES = {
     "events_tumbling_weeks": ORACLE_EVENTS_TUMBLING,
     "duplicate_edges_exact": ORACLE_DUP_EXACT,
     "customer_order_histogram": ORACLE_CUSTOMER_HISTOGRAM,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,
     "docs_length_percentiles": ORACLE_DOCS_PCTL,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
