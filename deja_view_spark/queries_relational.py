@@ -345,6 +345,36 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------------- anti-join / EXCEPT
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT orders — left ANTI join with a pushed
+    predicate on the right side (the same plan shape as the pipeline's
+    lineage resume: source partitions EXCEPT completed partitions).
+    DuckDB oracle uses EXCEPT for the set-op twin of the anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        customer.join(urgent, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT c_custkey FROM customer
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
 # ------------------------------------------------- ST1 incremental probe
 def q_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-driven incremental query (ST1, reference action.py:72-166):
@@ -379,6 +409,7 @@ QUERIES = {
     "customer_order_histogram": q_customer_order_histogram,
     "incremental_probe": q_incremental_probe,
     "promo_revenue": q_promo_revenue,
+    "customers_without_orders": q_customers_without_orders,
     "revenue_rollup": q_revenue_rollup,
     "docs_length_percentiles": q_docs_length_percentiles,
     "shipping_priority": q_shipping_priority,
@@ -390,6 +421,7 @@ ORACLES = {
     "duplicate_edges_exact": ORACLE_DUP_EXACT,
     "customer_order_histogram": ORACLE_CUSTOMER_HISTOGRAM,
     "promo_revenue": ORACLE_PROMO_REVENUE,
+    "customers_without_orders": ORACLE_CUSTOMERS_NO_ORDERS,
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,
     "docs_length_percentiles": ORACLE_DOCS_PCTL,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
