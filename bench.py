@@ -18,7 +18,7 @@ stand-in for the north_rule's "N and 4N executors" cluster sizes.
 Env knobs:
     SPARK_GRAFT_SF_DIR   sf dir for the queries (default sf0.1)
     SPARK_GRAFT_CPUS     cores for the query phase (default 32)
-    SPARK_GRAFT_KG_ROWS  KG input rows (default 1000000)
+    SPARK_GRAFT_KG_ROWS  KG input rows (default 2000000)
     SPARK_GRAFT_SCALING  "8,32" cores pair; "" skips the N-cores run
                          (the 4N run always happens — it IS the
                          headline KG number)
