@@ -146,6 +146,45 @@ def sample_video_frames(
     return media.where("kind = 'video'").mapInPandas(sample, schema=out_schema)
 
 
+def resize_images(
+    media: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Resize plumbing for image rows: aspect-preserving target
+    dimensions computed from the decoded header; the pixel resample
+    itself sits behind the same stub boundary (PIL/cv2 in a real
+    deployment — the output here is the new geometry plus a
+    deterministic fingerprint of (content, target dims), which is what
+    the downstream schema/partitioning contract needs).
+    Output: media_id, height, width, new_height, new_width,
+    resized_sha256."""
+    out_schema = (
+        "media_id long, height int, width int, new_height int, "
+        "new_width int, resized_sha256 string"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                meta = _decode_stub(bytes(data))
+                h, w = meta["height"], meta["width"]
+                scale = min(1.0, max_side / max(h, w, 1))
+                nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+                fh = hashlib.sha256(
+                    bytes(data) + f"{nh}x{nw}".encode()
+                ).hexdigest()
+                rows.append((mid, h, w, nh, nw, fh))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "height", "width",
+                    "new_height", "new_width", "resized_sha256",
+                ],
+            )
+
+    return media.where("kind = 'image'").mapInPandas(resize, schema=out_schema)
+
+
 def fake_media_df(spark, n: int = 64, seed: int = 5):
     """Synthesize a deterministic media table for tests/benches."""
     rng = np.random.default_rng(seed)

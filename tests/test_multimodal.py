@@ -75,3 +75,18 @@ def test_partition_parallel_shape(media):
         map(tuple, extract_media_features(media.repartition(7)).collect())
     )
     assert a == b
+
+
+def test_resize_images_geometry(media):
+    from deja_view_spark.functions.multimodal import resize_images
+
+    got = {r["media_id"]: r for r in resize_images(media, max_side=256).collect()}
+    assert len(got) > 0
+    for mid, r in got.items():
+        # aspect-preserving, bounded by max_side, never upscaled
+        assert max(r["new_height"], r["new_width"]) <= 256
+        assert r["new_height"] <= r["height"] and r["new_width"] <= r["width"]
+        ratio_in = r["height"] / r["width"]
+        ratio_out = r["new_height"] / r["new_width"]
+        assert abs(ratio_in - ratio_out) < 0.02
+        assert len(r["resized_sha256"]) == 64
