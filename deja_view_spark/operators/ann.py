@@ -85,20 +85,32 @@ def ivf_index(
     n_centroids: int = 16,
     seed: int = 11,
     max_iter: int = 10,
+    fit_sample_rows: int = 4096,
 ):
     """Train the IVF coarse quantizer (seeded KMeans) and assign every
     vector to its nearest centroid bucket.
 
     Returns (assigned_df with `_bucket` column, centroid ndarray).
-    The centroid set is tiny model metadata (k x dim floats) — the
-    scale pattern is: fit on a seeded SAMPLE, broadcast centroids,
-    assign the full table in one map-side pass (KMeans.transform)."""
+    The centroid set is tiny model metadata (k x dim floats): the fit
+    runs on a seeded SAMPLE of ~``fit_sample_rows`` rows (a multi-pass
+    KMeans over the full table would be a scale bug — centroid quality
+    saturates at a few hundred points per centroid), then the FULL
+    table is assigned in one map-side pass (KMeans.transform with the
+    broadcast centroid set)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     import numpy as np
 
     df = emb.withColumn("_v", array_to_vector(F.col(vec_col)))
+    # metadata-only count sizes the sample fraction; oversample 1.2x so
+    # Bernoulli sampling variance still lands near the target rows
+    n = emb.count()
+    fit_df = df
+    if n > fit_sample_rows:
+        fit_df = df.sample(
+            fraction=min(1.0, 1.2 * fit_sample_rows / n), seed=seed
+        )
     km = KMeans(
         k=n_centroids,
         seed=seed,
@@ -106,7 +118,7 @@ def ivf_index(
         featuresCol="_v",
         predictionCol="_bucket",
     )
-    model = km.fit(df)
+    model = km.fit(fit_df)
     assigned = model.transform(df).drop("_v")
     centroids = np.stack([c for c in model.clusterCenters()])
     return assigned, centroids

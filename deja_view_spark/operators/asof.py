@@ -56,6 +56,19 @@ def asof_join(
     if right_ts not in right_cols:
         right_cols = [right_ts, *right_cols]
 
+    # reserved working names and the prefixed outputs must not collide
+    # with caller columns — fail loudly instead of producing ambiguous
+    # columns or silently wrong output
+    reserved = {"_ts", "_side", "_payload", "_match", "_rn"}
+    clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
+    out_clash = {f"{prefix}{c}" for c in right_cols} & set(left.columns)
+    if clash or out_clash:
+        raise ValueError(
+            f"asof_join reserved/output name collision: "
+            f"{sorted(clash | out_clash)} — rename these input columns "
+            f"or pass a different prefix"
+        )
+
     r = right
     if tie_col is not None:
         wt = Window.partitionBy(*keys, right_ts).orderBy(F.desc(tie_col))

@@ -337,6 +337,13 @@ def duplicate_edges(
     )
     if scope_col:
         scored = scored.where(F.col("_sa") == F.col("_sb"))
+    if hashed:
+        # surrogate-collision guard: two docs sharing xxhash64(doc_id)
+        # would make the bucket path emit an (x,x) surrogate pair that
+        # fans out here to (A,A)/(B,B) self-pairs at similarity 1.0 —
+        # screen on the REAL ids so self-exclusion (J4) stays exact
+        # even under a collision (~n²/2⁶⁴, but free to close).
+        scored = scored.where(F.col("_aid") != F.col("_bid"))
     scored = (
         scored.withColumn(
             "_cos", cosine_sim(F.col("_va"), F.col("_vb"), assume_normalized)

@@ -199,25 +199,56 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 
 
 # ------------------------------------------------- exact n-gram Jaccard dedup
+# Document-frequency cutoff: shingles appearing in more than this many
+# documents are dropped BEFORE pair generation, on BOTH engines. A
+# shingle in k docs makes k(k-1)/2 join rows — at corpus scale one
+# boilerplate shingle is a job-killer; rare shingles are what carry
+# near-duplicate signal. Jaccard is computed over the RETAINED shingle
+# sets (sizes counted after the cutoff), so both engines agree exactly.
+JACCARD_DF_CUTOFF = 100
+
+
 def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-gram Jaccard near-duplicate pairs (threshold 0.2) via a
-    distributed inverted-index join — the exact-counterpart/oracle of
-    the MinHash LSH path. Shuffle keys are shingles; common-shingle
-    counts aggregate map-side; doc sizes join back broadcast."""
+    """3-gram Jaccard near-duplicate pairs (threshold 0.2, df-cutoff
+    inverted index) — the exact-counterpart/oracle twin of the MinHash
+    LSH path.
+
+    Scale shape: shingles are hashed to longs (xxhash64 — fixed-width
+    8B shuffle keys, never shingle strings); ONE shuffle groups the
+    inverted index into per-shingle posting arrays; the df cutoff drops
+    oversized postings; pairs are generated bucket-locally with
+    posexplode+slice (whole-stage codegen, no self-join — same
+    machinery as operators/selfjoin._pairs_from_band_table). A hash
+    collision (~#shingles²/2⁶⁴) could merge two shingles; at oracle
+    scale this is unobservable."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
-        F.col("doc_id"), F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh")
+        F.col("doc_id"),
+        F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh"),
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    # one shuffle on the hashed shingle: posting arrays, df cutoff
+    postings = sh.groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    ).where(F.size("ids") <= JACCARD_DF_CUTOFF)
+    # retained-set sizes per doc (postings already materialized the
+    # shuffle; this re-explodes the arrays — no second scan of text)
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("src_doc"), F.col("b.doc_id").alias("dst_doc")
+    # bucket-local pair generation: (ids[i], ids[j]) for i<j, codegen
+    pairs = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "src_doc"), F.col("ids"))
+        .select(
+            "src_doc",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("dst_doc"),
         )
-        .agg(F.count("*").alias("c"))
     )
+    common = pairs.groupBy("src_doc", "dst_doc").agg(F.count("*").alias("c"))
     jac = (
         common.join(F.broadcast(sizes.withColumnRenamed("doc_id", "src_doc").withColumnRenamed("n", "na")), "src_doc")
         .join(F.broadcast(sizes.withColumnRenamed("doc_id", "dst_doc").withColumnRenamed("n", "nb")), "dst_doc")
@@ -236,10 +267,14 @@ s AS (
          unnest(list_transform(generate_series(1, len(toks) - 2),
                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
   FROM t WHERE len(toks) >= 3),
-sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, sh
+  FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM s)
+  WHERE df <= {JACCARD_DF_CUTOFF}),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS c
-  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT src_doc, dst_doc,
        round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
@@ -439,3 +474,136 @@ ORDER BY labeled, predicted
 
 QUERIES["docs_lang_id"] = q_docs_lang_id
 ORACLES["docs_lang_id"] = ORACLE_DOCS_LANG_ID
+
+
+# ------------------------------------------- SimHash dedup (expression-based)
+# 48-bit simhash computed ENTIRELY as column expressions (no UDF): the
+# per-token hash is conv(substr(md5(tok),1,12),16,10) — byte-identical
+# in DuckDB as CAST(concat('0x', substr(md5(tok),1,12)) AS UBIGINT) —
+# so the WHOLE op (fingerprint, banding, hamming verify) has an exact
+# cross-engine oracle. Banding is 4×12-bit chunks: hamming <= 3 over 48
+# bits pigeonholes at least one chunk equal, so candidate generation is
+# COMPLETE (not probabilistic) and engine output == the exhaustive
+# hamming-<=3 pair set. The 64-bit token-weighted UDF variant
+# (operators/dedup.simhash_dedup_pairs) remains the KG-pipeline path;
+# this is its oracle-checkable registry twin.
+SIMHASH_BITS = 48
+SIMHASH_CHUNK_BITS = 12
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_fp_expr(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): 48-bit simhash over DISTINCT 3-gram shingles,
+    weight 1 (shingles, not unigrams — unigram fingerprints collapse on
+    a shared-vocabulary corpus; measured 4479 vs 25 hamming-pairs at
+    sf0.01). One explode + one groupBy shuffle; 48 conditional sums +
+    the bit fold are all whole-stage codegen."""
+    t = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint")
+    t = t.select("doc_id", h.alias("h"))
+    sums = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = t.groupBy("doc_id").agg(*sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("bigint").alias("fp"))
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 48-bit expression fingerprint,
+    4×12-bit chunk banding (pigeonhole-complete for hamming <= 3),
+    xor+bit_count verify — zero Python, full DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _simhash_fp_expr(docs).localCheckpoint(eager=True)
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), SIMHASH_CHUNK_BITS * i)
+                    .bitwiseAND(F.lit(mask))
+                    + F.lit(i * (1 << SIMHASH_CHUNK_BITS))
+                    for i in range(SIMHASH_BITS // SIMHASH_CHUNK_BITS)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("src_doc"),
+            F.col("b.doc_id").alias("dst_doc"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("src_doc", "dst_doc", "hamming")
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+_SQL_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SQL_FP = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+_SQL_CHUNKS = ", ".join(
+    f"((fp >> {SIMHASH_CHUNK_BITS * i}) & {(1 << SIMHASH_CHUNK_BITS) - 1})"
+    f" + {i * (1 << SIMHASH_CHUNK_BITS)}"
+    for i in range(SIMHASH_BITS // SIMHASH_CHUNK_BITS)
+)
+
+ORACLE_DOCS_SIMHASH = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+t AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS tok
+  FROM tk WHERE len(toks) >= 3),
+h AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+  FROM t),
+b AS (SELECT doc_id, {_SQL_BIT_SUMS} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SQL_FP} AS BIGINT) AS fp FROM b),
+chunks AS (
+  SELECT doc_id, fp, unnest([{_SQL_CHUNKS}]) AS chunk FROM fp),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+         a.fp AS fa, b.fp AS fb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT src_doc, dst_doc, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY src_doc, dst_doc
+"""
+
+QUERIES["docs_simhash_pairs"] = q_docs_simhash_pairs
+ORACLES["docs_simhash_pairs"] = ORACLE_DOCS_SIMHASH

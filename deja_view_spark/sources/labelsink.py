@@ -61,12 +61,21 @@ def write_labels(
 
     One transport instance per partition, rows batched — the
     foreachPartition discipline that keeps connection setup O(num
-    partitions), not O(num rows). Returns rows pushed (driver-side
-    count of the receipt, not an accumulator — deterministic under
-    task retries because the spool is keyed by partition attempt).
+    partitions), not O(num rows). The suggestions plan is pinned with
+    an eager localCheckpoint first, so ONE computation feeds both the
+    push and the returned count (without it the count job would
+    re-execute the full lineage, and a nondeterministic upstream could
+    disagree with what was spooled).
+
+    Retry semantics: a retried task appends a SECOND uuid-tagged batch
+    file to the spool, so spool consumers MUST dedupe by (issue_id,
+    label) across attempt files — the spool is an at-least-once audit
+    trail, not an exactly-once ledger. The returned count is exact (it
+    counts the pinned plan, not the spool).
     """
     send = transport or _spool_transport(spool_dir)
     cols = suggestions.columns
+    suggestions = suggestions.localCheckpoint(eager=True)
 
     def _push(it: Iterable) -> None:
         tag = uuid.uuid4().hex[:12]

@@ -14,9 +14,12 @@ any bespoke streaming operator (sessionizer, dedup-within-horizon,
 rate limiter) takes when window()/agg() can't express it.
 
 Scale notes: the window aggregation is a standard partial-agg +
-state-store plan (state keyed by (window, event_type) — small); the
-stateful operator's state is keyed by user — state-store partitioning
-spreads it across executors, and the watermark/timeout bound its size.
+state-store plan (state keyed by (window, event_type) — small; the
+watermark bounds it). The stateful operator's state is keyed by user —
+state-store partitioning spreads it across executors; by DEFAULT its
+state is unbounded (a lifetime running count needs lifetime state);
+pass ``idle_timeout_ms`` to evict users idle longer than that via
+ProcessingTimeTimeout, bounding state to recently-active keys.
 """
 
 from __future__ import annotations
@@ -110,49 +113,76 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update_running(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState update fn: fold this micro-batch's rows
-    for one user into (count, last_ts, last_type) state; emit the
-    updated running row."""
-    n_prev, last_us, last_type = (
-        state.get if state.exists else (0, None, None)
-    )
-    n_new = 0
-    for pdf in pdfs:
-        n_new += len(pdf)
-        if len(pdf):
-            mx = pdf.loc[pdf["ts"].idxmax()]
-            us = int(mx["ts"].value // 1000)
-            if last_us is None or us >= last_us:
-                last_us, last_type = us, str(mx["event_type"])
-    n = n_prev + n_new
-    state.update((n, last_us, last_type))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
-            "last_event_type": [last_type],
-        }
-    )
+def _make_update_running(idle_timeout_ms: int | None):
+    def _update_running(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """applyInPandasWithState update fn: fold this micro-batch's
+        rows for one user into (count, last_ts, last_type) state; emit
+        the updated running row. On idle timeout: evict the key's state
+        and emit nothing."""
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        n_prev, last_us, last_type = (
+            state.get if state.exists else (0, None, None)
+        )
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if len(pdf):
+                mx = pdf.loc[pdf["ts"].idxmax()]
+                us = int(mx["ts"].value // 1000)
+                if last_us is None or us >= last_us:
+                    last_us, last_type = us, str(mx["event_type"])
+        n = n_prev + n_new
+        state.update((n, last_us, last_type))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        # `is not None`, not truthiness: a legitimate event at exactly
+        # the epoch (last_us == 0) must not collapse to NaT
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [
+                    pd.Timestamp(last_us * 1000)
+                    if last_us is not None
+                    else pd.NaT
+                ],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return _update_running
 
 
-def running_user_counts(events: DataFrame) -> DataFrame:
+def running_user_counts(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator: per-user running event count
     and last-seen event, state carried across micro-batches in explicit
     GroupState (applyInPandasWithState, Arrow-batched — no per-row
     Python). Input: a STREAMING frame of (user_id, ts, event_type, ...).
+
+    State bound: by default state is per-user FOREVER (a lifetime
+    running count requires it — unbounded by design). For corpora with
+    a long tail of one-shot users, pass ``idle_timeout_ms``: users idle
+    longer than that are evicted via ProcessingTimeTimeout (their count
+    restarts at 0 if they return).
     """
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_running,
+        _make_update_running(idle_timeout_ms),
         outputStructType=_RUNNING_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
