@@ -67,12 +67,15 @@ def fake_media_bytes(
     return header + payload
 
 
+_HEADER_LEN = 29
+
+
 def _decode_stub(data: bytes) -> dict:
     """Parse the fake container; REAL formats raise NotImplementedError
     (plumbing is environment-gated, SURVEY training-data ops)."""
     if data[:4] == _MAGIC:
         (_, kind_code, h, w, c, nf, sr, dur_ms) = struct.unpack(
-            "<4sBiiiiii", data[:29]
+            "<4sBiiiiii", data[:_HEADER_LEN]
         )
         return {
             "height": h,
@@ -86,6 +89,39 @@ def _decode_stub(data: bytes) -> dict:
         "real media decoding requires codec libraries not present in "
         "this environment (PIL/ffmpeg/soundfile); plug them in here"
     )
+
+
+def decode_pixels(data: bytes) -> "np.ndarray | None":
+    """Decode the fake container's payload as a (h, w, c) uint8 pixel
+    array when the payload length matches the header geometry; None
+    for geometry-only payloads (header present, no raster). Real
+    formats hit the _decode_stub codec boundary first."""
+    meta = _decode_stub(data)
+    h, w, c = meta["height"], meta["width"], meta["channels"]
+    payload = data[_HEADER_LEN:]
+    if h > 0 and w > 0 and c > 0 and len(payload) == h * w * c:
+        return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+    return None
+
+
+def decode_samples(data: bytes) -> "np.ndarray | None":
+    """Decode the fake container's payload as int16 PCM samples
+    (little-endian, channel-interleaved); None if the payload is not
+    sample-aligned."""
+    payload = data[_HEADER_LEN:] if data[:4] == _MAGIC else None
+    if payload and len(payload) % 2 == 0 and len(payload) > 0:
+        return np.frombuffer(payload, dtype="<i2")
+    return None
+
+
+def resample_nearest(px: "np.ndarray", nh: int, nw: int) -> "np.ndarray":
+    """Deterministic nearest-neighbor resample of an (h, w, c) uint8
+    array — pure numpy index mapping (floor(i * h / nh)), bit-exact
+    everywhere, no codec dependency."""
+    h, w = px.shape[0], px.shape[1]
+    ih = np.floor(np.arange(nh) * h / nh).astype(np.int64)
+    iw = np.floor(np.arange(nw) * w / nw).astype(np.int64)
+    return np.ascontiguousarray(px[ih][:, iw])
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -149,55 +185,122 @@ def sample_video_frames(
 def resize_images(
     media: DataFrame, max_side: int = 256
 ) -> DataFrame:
-    """Resize plumbing for image rows: aspect-preserving target
-    dimensions computed from the decoded header; the pixel resample
-    itself sits behind the same stub boundary (PIL/cv2 in a real
-    deployment — the output here is the new geometry plus a
-    deterministic fingerprint of (content, target dims), which is what
-    the downstream schema/partitioning contract needs).
+    """Resize image rows: aspect-preserving target dimensions from the
+    decoded header, then a REAL nearest-neighbor pixel resample (pure
+    numpy, deterministic) when the container carries a raster payload —
+    output is the resized bytes plus their sha256. Geometry-only
+    containers (no raster) fall back to a deterministic fingerprint of
+    (content, target dims) with NULL resized_bytes; real encoded
+    formats (PNG/JPEG) hit the _decode_stub codec boundary.
     Output: media_id, height, width, new_height, new_width,
-    resized_sha256."""
+    resized_bytes, resized_sha256."""
     out_schema = (
         "media_id long, height int, width int, new_height int, "
-        "new_width int, resized_sha256 string"
+        "new_width int, resized_bytes binary, resized_sha256 string"
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                meta = _decode_stub(bytes(data))
+                data = bytes(data)
+                meta = _decode_stub(data)
                 h, w = meta["height"], meta["width"]
                 scale = min(1.0, max_side / max(h, w, 1))
                 nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
-                fh = hashlib.sha256(
-                    bytes(data) + f"{nh}x{nw}".encode()
-                ).hexdigest()
-                rows.append((mid, h, w, nh, nw, fh))
+                px = decode_pixels(data)
+                if px is not None:
+                    out = resample_nearest(px, nh, nw).tobytes()
+                    fh = hashlib.sha256(out).hexdigest()
+                else:
+                    out = None
+                    fh = hashlib.sha256(data + f"{nh}x{nw}".encode()).hexdigest()
+                rows.append((mid, h, w, nh, nw, out, fh))
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "height", "width",
-                    "new_height", "new_width", "resized_sha256",
+                    "media_id", "height", "width", "new_height",
+                    "new_width", "resized_bytes", "resized_sha256",
                 ],
             )
 
     return media.where("kind = 'image'").mapInPandas(resize, schema=out_schema)
 
 
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over the raw int16 PCM payload: sample
+    count, mean, RMS, peak — real vectorized numpy per Arrow batch (the
+    compute path a loudness/silence filter in a training-data pipeline
+    needs). Rows without sample-aligned payloads emit NULL stats.
+    Output: media_id, n_samples, mean_amp, rms, peak."""
+    out_schema = (
+        "media_id long, n_samples long, mean_amp double, rms double, peak int"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                s = decode_samples(bytes(data))
+                if s is None:
+                    rows.append((mid, None, None, None, None))
+                else:
+                    x = s.astype(np.float64)
+                    rows.append(
+                        (
+                            mid,
+                            int(s.size),
+                            round(float(x.mean()), 4),
+                            round(float(np.sqrt((x * x).mean())), 4),
+                            int(np.abs(s.astype(np.int32)).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "mean_amp", "rms", "peak"]
+            )
+
+    return media.where("kind = 'audio'").mapInPandas(stats, schema=out_schema)
+
+
 def fake_media_df(spark, n: int = 64, seed: int = 5):
-    """Synthesize a deterministic media table for tests/benches."""
+    """Synthesize a deterministic media table for tests/benches.
+
+    Image rows carry a REAL raster payload (h*w*c uint8 pixels) so the
+    resample compute path runs on actual pixel data; audio rows carry
+    real int16 PCM samples; video rows stay geometry-only (the frame
+    decode is the codec boundary)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
         if kind == "image":
-            b = fake_media_bytes("image", height=480 + i, width=640, channels=3, payload=payload)
+            h, w, c = 480 + i, 640, 3
+            px = rng.integers(0, 256, size=h * w * c, dtype=np.uint8)
+            b = fake_media_bytes(
+                "image", height=h, width=w, channels=c, payload=px.tobytes()
+            )
         elif kind == "audio":
-            b = fake_media_bytes("audio", channels=2, sample_rate=16000, duration_ms=1000 + i * 10, payload=payload)
+            samples = rng.integers(
+                -20000, 20000, size=2048 + 64 * i, dtype=np.int16
+            )
+            b = fake_media_bytes(
+                "audio",
+                channels=2,
+                sample_rate=16000,
+                duration_ms=1000 + i * 10,
+                payload=samples.astype("<i2").tobytes(),
+            )
         else:
-            b = fake_media_bytes("video", height=720, width=1280, channels=3, n_frames=30 + i, duration_ms=2000, payload=payload)
+            payload = bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
+            b = fake_media_bytes(
+                "video",
+                height=720,
+                width=1280,
+                channels=3,
+                n_frames=30 + i,
+                duration_ms=2000,
+                payload=payload,
+            )
         rows.append((i, kind, bytearray(b), f"src{i % 4}"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

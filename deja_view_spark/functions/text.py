@@ -99,6 +99,28 @@ def parse_issue_number(doc_id_col: Column) -> Column:
     return F.regexp_extract(doc_id_col, r"(\d+)$", 1).cast("long")
 
 
+ISSUE_URL_RE = r"github\.com/([^/]+)/([^/]+)/(issues|pull)/(\d+)"
+
+
+def parse_issue_url(url: Column) -> list[Column]:
+    """Parse a GitHub issue/PR URL into (owner, repo, kind, number).
+
+    Reference cli.py:84-90 strips the host and splits on '/', rejecting
+    anything whose 3rd segment is not issues|pull; here one anchored
+    regexp_extract per field — rows that do not match yield empty
+    strings / NULL number (the caller filters, mirroring the
+    reference's error exit).
+    """
+    return [
+        F.regexp_extract(url, ISSUE_URL_RE, 1).alias("owner"),
+        F.regexp_extract(url, ISSUE_URL_RE, 2).alias("repo"),
+        F.regexp_extract(url, ISSUE_URL_RE, 3).alias("kind"),
+        F.nullif(F.regexp_extract(url, ISSUE_URL_RE, 4), F.lit("")).cast(
+            "long"
+        ).alias("number"),
+    ]
+
+
 def labels_to_csv(labels: Column) -> Column:
     """ArrayType(String) -> comma-joined string (Chroma metadata compat).
 

@@ -325,6 +325,89 @@ ORDER BY probe_id, rank
 """
 
 
+def q_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S2 point-lookup surface: single-probe top-k via
+    operators.topk.topk_similar — probe vector looked up driver-side
+    (one-row action, the reference embeds its probe driver-side too,
+    github_similarity_service.py:397-401), folded into the plan as a
+    literal, candidates stream through one pruned scan, sorted limit
+    compiles to TakeOrderedAndProject."""
+    from deja_view_spark.operators.topk import topk_similar
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_vec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).select("embedding").head()[0]
+    ]
+    named = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")
+    )
+    return topk_similar(
+        named,
+        probe_vec,
+        probe_doc_id=7,
+        top_k=5,
+        min_similarity=-1.0,
+        convention="service",
+        assume_normalized=False,
+    )
+
+
+ORACLE_TOPK_PROBE = """
+SELECT e.vec_id AS doc_id,
+       round(list_cosine_similarity(e.embedding, p.embedding), 4) AS similarity
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) p
+WHERE e.vec_id <> 7
+ORDER BY similarity DESC, doc_id ASC
+LIMIT 5
+"""
+
+
+def q_issue_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 issue-URL parsing (reference cli.py:84-90): deterministic
+    URLs synthesized from doc_id, parsed back with the regexp triple,
+    aggregated per (owner, kind)."""
+    from deja_view_spark.functions.text import parse_issue_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    kind = F.when(d % 2 == 0, F.lit("issues")).otherwise(F.lit("pull"))
+    url = F.concat(
+        F.lit("https://github.com/org"),
+        (d % 7).cast("string"),
+        F.lit("/repo"),
+        (d % 13).cast("string"),
+        F.lit("/"),
+        kind,
+        F.lit("/"),
+        d.cast("string"),
+    )
+    parsed = docs.select(parse_issue_url(url.alias("url")))
+    return (
+        parsed.groupBy("owner", "kind")
+        .agg(F.count("*").alias("n"), F.max("number").alias("max_number"))
+        .orderBy("owner", "kind")
+    )
+
+
+ORACLE_ISSUE_URL_PARSE = r"""
+WITH u AS (
+  SELECT concat('https://github.com/org', doc_id % 7, '/repo', doc_id % 13,
+                '/', CASE WHEN doc_id % 2 = 0 THEN 'issues' ELSE 'pull' END,
+                '/', doc_id) AS url
+  FROM documents),
+p AS (
+  SELECT regexp_extract(url, 'github\.com/([^/]+)/([^/]+)/(issues|pull)/(\d+)', 1) AS owner,
+         regexp_extract(url, 'github\.com/([^/]+)/([^/]+)/(issues|pull)/(\d+)', 3) AS kind,
+         CAST(regexp_extract(url, 'github\.com/([^/]+)/([^/]+)/(issues|pull)/(\d+)', 4) AS BIGINT) AS number
+  FROM u)
+SELECT owner, kind, count(*) AS n, max(number) AS max_number
+FROM p
+GROUP BY owner, kind
+ORDER BY owner, kind
+"""
+
+
 # ------------------------------------------------------------------ registry
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -336,6 +419,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_prefix_dedup": q_docs_prefix_dedup,
     "docs_token_stats": q_docs_token_stats,
     "knn_bruteforce": q_knn_bruteforce,
+    "topk_probe": q_topk_probe,
+    "issue_url_parse": q_issue_url_parse,
 }
 
 ORACLES: dict[str, str] = {
@@ -348,6 +433,8 @@ ORACLES: dict[str, str] = {
     "docs_prefix_dedup": ORACLE_DOCS_PREFIX_DEDUP,
     "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "topk_probe": ORACLE_TOPK_PROBE,
+    "issue_url_parse": ORACLE_ISSUE_URL_PARSE,
 }
 
 
@@ -444,7 +531,8 @@ ORACLES["docs_minhash_pairs"] = ORACLE_DOCS_MINHASH
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 ORACLES["ann_lsh_topk"] = ORACLE_ANN_LSH
 
-# merge the text/scoring and events/relational registries
+# merge the text/scoring, events/relational and discussions registries
+from deja_view_spark import queries_discussions as _QD  # noqa: E402
 from deja_view_spark import queries_events as _QE  # noqa: E402
 from deja_view_spark import queries_relational as _QR  # noqa: E402
 from deja_view_spark import queries_text as _QT  # noqa: E402
@@ -455,3 +543,5 @@ QUERIES.update(_QE.QUERIES)
 ORACLES.update(_QE.ORACLES)
 QUERIES.update(_QR.QUERIES)
 ORACLES.update(_QR.ORACLES)
+QUERIES.update(_QD.QUERIES)
+ORACLES.update(_QD.ORACLES)

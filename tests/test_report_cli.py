@@ -1,0 +1,131 @@
+"""S9 report sinks + thin CLI smoke tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deja_view_spark.operators.selfjoin import duplicate_report
+from deja_view_spark.sources.report import (
+    duplicate_report_data,
+    render_json,
+    render_markdown,
+    write_duplicate_report,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [
+        ("a", "b", 0.95, 1),
+        ("a", "c", 0.91, 2),
+        ("b", "a", 0.95, 1),
+        ("c", "a", 0.91, 1),
+        ("d", "e", 0.85, 1),
+        ("e", "d", 0.85, 1),
+        ("f", "g", 0.75, 1),
+    ]
+    return spark.createDataFrame(
+        rows, "src string, dst string, similarity double, rank int"
+    )
+
+
+def test_report_data_matches_rollup(spark, edges):
+    """Section counts in the rendered report equal the distributed
+    duplicate_report rollup's band counts."""
+    data = duplicate_report_data(edges)
+    rollup = {r["src"]: r for r in duplicate_report(edges).collect()}
+    assert len(data) == len(rollup)
+    for d in data:
+        assert d["band"] == rollup[d["src"]]["band"]
+        assert d["max_similarity"] == rollup[d["src"]]["max_similarity"]
+    # sorted by max_similarity desc, src asc
+    keys = [(-d["max_similarity"], d["src"]) for d in data]
+    assert keys == sorted(keys)
+
+
+def test_markdown_sections(edges):
+    data = duplicate_report_data(edges)
+    md = render_markdown(data, "acme/repo", 0.7, n_analyzed=7)
+    vh = [d for d in data if d["band"] == "very_high"]
+    hi = [d for d in data if d["band"] == "high"]
+    assert "# Duplicate Issues Report for acme/repo" in md
+    assert f"- **Very High Similarity (>=90%):** {len(vh)} issues" in md
+    assert f"- **High Similarity (80-89%):** {len(hi)} issues" in md
+    assert f"- **Total Potential Duplicates:** {len(data)} issues" in md
+    # very-high srcs get gh quick actions; high srcs appear in the table
+    for d in vh:
+        assert f"gh issue edit {d['src']}" in md
+    for d in hi:
+        assert f"| {d['src']} |" in md
+
+
+def test_json_roundtrip(edges, tmp_path):
+    out = tmp_path / "report.md"
+    data = write_duplicate_report(
+        edges, str(out), repository="acme/repo", threshold=0.7, also_json=True
+    )
+    parsed = json.loads((tmp_path / "report.json").read_text())
+    assert parsed["repository"] == "acme/repo"
+    assert parsed["duplicates_found"] == len(data)
+    assert parsed["issues"][0]["duplicates"][0]["similarity"] >= parsed[
+        "issues"
+    ][0]["duplicates"][-1]["similarity"]
+    assert out.read_text().startswith("# Duplicate Issues Report")
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    """index -> find -> find-duplicates -> suggest-discussions ->
+    metrics, all in-process on the sf0.001 corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(docs)
+    index = str(tmp_path / "index")
+
+    assert cli.main(["index", "--input", docs, "--out", index, "--dim", "32"]) == 0
+    n_indexed = spark.read.parquet(index).count()
+    assert n_indexed == spark.read.parquet(docs).count()
+
+    assert cli.main(["find", "3", "--index", index, "-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "similar to 3" in out
+
+    report = str(tmp_path / "dups.md")
+    assert (
+        cli.main(
+            [
+                "find-duplicates",
+                "--index",
+                index,
+                "--output",
+                report,
+                "--threshold",
+                "0.8",
+                "--json",
+            ]
+        )
+        == 0
+    )
+    assert os.path.exists(report)
+    assert os.path.exists(report.replace(".md", ".json"))
+
+    assert cli.main(["suggest-discussions", "--input", docs, "-n", "5"]) == 0
+    assert "suggestions" in capsys.readouterr().out
+
+    mreport = str(tmp_path / "metrics.md")
+    assert (
+        cli.main(
+            ["metrics", "--input", f"{SF_DIR}/documents.parquet", "--output", mreport]
+        )
+        == 0
+    )
+    text = open(mreport).read()
+    assert "# Discussions Metrics Report" in text
+    assert "Answer Rate" in text

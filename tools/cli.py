@@ -1,0 +1,224 @@
+"""Thin CLI over the engine — the reference's UX verbs (cli.py:
+index / find / find-duplicates / suggest-discussions, plus
+discussions-metrics from discussions_metrics.py:382-410), re-pointed
+at parquet tables and the distributed operators.
+
+    python tools/cli.py index --input DOCS.parquet --out INDEX_DIR
+    python tools/cli.py find URL_OR_ID --index INDEX_DIR [-k 10] [-s 0.0]
+    python tools/cli.py find-duplicates --index INDEX_DIR \
+        --output report.md [--threshold 0.8] [--json]
+    python tools/cli.py suggest-discussions --input DOCS.parquet [-n 20]
+    python tools/cli.py metrics --input DOCS.parquet [--output report.md]
+
+DOCS.parquet is a documents-shaped table (doc_id, text[, ...]) — the
+same shape the driver testdata ships. The index dir is an embeddings
+parquet (doc_id, vector) written by `index`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _spark(cores: int):
+    from deja_view_spark.session import get_spark
+
+    s = get_spark(app_name="deja-view-cli", cores=cores)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_index(args) -> int:
+    from deja_view_spark.functions.embedding import make_embed_udf
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    embed = make_embed_udf(dim=args.dim)
+    emb = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        embed(F.col(args.text_col)).alias("vector"),
+    )
+    emb.write.mode("overwrite").parquet(args.out)
+    print(f"indexed {spark.read.parquet(args.out).count()} documents -> {args.out}")
+    return 0
+
+
+def _resolve_probe(spark, index_dir: str, ref: str):
+    """URL or bare doc_id -> (doc_id, vector). URL parsing is the
+    reference's owner/repo/issues/N triple (cli.py:84-90)."""
+    from deja_view_spark.functions.text import ISSUE_URL_RE
+
+    emb = spark.read.parquet(index_dir)
+    if "github.com" in ref:
+        probe_df = emb.where(
+            F.regexp_extract(F.lit(ref), ISSUE_URL_RE, 4)
+            == F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1)
+        )
+    else:
+        probe_df = emb.where(F.col("doc_id") == ref)
+    row = probe_df.select("doc_id", "vector").head()
+    if row is None:
+        raise SystemExit(f"error: probe {ref!r} not found in index")
+    return row["doc_id"], [float(x) for x in row["vector"]], emb
+
+
+def cmd_find(args) -> int:
+    from deja_view_spark.operators.topk import topk_similar
+
+    spark = _spark(args.cores)
+    doc_id, vec, emb = _resolve_probe(spark, args.index, args.ref)
+    out = topk_similar(
+        emb,
+        vec,
+        probe_doc_id=doc_id,
+        top_k=args.top_k,
+        min_similarity=args.min_similarity,
+        convention="service",
+    ).collect()
+    print(f"similar to {doc_id}:")
+    for r in out:
+        print(f"  {r['doc_id']}\t{r['similarity']:.4f}")
+    return 0
+
+
+def cmd_find_duplicates(args) -> int:
+    from deja_view_spark.operators.selfjoin import duplicate_edges
+    from deja_view_spark.sources.report import write_duplicate_report
+
+    spark = _spark(args.cores)
+    emb = spark.read.parquet(args.index)
+    edges = duplicate_edges(
+        emb, threshold=args.threshold, top_k=3, convention="report", method="lsh"
+    )
+    n_analyzed = emb.count()
+    data = write_duplicate_report(
+        edges,
+        args.output,
+        repository=args.repository,
+        threshold=args.threshold,
+        n_analyzed=n_analyzed,
+        also_json=args.json,
+    )
+    print(f"report written to {args.output} ({len(data)} issues with duplicates)")
+    return 0
+
+
+def cmd_suggest_discussions(args) -> int:
+    from deja_view_spark.functions import scoring as S
+    from deja_view_spark.queries_discussions import discussions_view
+
+    spark = _spark(args.cores)
+    disc = discussions_view(spark.read.parquet(args.input))
+    issues = disc.where(~F.col("is_pull_request") & ~F.col("is_discussion"))
+    score = S.discussion_score(
+        F.col("title"), F.col("body"), state=F.col("state"), labels=F.col("labels")
+    )
+    rounded, conf = S.score_with_confidence(score)
+    rows = (
+        issues.select("doc_id", "title", rounded.alias("score"), conf.alias("confidence"))
+        .where(F.col("score") >= args.min_score)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(args.max_suggestions)
+        .collect()
+    )
+    print(f"{len(rows)} suggestions (min_score={args.min_score}):")
+    for r in rows:
+        print(f"  [{r['confidence']:6s}] {r['score']:.3f}  {r['doc_id']}  {r['title'][:50]}")
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    from deja_view_spark import queries_discussions as QD
+
+    spark = _spark(args.cores)
+    sf_dir = args.input.rsplit("/", 1)[0]
+    ov = QD.q_discussions_overview(spark, sf_dir).head().asDict()
+    cats = QD.q_discussions_category_counts(spark, sf_dir).collect()
+    unans = QD.q_discussions_unanswered_top(spark, sf_dir).collect()
+    top = QD.q_discussions_top_upvoted(spark, sf_dir).collect()
+    lines = [
+        "# Discussions Metrics Report",
+        "",
+        f"- Total Discussions: {ov['total_discussions']}",
+        f"- This Week: {ov['discussions_this_week']}  Last Week: {ov['discussions_last_week']}",
+        f"- Week-over-Week: {ov['week_over_week_change']:+d} ({ov['week_over_week_percentage']:+.1f}%)",
+        f"- Unanswered Q&A/Help: {ov['total_unanswered_qa']}",
+        f"- Answer Rate: {ov['answer_rate']:.1f}%",
+        f"- Average Upvotes: {ov['avg_upvotes']:.1f}",
+        "",
+        "## Categories",
+        *[f"- {r['category']}: {r['n_discussions']}" for r in cats],
+        "",
+        "## Recent Unanswered Q&A/Help",
+        *[f"- #{r['doc_id']} [{r['category']}] {r['title'][:50]}" for r in unans[:10]],
+        "",
+        "## Top Upvoted",
+        *[
+            f"- #{r['doc_id']} ({r['upvote_count']} upvotes, "
+            f"{'answered' if r['has_answer'] else 'unanswered'})"
+            for r in top[:10]
+        ],
+        "",
+    ]
+    report = "\n".join(lines)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(report)
+        print(f"metrics report written to {args.output}")
+    else:
+        print(report)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="deja-view-spark")
+    ap.add_argument("--cores", type=int, default=8)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="embed a documents table into an index")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("find", help="top-k similar to one issue URL / doc_id")
+    p.add_argument("ref")
+    p.add_argument("--index", required=True)
+    p.add_argument("-k", "--top-k", type=int, default=10)
+    p.add_argument("-s", "--min-similarity", type=float, default=0.0)
+    p.set_defaults(fn=cmd_find)
+
+    p = sub.add_parser("find-duplicates", help="all-pairs duplicate report")
+    p.add_argument("--index", required=True)
+    p.add_argument("--output", default="duplicate_report.md")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--repository", default="")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_find_duplicates)
+
+    p = sub.add_parser("suggest-discussions", help="score issues for conversion")
+    p.add_argument("--input", required=True)
+    p.add_argument("--min-score", type=float, default=0.3)
+    p.add_argument("-n", "--max-suggestions", type=int, default=20)
+    p.set_defaults(fn=cmd_suggest_discussions)
+
+    p = sub.add_parser("metrics", help="discussions metrics report")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", default="")
+    p.set_defaults(fn=cmd_metrics)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
