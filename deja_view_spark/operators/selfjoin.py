@@ -147,15 +147,18 @@ def _pairs_from_band_table(
     # candidate pair; the verify join screens scope equality exactly,
     # so emitted edges are unaffected.
     keyed = bt.select(F.xxhash64("_scope", "band").alias("_bkey"), "doc_id")
-    # checkpoint: the bucket table feeds two consumers (normal-bucket
-    # pair generation and the oversized-bucket salt path below, which
-    # materializes eagerly) — without it the dominant n·bands-row
-    # shuffle executes once per consumer.
+    # LAZY checkpoint: the bucket table feeds two consumers
+    # (normal-bucket pair generation and the oversized-bucket salt path
+    # below) — without a checkpoint the dominant n·bands-row shuffle
+    # would execute once per consumer. Lazy instead of eager: the
+    # `salted` eager materialization below is the first job to touch
+    # it, so the band shuffle and the salt-table build fuse into ONE
+    # job instead of two back-to-back barriers.
     buckets = (
         keyed.groupBy("_bkey")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
         .where(F.size("_ids") >= 2)  # singletons (~94%) can't pair
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # normal buckets: pair (ids[i], ids[j]) for i<j; sort_array makes
     # src < dst structural, so no post-filter and dedup is exact.
@@ -299,11 +302,10 @@ def duplicate_edges(
     else:
         raise ValueError(method)
 
-    # checkpoint the candidate pairs: (a) the band machinery runs once,
-    # (b) the pair set gets ACCURATE size stats, so AQE broadcasts it
-    # into both verify joins — the (wide) vector table is then scanned
-    # in place twice and never shuffled.
-    pairs = pairs.localCheckpoint(eager=True)
+    # no materialization barrier here: the candidate machinery is
+    # consumed exactly once by the verify join chain below (the join
+    # strategy is pinned by shuffle_hash hints, not AQE size stats), so
+    # candidates + verify fuse into one job — one fewer full pass.
     # scope columns ride along so the verify join can screen scope
     # equality exactly (the band machinery keys on a fused hash of
     # (scope, band) — a cross-scope hash collision may ADD a candidate;
@@ -350,20 +352,28 @@ def duplicate_edges(
         )
         .withColumn("similarity", F.round(_similarity(F.col("_cos"), convention), 4))
         .where(F.col("similarity") >= threshold)
-        .select(
-            F.col("_aid").alias("src"),
-            F.col("_bid").alias("dst"),
-            "similarity",
-        )
-    ).localCheckpoint(eager=True)  # consumed twice by the mirror union
+    )
 
     # mirror: the reference scans every issue and reports ITS neighbors,
     # so the edge set is directed — both directions of each pair count.
-    directed = scored.unionByName(
-        scored.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity"
-        )
-    )
+    # Emitted by ONE explode projection (not a self-union), so the
+    # verify join runs exactly once with no materialization barrier.
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_aid").alias("src"),
+                    F.col("_bid").alias("dst"),
+                    F.col("similarity"),
+                ),
+                F.struct(
+                    F.col("_bid").alias("src"),
+                    F.col("_aid").alias("dst"),
+                    F.col("similarity"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.similarity")
 
     w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.asc("dst"))
     return (

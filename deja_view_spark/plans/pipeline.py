@@ -10,10 +10,29 @@
       kg_lineage        : per-(stage, repo) lineage rows; resume =
                           anti-join (plans/lineage.py)
 
-All writes use dynamic partition overwrite — re-running any stage (or
-resuming a half-finished run) converges to the same table state
-(idempotence: reference upsert-by-id semantics,
+All writes use (per-writer) dynamic partition overwrite — re-running
+any stage (or resuming a half-finished run) converges to the same
+table state (idempotence: reference upsert-by-id semantics,
 github_similarity_service.py:365-369, SURVEY §1.4).
+
+Critical-path layout (the scaling-efficiency work): the featurized
+table is eagerly localCheckpoint'ed ONCE (the single corpus text/UDF
+pass), and everything that does not gate downstream compute runs OFF
+the critical path in background threads over that cache:
+
+    featurize (cache) ──┬─ [bg] write kg_embeddings + lineage
+                        └─ duplicate self-join (cache)
+                               ├─ [bg] connected components ─ same_as write
+                               └─ contains∪mentions∪dups write
+                           lineage (one narrow agg over written triples)
+
+On a cluster the same overlap falls out of writing stages to an
+Iceberg table from independent jobs; in one JVM, concurrent actions
+share the scheduler. The serial terms this removes from the timed
+path: the embeddings write+read-back roundtrip (~2x corpus bytes of
+disk traffic), the separate lineage aggregation jobs, the CC loop
+(hidden behind the triples write), and the final full-output count
+(folded into the lineage agg).
 """
 
 from __future__ import annotations
@@ -21,6 +40,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from concurrent.futures import Future, ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,7 +99,8 @@ class KGPipeline:
         self.store_bands = store_bands
         self.range_partition_write = range_partition_write
         self.metrics: dict[str, dict] = {}
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self._pool = ThreadPoolExecutor(max_workers=2)
+        self._bg: list[Future] = []
         from deja_view_spark.deploy import ensure_py_files
 
         ensure_py_files(spark)  # UDF workers need the package (--py-files)
@@ -100,9 +121,18 @@ class KGPipeline:
     def _triples_path(self) -> str:
         return os.path.join(self.out_dir, "kg_triples")
 
+    def _join_bg(self) -> None:
+        """Wait for background writes; re-raise their failures."""
+        futs, self._bg = self._bg, []
+        for f in futs:
+            f.result()
+
     def build_embeddings(self, resume: bool = False) -> DataFrame:
-        """Stage 'embeddings': write kg_embeddings parquet partitioned
-        by repo; resume skips repos already recorded in lineage."""
+        """Stage 'embeddings': featurize ONCE into an eager cache; the
+        kg_embeddings parquet write (partitioned by repo) and the
+        lineage aggregation run in a background thread over that cache
+        while downstream stages compute. Resume skips repos already
+        recorded in lineage."""
         t0 = time.time()
         docs = self.documents()
         todo = docs
@@ -116,21 +146,15 @@ class KGPipeline:
         # re-reads no text and runs no Python (method='stored'). Two
         # scalar UDFs in the same stage measured faster than a fused
         # struct-returning UDF (44s vs 56s / 1M rows / local[32]).
-        # range-partition the INPUT on (repo, doc_id): the range sampler
-        # then reads only those two columns (pruned scan, no UDF), and
-        # featurization runs once, after the exchange, inside the write
-        # stage. Each write task spans 1-2 repo dirs (~10x fewer files).
-        # count BEFORE any repartition: after an exchange, count() would
-        # re-execute the sampler + shuffle a second time; here it folds
-        # to a metadata/count-only scan.
+        # count BEFORE any repartition: here it folds to a
+        # metadata/count-only scan.
         n_in = todo.count()
         if self.range_partition_write:
             # optional tidy-file layout: each write task spans 1-2 repo
             # dirs. Costs a full-corpus shuffle (~1.5KB/row) + a
             # sampling pass; default OFF — the pipelined
-            # scan->featurize->write stage needs no exchange at all,
-            # and downstream scans handle the extra files fine. At
-            # cluster scale, prefer writing to an Iceberg table
+            # scan->featurize->cache stage needs no exchange at all.
+            # At cluster scale, prefer writing to an Iceberg table
             # bucketed by repo instead of re-sorting here.
             todo = todo.repartitionByRange(
                 self.spark.sparkContext.defaultParallelism, "repo", "doc_id"
@@ -164,34 +188,51 @@ class KGPipeline:
                 bands=self.bands, rows=self.rows, seed=1337
             )
             cols.append(mh(F.col("doc_text")).alias("bands"))
-        emb = todo.select(*cols)
-        if n_in > 0:
-            # Dynamic partition overwrite only when RESUMING (subset
-            # write must keep other repos' files); full builds use
-            # static overwrite — no staging-dir rename dance.
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode",
-                "dynamic" if resume else "static",
-            )
-            emb.write.mode("overwrite").partitionBy("repo").parquet(self._emb_path())
-            # embeddings are 1:1 with inputs and carry sha256 — one agg
-            # over what was just written (scoped to this run's repos)
-            # records lineage; no source re-scan, no join
-            written = self.spark.read.parquet(self._emb_path()).join(
-                todo.select("repo").distinct(), "repo", "left_semi"
-            )
-            L.record_lineage_from_table(
-                written, self.out_dir, "embeddings", self.run_id
-            )
-        self.metrics["embeddings"] = {"input_rows": n_in, "sec": time.time() - t0}
-        if not os.path.exists(self._emb_path()):
-            # zero-input run that never wrote: empty table, right schema
+        if n_in == 0:
+            self.metrics["embeddings"] = {"input_rows": 0, "sec": time.time() - t0}
+            if os.path.exists(self._emb_path()):
+                return self.spark.read.parquet(self._emb_path())
             return self.spark.createDataFrame(
                 [], "doc_id string, path string, lang string, "
                     "sha256 string, mentions array<string>, "
                     "vector array<float>, bands array<bigint>, repo string"
             )
-        return self.spark.read.parquet(self._emb_path())
+        # the ONE featurize pass, materialized (MEMORY_AND_DISK — the
+        # single-JVM analogue of a staged Iceberg table)
+        emb = todo.select(*cols).localCheckpoint(eager=True)
+        self.metrics["embeddings"] = {
+            "input_rows": n_in,
+            "sec": time.time() - t0,
+        }
+
+        def _write_and_lineage() -> None:
+            tw = time.time()
+            # Dynamic partition overwrite (per-writer option) only when
+            # RESUMING — a subset write must keep other repos' files;
+            # full builds use static overwrite (no staging-dir dance).
+            (
+                emb.write.mode("overwrite")
+                .option(
+                    "partitionOverwriteMode", "dynamic" if resume else "static"
+                )
+                .partitionBy("repo")
+                .parquet(self._emb_path())
+            )
+            # embeddings are 1:1 with inputs and carry sha256 — one agg
+            # over the CACHE records lineage; no source re-scan, no
+            # read-back, no join
+            L.record_lineage_from_table(
+                emb, self.out_dir, "embeddings", self.run_id
+            )
+            self.metrics["embeddings"]["write_sec"] = round(time.time() - tw, 2)
+
+        self._bg.append(self._pool.submit(_write_and_lineage))
+        if resume:
+            # downstream needs the FULL table (old + new rows): wait for
+            # the subset write, then read back the merged table
+            self._join_bg()
+            return self.spark.read.parquet(self._emb_path())
+        return emb
 
     def build_duplicate_edges(self, emb: DataFrame) -> DataFrame:
         # 'minhash' rides the bands column the featurizer already wrote
@@ -214,8 +255,11 @@ class KGPipeline:
         )
 
     def build_triples(self, emb: DataFrame | None = None) -> DataFrame:
-        """Stage 'triples': contains ∪ mentions ∪ duplicates ∪ same_as,
-        written partitioned by pred."""
+        """Stage 'triples': contains ∪ mentions ∪ duplicates written
+        while connected components runs CONCURRENTLY (independent DAG
+        branches over the checkpointed edge set); same_as lands in its
+        own pred partition right after. Lineage counts + the total come
+        from ONE narrow aggregation over the written table."""
         t0 = time.time()
         if emb is None:
             emb = self.spark.read.parquet(self._emb_path())
@@ -227,44 +271,74 @@ class KGPipeline:
         t_dup = time.time()
         dup_edges = self.build_duplicate_edges(emb).localCheckpoint(eager=True)
         self.metrics["dup_edges"] = {"sec": time.time() - t_dup}
-        dups = duplicate_triples(dup_edges)
-        # canonicalization over the (undirected half of the) dup graph
+
+        # canonicalization overlaps the main triples write below: CC is
+        # an iterative chain of small jobs over the (tiny, checkpointed)
+        # edge set — scheduler gaps between its rounds interleave with
+        # the write's tasks instead of serializing after them.
         t_cc = time.time()
-        comp = connected_components(
-            dup_edges.where(F.col("src") < F.col("dst")), src="src", dst="dst"
+        cc_fut = self._pool.submit(
+            connected_components,
+            dup_edges.where(F.col("src") < F.col("dst")),
+            None,
+            "src",
+            "dst",
         )
-        self.metrics["cc"] = {"sec": time.time() - t_cc}
-        # contains + mentions come from the featurized table (path and
+
+        # contains + mentions come from the featurized cache (path and
         # pre-extracted mentions stored at embed time) — the triples
         # stage performs NO source-text scan.
-        triples = (
+        main = (
             contains_triples(emb)
             .unionByName(mention_triples_from_emb(emb))
-            .unionByName(dups)
-            .unionByName(same_as_triples(comp))
+            .unionByName(duplicate_triples(dup_edges))
         )
-        triples.repartitionByRange(
-            self.spark.sparkContext.defaultParallelism, "pred", "subj"
-        ).write.mode("overwrite").partitionBy("pred").parquet(
-            self._triples_path()
+        (
+            main.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pred")
+            .parquet(self._triples_path())
         )
+        comp = cc_fut.result()
+        self.metrics["cc"] = {"sec": time.time() - t_cc}
+        (
+            same_as_triples(comp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pred")
+            .parquet(self._triples_path())
+        )
+
         out = self.spark.read.parquet(self._triples_path())
         # lineage is keyed by repo: every subj is repo-prefixed
-        # ("owner/name" or "owner/name/path"), so recover the part key
-        counts = (
-            out.withColumn(
-                "part_key", F.regexp_extract(F.col("subj"), r"^([^/]+/[^/]+)", 1)
+        # ("owner/name" or "owner/name/path"), so recover the part key.
+        # ONE pruned scan (subj only) yields both the per-part counts
+        # and, summed driver-side, the total triple count — no separate
+        # full-output count job.
+        counts_rows = (
+            out.groupBy(
+                F.regexp_extract(F.col("subj"), r"^([^/]+/[^/]+)", 1).alias(
+                    "part_key"
+                )
             )
-            .groupBy("part_key")
             .agg(F.count("*").alias("output_rows"))
+            .collect()
+        )
+        counts = self.spark.createDataFrame(
+            counts_rows, "part_key string, output_rows long"
         )
         L.record_lineage(
             emb.select("repo", "sha256"), counts, self.out_dir,
             "triples", self.run_id,
         )
-        self.metrics["triples"] = {"sec": time.time() - t0}
+        self.metrics["triples"] = {
+            "sec": time.time() - t0,
+            "n_triples": int(sum(r["output_rows"] for r in counts_rows)),
+        }
         return out
 
     def run(self, resume: bool = False) -> DataFrame:
         emb = self.build_embeddings(resume=resume)
-        return self.build_triples(emb)
+        out = self.build_triples(emb)
+        self._join_bg()  # surface background write/lineage failures
+        return out

@@ -69,8 +69,11 @@ def main() -> None:
 
         t0 = time.time()
         pipe = KGPipeline(spark, src, f"{out_dir}/kg", dim=args.dim)
-        triples = pipe.run()
-        n_triples = triples.count()
+        pipe.run()
+        # total comes from the lineage aggregation the pipeline already
+        # ran over the written table — a second full-output count job
+        # would only re-scan what lineage just counted
+        n_triples = pipe.metrics["triples"]["n_triples"]
         sec = time.time() - t0
         print(
             json.dumps(
