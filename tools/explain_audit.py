@@ -63,6 +63,33 @@ CHECKS = [
     ),
     # Q3 shape: dim broadcast + top-10 via TakeOrdered, no global sort
     ("shipping_priority", [r"BroadcastHashJoin", r"TakeOrdered", PARTIAL_AGG], []),
+    # df-cutoff jaccard: shuffle keys are xxhash64 longs (never shingle
+    # strings), pairs come from bucket-local generate (posexplode+slice)
+    ("docs_jaccard_pairs", [r"xxhash64", r"Generate", PARTIAL_AGG], []),
+    # expression simhash: banding + hamming verify all JVM-side — no
+    # Python evaluator anywhere. (The fingerprint aggregation itself
+    # sits behind an eager checkpoint, so the explained plan starts at
+    # the cached fp table — no partial-agg pattern to assert here.)
+    (
+        "docs_simhash_pairs",
+        [r"bit_count", r"Generate"],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # single-probe top-k: literal probe folded in, sorted limit compiles
+    # to TakeOrdered (no global sort), no join at all
+    (
+        "topk_probe",
+        [r"TakeOrdered"],
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    ),
+    # composed scoring pipeline: pure column expressions + TakeOrdered
+    (
+        "suggest_discussions",
+        [r"TakeOrdered"],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # discussions rollup: one partial-agg pass over the derived view
+    ("discussions_overview", [PARTIAL_AGG], []),
 ]
 
 
