@@ -288,3 +288,52 @@ ORDER BY tier
 
 QUERIES["release_tiers"] = q_release_tiers
 ORACLES["release_tiers"] = ORACLE_RELEASE_TIERS
+
+
+# ---------------------------------------------------- F11 timestamp parsing
+def q_events_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 ISO-8601/Z timestamp round-trip (reference
+    discussions_metrics.py:97 `fromisoformat(createdAt.replace('Z',
+    '+00:00'))`): format each event ts as the ISO/Z wire string, parse
+    it back with an explicit pattern, and verify second-granularity
+    equality per event_type. The testdata ships typed timestamps, so
+    the wire string is synthesized — the operator under test is the
+    parse."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    parsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return (
+        ev.select(
+            "event_type",
+            parsed.alias("parsed"),
+            (parsed == F.date_trunc("second", F.col("ts"))).alias("ok"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("ok").cast("long")).alias("n_roundtrip_exact"),
+            F.max("parsed").alias("max_parsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_TS_PARSE = """
+WITH w AS (
+  SELECT event_type,
+         strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                  '%Y-%m-%dT%H:%M:%SZ') AS parsed,
+         (strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                   '%Y-%m-%dT%H:%M:%SZ') = date_trunc('second', ts)) AS ok
+  FROM events)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact,
+       max(parsed) AS max_parsed
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_ts_parse"] = q_events_ts_parse
+ORACLES["events_ts_parse"] = ORACLE_EVENTS_TS_PARSE

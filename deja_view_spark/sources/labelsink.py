@@ -90,3 +90,59 @@ def write_labels(
 
     suggestions.foreachPartition(_push)
     return suggestions.count()
+
+
+DEFAULT_LABEL_CONFIG = {
+    # reference github_similarity_service.py:681-697 creates labels
+    # with colors before assigning; the engine's default mirrors the
+    # similarity-triage labels the reference posts
+    "potential-duplicate": "d93f0b",
+    "needs-triage": "fbca04",
+}
+
+
+def write_labels_with_create(
+    suggestions: DataFrame,
+    spool_dir: str,
+    labels_config: dict[str, str] | None = None,
+    transport: Callable[[str, list[dict]], int] | None = None,
+    label_col: str = "label",
+    batch_size: int = 100,
+) -> dict:
+    """Create-then-assign protocol (reference ensure_labels_exist →
+    add_issue_labels, github_similarity_service.py:641-697): ensure
+    every label that is about to be assigned exists BEFORE any
+    assignment is pushed.
+
+    The label universe is the (tiny) distinct set of ``label_col``
+    values — collected driver-side and sent as one ``ensure_label``
+    batch through the same transport, exactly once per run, before the
+    distributed assignment push. Labels present in ``labels_config``
+    carry their configured color; others get the default color. Returns
+    {"labels_created": n, "assignments": n}.
+    """
+    cfg = labels_config if labels_config is not None else DEFAULT_LABEL_CONFIG
+    send = transport or _spool_transport(spool_dir)
+    # phase 1 (driver, once): the distinct label set is bounded by the
+    # label vocabulary, not the data — a collect here is the protocol,
+    # not a scale bug
+    labels = [
+        r[0]
+        for r in suggestions.select(label_col).distinct().collect()
+        if r[0] is not None
+    ]
+    create_batch = [
+        {
+            "op": "ensure_label",
+            "label": lab,
+            "color": cfg.get(lab, "ededed"),
+        }
+        for lab in sorted(labels)
+    ]
+    if create_batch:
+        send("label_create", create_batch)
+    # phase 2 (distributed): the assignment push
+    n = write_labels(
+        suggestions, spool_dir, transport=transport, batch_size=batch_size
+    )
+    return {"labels_created": len(create_batch), "assignments": n}
