@@ -607,3 +607,63 @@ ORDER BY src_doc, dst_doc
 
 QUERIES["docs_simhash_pairs"] = q_docs_simhash_pairs
 ORACLES["docs_simhash_pairs"] = ORACLE_DOCS_SIMHASH
+
+
+# -------------------------------------------- BPE-ish token counting
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# word/number/punct runs, whitespace runs. No lookarounds — the pattern
+# evaluates identically under Java regex (Spark) and RE2 (DuckDB),
+# which the value-hash oracle asserts. This is the "how many tokens
+# will the LLM see" estimator a pre-training pipeline budgets with
+# (true BPE merges happen in the trainer; the pre-tokenizer defines
+# the count's order of magnitude).
+BPE_RE = r"'[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def q_docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select(
+        "lang",
+        F.size(bpe).alias("n_bpe"),
+        F.size(ws).alias("n_ws"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg(F.col("n_chars") / F.col("n_bpe")), 4).alias(
+                "chars_per_bpe_token"
+            ),
+            F.round(F.avg(F.col("n_bpe") / F.col("n_ws")), 4).alias(
+                "bpe_per_ws_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOCS_BPE_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}')) AS n_bpe,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+         length(text) AS n_chars
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       round(avg(n_bpe), 4) AS avg_bpe_tokens,
+       round(avg(n_chars * 1.0 / n_bpe), 4) AS chars_per_bpe_token,
+       round(avg(n_bpe * 1.0 / n_ws), 4) AS bpe_per_ws_token
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["docs_bpe_token_stats"] = q_docs_bpe_token_stats
+ORACLES["docs_bpe_token_stats"] = ORACLE_DOCS_BPE_TOKEN_STATS

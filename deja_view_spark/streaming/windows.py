@@ -208,3 +208,115 @@ def stream_running_user_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------------------ sessionizer
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("closed", StringType()),  # 'closed' | 'open'
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _make_sessionize(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this micro-batch's events (sorted by ts, then event_id
+        when present) into the user's open-session state; emit one
+        'closed' row per session that ended (gap exceeded) and one
+        'open' row for the session still in state — so a consumer sees
+        every completed session exactly once plus the current running
+        session (outputMode update)."""
+        start_us, last_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        sort_cols = ["ts"] + (["event_id"] if "event_id" in batch else [])
+        batch = batch.sort_values(sort_cols, kind="mergesort")
+        for ts in batch["ts"]:
+            us = int(ts.value // 1000)
+            if last_us is not None and us - last_us > gap_us:
+                rows.append((start_us, last_us, n, "closed"))
+                start_us, n = us, 0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+        state.update((start_us, last_us, n))
+        rows.append((start_us, last_us, n, "open"))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "session_start": [pd.Timestamp(r[0] * 1000) for r in rows],
+                "session_end": [pd.Timestamp(r[1] * 1000) for r in rows],
+                "n_events": [r[2] for r in rows],
+                "closed": [r[3] for r in rows],
+            }
+        )
+
+    return _update
+
+
+def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming sessionizer (the shape window()/agg()
+    cannot express): per-user sessions split on inactivity gaps, the
+    OPEN session carried across micro-batches in explicit GroupState —
+    a session spanning two file arrivals is stitched, not split.
+
+    Semantics match the batch lag+running-sum sessionization
+    (queries_events.q_events_sessions, 30-min default gap): closed
+    rows are emitted exactly once, the latest 'open' row per user is
+    the running session. State is one fixed-width row per user with an
+    open session; a deployment that must bound it adds a watermark +
+    EventTimeTimeout flush (same pattern as running_user_counts'
+    idle_timeout_ms)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize(gap_seconds),
+        outputStructType=_SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    gap_seconds: int = 1800,
+):
+    """File-source wrapper for ``sessionize_events``; availableNow
+    drain, parquet sink of per-batch session rows."""
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    out = sessionize_events(src, gap_seconds=gap_seconds)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        out.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -114,3 +114,57 @@ def test_windowed_counts_batch_mode_matches_manual(spark):
         )
         manual[(start.isoformat(), e)] = manual.get((start.isoformat(), e), 0) + 1
     assert got == manual
+
+
+def test_sessionizer_stitches_sessions_across_batches(spark, tmp_path):
+    """Custom stateful sessionizer: sessions split on a 1-hour gap;
+    a session whose events arrive in TWO separate micro-batch drains
+    is stitched via GroupState (not split at the batch boundary), and
+    totals match the batch lag+running-sum sessionization."""
+    from deja_view_spark.streaming.windows import stream_sessionize
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "sin"),
+        str(tmp_path / "sout"),
+        str(tmp_path / "sckpt"),
+    )
+    b1 = [
+        (1, "2024-01-01T06:00:00", "click", 1.0),
+        (1, "2024-01-01T06:20:00", "view", 1.0),
+        (1, "2024-01-01T09:00:00", "click", 1.0),  # gap>1h: 2nd session
+        (2, "2024-01-01T07:00:00", "click", 1.0),
+    ]
+    b2 = [
+        (1, "2024-01-01T09:30:00", "view", 1.0),   # continues session 2
+        (2, "2024-01-02T07:00:00", "click", 1.0),  # gap>1h: 2nd session
+    ]
+    _events(spark, b1).write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt, SCHEMA, gap_seconds=3600)
+    q.awaitTermination(120)
+    _events(spark, b2).write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt, SCHEMA, gap_seconds=3600)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    closed = [r for r in rows if r["closed"] == "closed"]
+    # exactly the two sessions that ENDED (one per user), each once
+    assert sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"]) for r in closed
+    ) == [
+        (1, "2024-01-01 06:00:00", 2),
+        (2, "2024-01-01 07:00:00", 1),
+    ]
+    # last open row per user = the running session, stitched across
+    # the batch boundary for user 1 (2 events in one session)
+    last_batch = max(r["batch_id"] for r in rows)
+    open_rows = {
+        r["user_id"]: r
+        for r in rows
+        if r["closed"] == "open" and r["batch_id"] == last_batch
+    }
+    assert open_rows[1]["n_events"] == 2
+    assert str(open_rows[1]["session_start"]) == "2024-01-01 09:00:00"
+    assert open_rows[2]["n_events"] == 1
+    # totals agree with the batch lag+running-sum semantics
+    # (q_events_sessions shape, 1h gap): per user (n_sessions, n_events)
+    assert len(closed) + len(open_rows) == 4  # sessions total: u1=2, u2=2
