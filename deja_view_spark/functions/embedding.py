@@ -53,26 +53,49 @@ def _hash_token(token: str, dim: int, seed: int) -> tuple[int, float]:
 
 
 def embed_series(texts: pd.Series, dim: int = DEFAULT_DIM, seed: int = 42) -> pd.Series:
-    """Embed a pandas Series of strings -> Series of np.float32 arrays."""
+    """Embed a pandas Series of strings -> Series of np.float32 arrays.
+
+    Per batch: tokenize each row (C regex), factorize ALL tokens into
+    (codes, uniques) in one C-level hash pass, hash only the uniques
+    not already memoized, then accumulate every token's ±1 into a flat
+    (row, bucket) histogram with ONE np.bincount — no per-token Python
+    loop. Bit-identical to sequential accumulation: the per-cell sums
+    are signed-integer-valued float64s (exactly representable), so
+    summation order cannot change the result.
+    """
     global _token_cache_dim
     if _token_cache_dim != (dim, seed):
         _token_cache.clear()
         _token_cache_dim = (dim, seed)
 
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    vals = texts.fillna("").astype(str).str.lower()
-    for i, text in enumerate(vals.to_numpy()):
-        toks = _TOKEN_RE.findall(text)
-        if not toks:
-            continue
-        row = out[i]
+    n = len(texts)
+    vals = texts.fillna("").astype(str).str.lower().to_numpy()
+    tok_lists = [_TOKEN_RE.findall(t) for t in vals]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        out = np.zeros((n, dim), dtype=np.float64)
+    else:
+        flat: list[str] = []
+        for t in tok_lists:
+            flat.extend(t)
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
         cache = _token_cache
-        for t in toks:
-            bs = cache.get(t)
+        buckets = np.empty(len(uniques), dtype=np.int64)
+        signs = np.empty(len(uniques), dtype=np.float64)
+        for j, tok in enumerate(uniques):
+            bs = cache.get(tok)
             if bs is None:
-                bs = _hash_token(t, dim, seed)
-                cache[t] = bs
-            row[bs[0]] += bs[1]
+                bs = _hash_token(tok, dim, seed)
+                cache[tok] = bs
+            buckets[j] = bs[0]
+            signs[j] = bs[1]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        out = np.bincount(
+            row_idx * dim + buckets[codes],
+            weights=signs[codes],
+            minlength=n * dim,
+        ).reshape(n, dim)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     out32 = out.astype(np.float32)
