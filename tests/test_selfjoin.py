@@ -106,3 +106,43 @@ def test_lsh_recall_on_random_corpus(spark):
     precision = len(lsh & exact) / max(1, len(lsh))
     assert recall >= 0.95, f"recall {recall:.3f}"
     assert precision >= 0.95, f"precision {precision:.3f}"
+
+
+def test_salt_path_preserves_exact_pair_set(spark):
+    """North-rule 'explicit salting of hot repos': forcing EVERY bucket
+    through the oversized-bucket salted self-join (max_bucket=2) must
+    emit exactly the pair set of the bucket-array fast path
+    (max_bucket=10^9) — the salt decomposition is pair-set-preserving,
+    not approximate."""
+    from deja_view_spark.operators.selfjoin import _pairs_from_band_table
+
+    # 3 buckets: sizes 7 (hot), 3, 1 — plus a doc in two buckets
+    rows = []
+    for i in range(7):
+        rows.append((f"d{i:02d}", "", 100))
+    for i in range(7, 10):
+        rows.append((f"d{i:02d}", "", 200))
+    rows.append(("d00", "", 200))  # cross-bucket membership
+    rows.append(("d99", "", 300))  # singleton
+    bt = spark.createDataFrame(rows, "doc_id string, _scope string, band long")
+
+    fast = {
+        (r["src"], r["dst"])
+        for r in _pairs_from_band_table(bt, max_bucket=10**9).collect()
+    }
+    salted = {
+        (r["src"], r["dst"])
+        for r in _pairs_from_band_table(bt, max_bucket=2).collect()
+    }
+    # expected: all pairs within each bucket, deduped, src < dst
+    import itertools
+
+    expect = set()
+    members = {100: [f"d{i:02d}" for i in range(7)],
+               200: [f"d{i:02d}" for i in range(7, 10)] + ["d00"],
+               300: ["d99"]}
+    for ids in members.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            expect.add((a, b))
+    assert fast == expect
+    assert salted == expect

@@ -98,3 +98,14 @@ def test_labels_csv_roundtrip(spark):
     back = csv.select(csv_to_labels(F.col("c")).alias("l")).collect()
     assert back[0][0] == ["a", "b"]
     assert back[1][0] == []
+
+
+def test_display_truncate(spark):
+    """F14: title[:n] + '...' display trimming (reference cli.py:133)."""
+    from deja_view_spark.functions.text import display_truncate
+
+    df = spark.createDataFrame(
+        [("x" * 80,), ("short",), ("y" * 60,)], "t string"
+    )
+    got = [r[0] for r in df.select(display_truncate(F.col("t"), 60)).collect()]
+    assert got == ["x" * 60 + "...", "short", "y" * 60]
