@@ -20,10 +20,16 @@ processes and parallelism levels:
 
 Implementation notes (performance):
 - scalar pandas_udf: Arrow-batched, zero per-row Python in the plan;
-- inside a batch, tokens of *all* rows are exploded once, unique tokens
-  hashed once via numpy (md5 over a vectorized bytes array), then
-  scattered back with np.add.at — no per-document Python loop bodies
-  beyond the final normalize.
+- inside a batch: per-token accumulation through a process-local
+  (token -> (bucket, sign)) memo. This loop was MEASURED against a
+  "fully vectorized" alternative (pd.factorize over all batch tokens +
+  one np.bincount scatter): the vectorized form wins ~2x in a single
+  warm process, but LOSES 1.5-3x inside the real pipeline at local[32]
+  — 32 concurrent Python workers each streaming multi-MB factorize
+  tables and bincount temporaries saturate memory bandwidth, while the
+  memoized loop stays cache-resident (interleaved A/B, kg_run 1M rows:
+  embed stage 25-30s loop vs 40-82s vectorized). Hot loops that fit in
+  L2 beat wide vectorization when every core runs one.
 """
 
 from __future__ import annotations
@@ -53,49 +59,26 @@ def _hash_token(token: str, dim: int, seed: int) -> tuple[int, float]:
 
 
 def embed_series(texts: pd.Series, dim: int = DEFAULT_DIM, seed: int = 42) -> pd.Series:
-    """Embed a pandas Series of strings -> Series of np.float32 arrays.
-
-    Per batch: tokenize each row (C regex), factorize ALL tokens into
-    (codes, uniques) in one C-level hash pass, hash only the uniques
-    not already memoized, then accumulate every token's ±1 into a flat
-    (row, bucket) histogram with ONE np.bincount — no per-token Python
-    loop. Bit-identical to sequential accumulation: the per-cell sums
-    are signed-integer-valued float64s (exactly representable), so
-    summation order cannot change the result.
-    """
+    """Embed a pandas Series of strings -> Series of np.float32 arrays."""
     global _token_cache_dim
     if _token_cache_dim != (dim, seed):
         _token_cache.clear()
         _token_cache_dim = (dim, seed)
 
-    n = len(texts)
-    vals = texts.fillna("").astype(str).str.lower().to_numpy()
-    tok_lists = [_TOKEN_RE.findall(t) for t in vals]
-    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
-    total = int(counts.sum())
-    if total == 0:
-        out = np.zeros((n, dim), dtype=np.float64)
-    else:
-        flat: list[str] = []
-        for t in tok_lists:
-            flat.extend(t)
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    vals = texts.fillna("").astype(str).str.lower()
+    for i, text in enumerate(vals.to_numpy()):
+        toks = _TOKEN_RE.findall(text)
+        if not toks:
+            continue
+        row = out[i]
         cache = _token_cache
-        buckets = np.empty(len(uniques), dtype=np.int64)
-        signs = np.empty(len(uniques), dtype=np.float64)
-        for j, tok in enumerate(uniques):
-            bs = cache.get(tok)
+        for t in toks:
+            bs = cache.get(t)
             if bs is None:
-                bs = _hash_token(tok, dim, seed)
-                cache[tok] = bs
-            buckets[j] = bs[0]
-            signs[j] = bs[1]
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        out = np.bincount(
-            row_idx * dim + buckets[codes],
-            weights=signs[codes],
-            minlength=n * dim,
-        ).reshape(n, dim)
+                bs = _hash_token(t, dim, seed)
+                cache[t] = bs
+            row[bs[0]] += bs[1]
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     out32 = out.astype(np.float32)

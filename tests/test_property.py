@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the pure-python kernels —
+no SparkSession needed, so these run in milliseconds and explore the
+input space the example-based tests can't."""
+
+import re
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deja_view_spark.functions.embedding import (
+    _TOKEN_RE,
+    _hash_token,
+    embed_series,
+)
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+            whitelist_characters="_\n.,!?'\"-",
+        ),
+        max_size=300,
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _embed_naive(texts: pd.Series, dim: int = 32, seed: int = 42) -> np.ndarray:
+    """Independent re-implementation: sequential per-token accumulation
+    — the semantics the vectorized batch path must reproduce exactly."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, text in enumerate(texts.fillna("").astype(str).str.lower()):
+        for t in _TOKEN_RE.findall(text):
+            b, s = _hash_token(t, dim, seed)
+            out[i, b] += s
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out.astype(np.float32)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_vectorized_embed_equals_naive(texts):
+    s = pd.Series(texts)
+    got = np.stack(embed_series(s, dim=32, seed=42).to_numpy())
+    expect = _embed_naive(s, dim=32, seed=42)
+    assert np.array_equal(got, expect)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_embed_unit_norm_or_zero(texts):
+    s = pd.Series(texts)
+    got = np.stack(embed_series(s, dim=32).to_numpy())
+    norms = np.linalg.norm(got.astype(np.float64), axis=1)
+    for text, n in zip(s.fillna("").str.lower(), norms):
+        if _TOKEN_RE.findall(text):
+            # tokens may still cancel to a zero vector; otherwise unit
+            assert n == 0.0 or abs(n - 1.0) < 1e-5
+        else:
+            assert n == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_embed_row_independence(a, b):
+    """Batching must not leak state between rows: embedding [a, b]
+    row-wise equals embedding each alone."""
+    pair = np.stack(embed_series(pd.Series([a, b]), dim=32).to_numpy())
+    solo_a = np.stack(embed_series(pd.Series([a]), dim=32).to_numpy())[0]
+    solo_b = np.stack(embed_series(pd.Series([b]), dim=32).to_numpy())[0]
+    assert np.array_equal(pair[0], solo_a)
+    assert np.array_equal(pair[1], solo_b)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.from_regex(re.compile(r"[a-z0-9_]{1,12}"), fullmatch=True), max_size=8))
+def test_labels_csv_roundtrip_property(labels):
+    """csv_to_labels(labels_to_csv(x)) == x for comma-free labels —
+    pure-python mirror of the Spark column functions' contract
+    (functions/text.py, reference github_similarity_service.py:341,423)."""
+    csv = ",".join(labels)
+    back = csv.split(",") if csv else []
+    assert back == labels
