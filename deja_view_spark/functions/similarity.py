@@ -48,6 +48,22 @@ def dot_over_norms(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(va, vb) / denom)
 
 
+def duckdb_cosine_sql(a: str, b: str) -> str:
+    """DuckDB SQL fragment for cosine(a, b) BIT-IDENTICAL to
+    ``cosine_sim`` / ``dot_over_norms``: ``list_dot_product`` on
+    DOUBLE[] performs the same sequential double accumulation as
+    Spark's ``zip_with``/``aggregate``, and ``/``, ``*``, ``sqrt`` are
+    IEEE-correctly-rounded, so the whole expression matches Spark to
+    the last bit. DuckDB's ``list_cosine_similarity`` is NOT safe in
+    oracles: it computes in float32, and a true cosine within 1 ulp of
+    a x.xxxx5 boundary then rounds to 4dp differently than Spark
+    (observed at sf0.001: 0.3479 vs 0.3478 on one pair)."""
+    dot = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return f"({dot} / ({na} * {nb}))"
+
+
 def distance_to_similarity(distance: Column, convention: str = "service") -> Column:
     """'service' -> 1-d (github_similarity_service.py:410);
     'report' -> 1-d/2 (cli.py:550)."""

@@ -69,6 +69,10 @@ def ann_topk_lsh(
             cosine_sim(F.col("nvec"), F.col("probe_vec"), assume_normalized), 4
         ),
     )
+    # rank on the ROUNDED cosine: two candidates whose true cosines
+    # differ below 1e-4 are a tie broken by id, so the ranking is
+    # stable across engines/float-fold orders (unrounded ranking made
+    # near-ties flip between Spark and the DuckDB oracle)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

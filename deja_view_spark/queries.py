@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from deja_view_spark.functions.similarity import cosine_sim
+from deja_view_spark.functions.similarity import cosine_sim, duckdb_cosine_sql
 from deja_view_spark.sources.catalog import load_table
 
 
@@ -310,13 +310,13 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KNN_BRUTEFORCE = """
+ORACLE_KNN_BRUTEFORCE = f"""
 SELECT probe_id, neighbor_id, rank
 FROM (
   SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
          row_number() OVER (
            PARTITION BY p.vec_id
-           ORDER BY list_cosine_similarity(p.embedding, e.embedding) DESC,
+           ORDER BY {duckdb_cosine_sql('p.embedding', 'e.embedding')} DESC,
                     e.vec_id ASC) AS rank
   FROM embeddings p, embeddings e
   WHERE p.vec_id < 50 AND e.vec_id <> p.vec_id) t
@@ -353,9 +353,9 @@ def q_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOPK_PROBE = """
+ORACLE_TOPK_PROBE = f"""
 SELECT e.vec_id AS doc_id,
-       round(list_cosine_similarity(e.embedding, p.embedding), 4) AS similarity
+       round({duckdb_cosine_sql('e.embedding', 'p.embedding')}, 4) AS similarity
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) p
 WHERE e.vec_id <> 7
 ORDER BY similarity DESC, doc_id ASC
@@ -494,17 +494,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, probes, k=3)
 
 
-ORACLE_ANN_LSH = """
+# The oracle must reproduce Spark's cosine BIT-FOR-BIT (see
+# duckdb_cosine_sql) because the emitted `cos` is rounded to 4dp and a
+# true cosine within 1 ulp of a x.xxxx5 boundary rounds differently
+# under float32 vs double paths. Ranking uses the ROUNDED value (ties
+# broken by id) mirroring the engine's window.
+ORACLE_ANN_LSH = f"""
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round({duckdb_cosine_sql('e.embedding', 'p.embedding')}, 4) AS cos
+  FROM embeddings p, embeddings e
+  WHERE p.vec_id < 50 AND e.vec_id <> p.vec_id)
 SELECT probe_id, neighbor_id, cos, rank
 FROM (
-  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
-         round(list_cosine_similarity(p.embedding, e.embedding), 4) AS cos,
+  SELECT probe_id, neighbor_id, cos,
          row_number() OVER (
-           PARTITION BY p.vec_id
-           ORDER BY list_cosine_similarity(p.embedding, e.embedding) DESC,
-                    e.vec_id ASC) AS rank
-  FROM embeddings p, embeddings e
-  WHERE p.vec_id < 50 AND e.vec_id <> p.vec_id) t
+           PARTITION BY probe_id
+           ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
 WHERE rank <= 3
 ORDER BY probe_id, rank
 """

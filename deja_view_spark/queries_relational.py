@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deja_view_spark.functions.similarity import duckdb_cosine_sql
 from deja_view_spark.operators.asof import asof_join
 from deja_view_spark.sources.catalog import load_table
 
@@ -248,13 +249,13 @@ def q_duplicate_edges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DUP_EXACT = """
+ORACLE_DUP_EXACT = f"""
 WITH e AS (
   SELECT CAST(vec_id AS VARCHAR) AS id, embedding
   FROM embeddings WHERE vec_id % 5 = 0
 ), p AS (
   SELECT a.id AS src, b.id AS dst,
-         round((1 + list_cosine_similarity(a.embedding, b.embedding)) / 2, 4)
+         round((1 + {duckdb_cosine_sql('a.embedding', 'b.embedding')}) / 2, 4)
            AS similarity
   FROM e a JOIN e b ON a.id <> b.id
 ), f AS (

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deja_view_spark.functions import scoring as S
-from deja_view_spark.functions.similarity import cosine_sim
+from deja_view_spark.functions.similarity import cosine_sim, duckdb_cosine_sql
 from deja_view_spark.sources.catalog import load_table
 
 TOKEN_RE = "[a-z0-9_]+"
@@ -317,12 +317,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EMBEDDING_NEAR_DUP = """
+ORACLE_EMBEDDING_NEAR_DUP = f"""
 SELECT a.vec_id AS src_vec, b.vec_id AS dst_vec,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+       round({duckdb_cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+  AND round({duckdb_cosine_sql('a.embedding', 'b.embedding')}, 4) >= 0.4
 ORDER BY src_vec, dst_vec
 """
 
@@ -385,10 +385,10 @@ def q_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SIMILARITY_BANDS = """
+ORACLE_SIMILARITY_BANDS = f"""
 WITH per_probe AS (
   SELECT p.vec_id AS probe_id,
-         round(max((1.0 + list_cosine_similarity(p.embedding, e.embedding)) / 2.0), 4)
+         round(max((1.0 + {duckdb_cosine_sql('p.embedding', 'e.embedding')}) / 2.0), 4)
            AS max_similarity
   FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
   WHERE p.vec_id < 100
