@@ -85,3 +85,87 @@ def test_labels_csv_roundtrip_property(labels):
     csv = ",".join(labels)
     back = csv.split(",") if csv else []
     assert back == labels
+
+
+# ------------------------------------------------------------- minhash
+from deja_view_spark.functions.hashing import (  # noqa: E402
+    _TOKEN_RE as _MH_TOKEN_RE,
+    minhash_signature,
+)
+
+DOC = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Nd", "Zs"), whitelist_characters="_\n"
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(DOC)
+def test_minhash_deterministic_and_shaped(text):
+    a = minhash_signature(text, n_perm=16, k=3, seed=7)
+    b = minhash_signature(text, n_perm=16, k=3, seed=7)
+    assert a.dtype == np.uint64 and a.shape == (16,)
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(DOC, st.integers(min_value=0, max_value=2**32 - 1))
+def test_minhash_seed_sensitivity(text, seed):
+    """Different seeds draw different permutations: signatures agree
+    only where the min shingle coincides by chance (never for ALL 32
+    perms on a non-trivial doc)."""
+    if len(_MH_TOKEN_RE.findall(text.lower())) < 3:
+        return
+    a = minhash_signature(text, n_perm=32, k=3, seed=7)
+    b = minhash_signature(text, n_perm=32, k=3, seed=8)
+    assert not np.array_equal(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(DOC)
+def test_minhash_whitespace_invariance(text):
+    """The signature depends only on the token k-shingle SET:
+    whitespace runs do not change it."""
+    noisy = text.replace(" ", "   \n ")
+    a = minhash_signature(text, n_perm=16, k=3, seed=7)
+    b = minhash_signature(noisy, n_perm=16, k=3, seed=7)
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcxyz01_ ", max_size=200))
+def test_minhash_ascii_case_invariance(text):
+    """ASCII case is folded before tokenization (non-ASCII case pairs
+    like ß→SS genuinely change the token stream, so the property is
+    ASCII-scoped — same as the reference's .lower() semantics)."""
+    a = minhash_signature(text, n_perm=16, k=3, seed=7)
+    b = minhash_signature(text.upper(), n_perm=16, k=3, seed=7)
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.from_regex(re.compile(r"[a-z0-9_]{1,8}"), fullmatch=True),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_minhash_duplication_invariance(tokens):
+    """Repeating the whole document (shingle SET unchanged up to the
+    seam shingles' absorption into the set) keeps each permutation's
+    min attainable: sig(doc+doc) elementwise <= sig(doc) can only move
+    DOWN via the new seam shingles — equality holds when the doc ends
+    where it starts. Test the strict set-semantics core instead: a
+    doc's signature equals the signature of its shingle multiset
+    repeated (same token stream twice with a separator long enough to
+    not create new shingles is impossible with k=3, so assert the
+    subset direction)."""
+    doc = " ".join(tokens)
+    twice = doc + " " + doc
+    a = minhash_signature(doc, n_perm=16, k=3, seed=7)
+    b = minhash_signature(twice, n_perm=16, k=3, seed=7)
+    # doubling adds only the k-1 seam shingles: mins can only decrease
+    assert (b <= a).all()
