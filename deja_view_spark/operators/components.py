@@ -1,21 +1,30 @@
 """Connected components over the similarity graph (canonicalization).
 
-GraphFrames-style iterative label propagation, dependency-free
-(SURVEY §4 conclusion, §7.2 step 5): every vertex starts labeled with
-itself; each round every vertex takes the min label among itself and
-its neighbors; converged when no label changes. Canonical entity id is
-therefore the min doc_id of its component — deterministic at any
-parallelism.
+Two dependency-free algorithms (SURVEY §4 conclusion, §7.2 step 5),
+both returning the same deterministic labeling (component = min id):
+
+- ``connected_components`` — GraphFrames-style label propagation:
+  every vertex starts labeled with itself; each round every vertex
+  takes the min label among itself and its neighbors. Rounds needed =
+  graph DIAMETER. Duplicate clusters are tiny cliques (diameter 1-2),
+  so this converges in ~3 rounds with ONE shuffle+agg per round — the
+  pipeline's default, cheapest on its actual graph shape.
+
+- ``connected_components_alternating`` — the alternating large-star /
+  small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14): each round rewires edges toward
+  local minima, halving component depth, so convergence is
+  O(log diameter) rounds. The scale path for ARBITRARY graphs — a
+  100 TB mention/link graph can contain chains far longer than any
+  fixed round budget, where label propagation under ``max_iter``
+  would silently mislabel.
 
 Scale notes:
-- each round is one shuffle (join on dst) + one aggregation (min per
-  id) — both key-partitioned by vertex id, so AQE coalesces them;
-- ``localCheckpoint`` every round cuts the exponentially growing plan
+- every round of either algorithm is key-partitioned shuffles that
+  AQE coalesces;
+- ``localCheckpoint`` each round cuts the exponentially growing plan
   lineage (SURVEY §7.4.4) — without it Catalyst re-analyzes a 2^k-deep
-  plan;
-- rounds needed = graph diameter; duplicate clusters are tiny cliques
-  (diameter 1-2), so convergence is fast; ``max_iter`` bounds
-  pathological chains.
+  plan.
 """
 
 from __future__ import annotations
@@ -81,3 +90,93 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _large_star(und: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Keeps every
+    component connected while pushing depth toward a star."""
+    m = und.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        und.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(und: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its NOT-LARGER
+    neighbors (and itself) to the minimum of that set."""
+    le = und.where(F.col("b") <= F.col("a"))
+    m = le.groupBy("a").agg(F.min("b").alias("m"))
+    nodes = le.select("a", F.col("a").alias("b")).unionByName(le)
+    return (
+        nodes.join(m, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def connected_components_alternating(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) labeling via alternating large-star/small-star
+    — O(log diameter) rounds, the general-graph scale path (see module
+    docstring). Output is identical to ``connected_components`` on the
+    same graph: component = min id, isolated ``vertices`` label
+    themselves.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    all_verts = e.select("a").unionByName(e.select(F.col("b").alias("a")))
+    if vertices is not None:
+        all_verts = all_verts.unionByName(vertices.select(F.col("id").alias("a")))
+    all_verts = all_verts.distinct().localCheckpoint(eager=True)
+
+    cur = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star output is asymmetric; re-mirror so each node sees
+        # its full neighborhood next round
+        ls = _large_star(cur)
+        und = (
+            ls.unionByName(ls.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        ss = _small_star(und).where(F.col("a") != F.col("b")).distinct()
+        nxt = (
+            ss.unionByName(ss.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # converged when the (mirrored) edge set is unchanged:
+        # equal cardinality AND no additions <=> set equality. The
+        # anti-join materializes nxt's lazy checkpoint in the same job.
+        additions = nxt.join(cur, ["a", "b"], "left_anti").count()
+        same_size = cur.count() == nxt.count()
+        cur = nxt
+        if additions == 0 and same_size:
+            break
+    # star edges point larger->min; component(node) = its min neighbor,
+    # roots and isolated vertices label themselves
+    comp = cur.groupBy("a").agg(F.min("b").alias("component"))
+    return (
+        all_verts.join(comp, "a", "left")
+        .select(
+            F.col("a").alias("id"),
+            F.coalesce(
+                F.least(F.col("component"), F.col("a")), F.col("a")
+            ).alias("component"),
+        )
+    )
