@@ -403,6 +403,108 @@ def q_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "rank")
 
 
+# ------------------------------------------- large orders (Q18 shape)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING-subquery): orders whose total quantity
+    exceeds a threshold, joined back to customer detail. The inner
+    aggregation is the decorrelated form of `o_orderkey IN (SELECT ..
+    GROUP BY .. HAVING sum > t)` — one partial-agg pass over lineitem,
+    a semi-join on the tiny qualifying-key set, then the detail joins;
+    customer broadcasts."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 4) AS o_totalprice,
+       round(total_qty, 4) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) q
+  ON o_orderkey = q.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------- waiting suppliers (Q21 shape)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS), adapted to
+    this schema's columns: per supplier, count finalized orders where
+    it is the ONLY supplier with a returned ('R') lineitem while the
+    order involved other suppliers. Written as SQL text so Catalyst's
+    subquery DECORRELATION does the work — the physical plan contains
+    a left semi and a left anti join, no correlated subquery remains
+    (asserted in tools/explain_audit.py)."""
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 25
+        """
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
 QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_tumbling_weeks": q_events_tumbling_weeks,
@@ -414,6 +516,8 @@ QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "docs_length_percentiles": q_docs_length_percentiles,
     "shipping_priority": q_shipping_priority,
+    "large_orders": q_large_orders,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -426,4 +530,6 @@ ORACLES = {
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,
     "docs_length_percentiles": ORACLE_DOCS_PCTL,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "large_orders": ORACLE_LARGE_ORDERS,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
 }

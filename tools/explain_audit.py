@@ -90,6 +90,16 @@ CHECKS = [
     ),
     # discussions rollup: one partial-agg pass over the derived view
     ("discussions_overview", [PARTIAL_AGG], []),
+    # Q18 shape: HAVING-subquery decorrelated to an agg + join on the
+    # qualifying-key set; customer dim broadcasts; top-20 TakeOrdered
+    ("large_orders", [r"BroadcastHashJoin", r"TakeOrdered", PARTIAL_AGG], []),
+    # Q21 shape: Catalyst DECORRELATES the EXISTS/NOT EXISTS pair into
+    # physical semi/anti joins — no correlated subquery survives
+    (
+        "waiting_suppliers",
+        [r"LeftSemi", r"LeftAnti", PARTIAL_AGG],
+        [r"Subquery"],
+    ),
 ]
 
 
