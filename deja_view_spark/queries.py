@@ -538,7 +538,9 @@ ORACLES["docs_minhash_pairs"] = ORACLE_DOCS_MINHASH
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 ORACLES["ann_lsh_topk"] = ORACLE_ANN_LSH
 
-# merge the text/scoring, events/relational and discussions registries
+# merge the text/scoring, events/relational, discussions and corpus-prep
+# registries
+from deja_view_spark import queries_corpus as _QC  # noqa: E402
 from deja_view_spark import queries_discussions as _QD  # noqa: E402
 from deja_view_spark import queries_events as _QE  # noqa: E402
 from deja_view_spark import queries_relational as _QR  # noqa: E402
@@ -552,3 +554,5 @@ QUERIES.update(_QR.QUERIES)
 ORACLES.update(_QR.ORACLES)
 QUERIES.update(_QD.QUERIES)
 ORACLES.update(_QD.ORACLES)
+QUERIES.update(_QC.QUERIES)
+ORACLES.update(_QC.ORACLES)

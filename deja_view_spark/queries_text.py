@@ -154,6 +154,12 @@ ORDER BY lang
 def _shingle_col(text_col, k: int = 3):
     """k-token shingles as an array column (JVM higher-order fns)."""
     toks = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+    return _shingles_from_toks(toks, k)
+
+
+def _shingles_from_toks(toks, k: int = 3):
+    """Shingles from an already-materialized token array column —
+    lets single-pass pipelines tokenize once (queries_corpus)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     shingles = F.transform(
         idx,

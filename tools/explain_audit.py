@@ -100,6 +100,28 @@ CHECKS = [
         [r"LeftSemi", r"LeftAnti", PARTIAL_AGG],
         [r"Subquery"],
     ),
+    # stratified hash sampling: a pure map-side predicate — the md5
+    # keep-filter sits directly over the scan, no shuffle, no Python
+    (
+        "docs_stratified_sample",
+        [r"md5"],
+        [r"Exchange hashpartitioning", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # distributed prefix-sum packing: the full-data window is BUCKET-
+    # partitioned (hashpartitioning on _bucket), the per-bucket offsets
+    # come back via broadcast — the only SinglePartition exchange feeds
+    # the totals-table window (metadata-sized), never the corpus
+    (
+        "docs_pack_shards",
+        [r"hashpartitioning\(_bucket", r"BroadcastHashJoin", r"Window"],
+        [],
+    ),
+    # decontamination: eval shingles broadcast, corpus side map-joined
+    ("docs_decontaminate", [r"BroadcastHashJoin", PARTIAL_AGG], []),
+    # tf-idf: corpus-size N is a broadcast single-row agg (no collect),
+    # term joins shuffle on the term key, ranking is a per-doc window
+    ("docs_tfidf_topterms", [r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+                             r"Window", PARTIAL_AGG], []),
 ]
 
 
