@@ -1,0 +1,121 @@
+"""Graph-consumption operators over a built KG (operators/graphquery):
+partition-pruned predicate scans, hop joins, canonical resolution,
+duplicate clusters."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from deja_view_spark.datagen import generate_repos
+from deja_view_spark.operators.graphquery import (
+    degree_stats,
+    duplicate_clusters,
+    neighbors,
+    pred_scan,
+    resolve_canonical,
+    two_hop,
+)
+from deja_view_spark.plans.pipeline import KGPipeline
+
+N_ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def kg(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("kg_gq")
+    src = generate_repos(spark, N_ROWS)
+    pipe = KGPipeline(spark, src, str(d), threshold=0.8, method="lsh")
+    pipe.run()
+    # read back the PARTITIONED table — pruning behavior is the point
+    triples = spark.read.parquet(pipe._triples_path())
+    yield src, triples
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def test_pred_scan_prunes_partitions(kg):
+    _, triples = kg
+    plan = pred_scan(triples, "duplicates")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "duplicates" in plan
+
+
+def test_neighbors_contains_matches_source(kg):
+    src, triples = kg
+    repo = "bigcorp/monorepo"
+    got = {r.neighbor for r in neighbors(triples, repo, pred="contains").collect()}
+    want = {
+        r.path for r in src.where(F.col("repo") == repo).select("path").collect()
+    }
+    assert got == want and got
+
+
+def test_neighbors_in_and_both(kg):
+    src, triples = kg
+    # pick a path mentioned by someone
+    m = pred_scan(triples, "mentions").limit(1).collect()
+    if not m:
+        pytest.skip("no mention edges at this corpus size")
+    node = m[0].obj
+    inn = {r.neighbor for r in neighbors(triples, node, direction="in").collect()}
+    both = {r.neighbor for r in neighbors(triples, node, direction="both").collect()}
+    assert m[0].subj in inn and inn <= both
+
+
+def test_two_hop_matches_manual_join(kg):
+    _, triples = kg
+    got = two_hop(triples, "duplicates", "mentions", broadcast_first=True)
+    d = pred_scan(triples, "duplicates").select(
+        F.col("subj").alias("a"), F.col("obj").alias("b"),
+        F.col("weight").alias("w1"))
+    m = pred_scan(triples, "mentions").select(
+        F.col("subj").alias("b"), F.col("obj").alias("c"),
+        F.col("weight").alias("w2"))
+    want = (
+        d.join(m, "b").where(F.col("a") != F.col("c"))
+        .groupBy("a", "b", "c")
+        .agg(F.max(F.col("w1") * F.col("w2")).alias("path_weight"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_resolve_canonical_idempotent_and_total(kg):
+    _, triples = kg
+    dup = pred_scan(triples, "duplicates").select("subj", "obj", "weight")
+    resolved = resolve_canonical(dup, triples, ["subj", "obj"])
+    # total: same row count, no nulls introduced
+    assert resolved.count() == dup.count()
+    assert resolved.where(F.col("subj").isNull() | F.col("obj").isNull()).count() == 0
+    # idempotent: resolving twice changes nothing (canonical ids map
+    # to themselves via the identity rows)
+    again = resolve_canonical(resolved, triples, ["subj", "obj"])
+    assert resolved.exceptAll(again).count() == 0
+    # duplicate edges collapse inside a component: every resolved
+    # duplicate edge endpoint pair shares a canonical id
+    assert resolved.where(F.col("subj") != F.col("obj")).count() == 0
+
+
+def test_degree_stats_consistent(kg):
+    _, triples = kg
+    stats = {r.pred: r for r in degree_stats(triples).collect()}
+    assert set(stats) == {"contains", "mentions", "duplicates", "same_as"}
+    for pred, r in stats.items():
+        n = triples.where(F.col("pred") == pred).count()
+        assert r.n_edges == n
+        assert r.avg_out_degree == pytest.approx(n / r.n_subj, abs=1e-3)
+
+
+def test_duplicate_clusters_match_same_as(kg):
+    _, triples = kg
+    clusters = duplicate_clusters(triples).collect()
+    assert clusters, "expected at least one duplicate cluster"
+    for c in clusters:
+        assert c.size == len(c.members) >= 2
+        # every member maps to this canonical in same_as
+    sa = {
+        (r.subj, r.obj) for r in pred_scan(triples, "same_as").collect()
+    }
+    for c in clusters:
+        for m in c.members:
+            assert (m, c.canonical) in sa
