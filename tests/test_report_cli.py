@@ -129,3 +129,47 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     text = open(mreport).read()
     assert "# Discussions Metrics Report" in text
     assert "Answer Rate" in text
+
+
+def test_cli_graph_verbs(spark, tmp_path, capsys):
+    """graph stats / clusters / neighbors / two-hop over a small built
+    kg_triples dir."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    from deja_view_spark.datagen import generate_repos
+    from deja_view_spark.plans.pipeline import KGPipeline
+
+    out = str(tmp_path / "kg")
+    pipe = KGPipeline(spark, generate_repos(spark, 300), out)
+    pipe.run()
+    tdir = pipe._triples_path()
+
+    assert cli.main(["graph", "stats", "--triples", tdir]) == 0
+    txt = capsys.readouterr().out
+    for pred in ("contains", "mentions", "duplicates", "same_as"):
+        assert pred in txt
+
+    assert cli.main(["graph", "clusters", "--triples", tdir]) == 0
+    assert "duplicate clusters" in capsys.readouterr().out
+
+    assert (
+        cli.main(
+            ["graph", "neighbors", "--triples", tdir,
+             "--node", "bigcorp/monorepo", "--pred", "contains"]
+        )
+        == 0
+    )
+    assert "-[contains" in capsys.readouterr().out
+
+    assert (
+        cli.main(
+            ["graph", "two-hop", "--triples", tdir,
+             "--pred", "duplicates", "--pred2", "mentions"]
+        )
+        == 0
+    )
+    # missing required args -> exit 2, not a traceback
+    assert cli.main(["graph", "neighbors", "--triples", tdir]) == 2

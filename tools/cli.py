@@ -9,6 +9,8 @@ at parquet tables and the distributed operators.
         --output report.md [--threshold 0.8] [--json]
     python tools/cli.py suggest-discussions --input DOCS.parquet [-n 20]
     python tools/cli.py metrics --input DOCS.parquet [--output report.md]
+    python tools/cli.py graph {stats|clusters|neighbors|two-hop} \
+        --triples KG_DIR [--node N] [--pred P --pred2 Q] [--limit 20]
 
 DOCS.parquet is a documents-shaped table (doc_id, text[, ...]) — the
 same shape the driver testdata ships. The index dir is an embeddings
@@ -175,6 +177,61 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Query a materialized kg_triples/ directory (pred-partitioned
+    parquet written by plans/pipeline.py) with the graphquery
+    operators — stats / duplicate clusters / neighborhood / 2-hop."""
+    from deja_view_spark.operators.graphquery import (
+        degree_stats,
+        duplicate_clusters,
+        neighbors,
+        two_hop,
+    )
+
+    spark = _spark(args.cores)
+    triples = spark.read.parquet(args.triples)
+    if args.op == "stats":
+        for r in degree_stats(triples).collect():
+            print(
+                f"  {r.pred:12s} edges={r.n_edges:<8d} subj={r.n_subj:<8d} "
+                f"obj={r.n_obj:<8d} avg_out={r.avg_out_degree}"
+            )
+    elif args.op == "clusters":
+        rows = duplicate_clusters(triples).limit(args.limit).collect()
+        print(f"{len(rows)} duplicate clusters (showing <= {args.limit}):")
+        for r in rows:
+            print(f"  [{r.size}] {r.canonical}: {', '.join(r.members[:5])}"
+                  + (" ..." if r.size > 5 else ""))
+    elif args.op == "neighbors":
+        if not args.node:
+            print("graph neighbors requires --node", file=sys.stderr)
+            return 2
+        rows = (
+            neighbors(triples, args.node, pred=args.pred or None,
+                      direction=args.direction)
+            .orderBy(F.desc("weight"), F.asc("neighbor"))
+            .limit(args.limit)
+            .collect()
+        )
+        for r in rows:
+            print(f"  -[{r.pred}:{r.weight}]-> {r.neighbor}")
+    elif args.op == "two-hop":
+        if not (args.pred and args.pred2):
+            print("graph two-hop requires --pred and --pred2", file=sys.stderr)
+            return 2
+        rows = (
+            two_hop(triples, args.pred, args.pred2, broadcast_first=True)
+            .orderBy(F.desc("path_weight"), F.asc("a"), F.asc("c"))
+            .limit(args.limit)
+            .collect()
+        )
+        for r in rows:
+            print(f"  {r.a} -> {r.b} -> {r.c}  ({r.path_weight:.4f})")
+    else:  # pragma: no cover - argparse choices guard
+        return 2
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="deja-view-spark")
     ap.add_argument("--cores", type=int, default=8)
@@ -212,6 +269,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True)
     p.add_argument("--output", default="")
     p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser("graph", help="query a materialized kg_triples dir")
+    p.add_argument("op", choices=["stats", "clusters", "neighbors", "two-hop"])
+    p.add_argument("--triples", required=True)
+    p.add_argument("--node", default="")
+    p.add_argument("--pred", default="")
+    p.add_argument("--pred2", default="")
+    p.add_argument("--direction", default="out", choices=["out", "in", "both"])
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_graph)
     return ap
 
 
