@@ -122,6 +122,14 @@ CHECKS = [
     # term joins shuffle on the term key, ranking is a per-doc window
     ("docs_tfidf_topterms", [r"BroadcastNestedLoopJoin|BroadcastHashJoin",
                              r"Window", PARTIAL_AGG], []),
+    # composed cleaning pipeline: eval shingles broadcast into the
+    # contamination screen, contaminated ids leave via LeftAnti, all
+    # column work stays JVM-side (one tokenize projection, no Python)
+    (
+        "corpus_clean",
+        [r"BroadcastHashJoin", r"LeftAnti", PARTIAL_AGG],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
