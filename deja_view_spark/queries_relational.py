@@ -505,6 +505,50 @@ LIMIT 25
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (per-brand): revenue from 'small' line items — those
+    below 20% of their part's average order quantity — for small parts
+    (p_size < 20), reported as avg yearly revenue per brand.
+
+    The reference SQL's correlated scalar subquery
+    (``l_quantity < (SELECT 0.2*avg(l_quantity) ... WHERE l_partkey =
+    p_partkey)``) is hand-decorrelated the way Catalyst would: one
+    partial-agg pass builds the per-part threshold, then a broadcast
+    join applies it — the fact table is scanned twice but shuffled
+    never (thresholds and the filtered part dim both broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") < 20)
+        .select("p_partkey", "p_brand")
+    )
+    thresh = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(thresh), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+SELECT p_brand, round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_size < 20
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_tumbling_weeks": q_events_tumbling_weeks,
@@ -518,6 +562,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
     "waiting_suppliers": q_waiting_suppliers,
+    "small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -532,4 +577,5 @@ ORACLES = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_orders": ORACLE_LARGE_ORDERS,
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "small_quantity_revenue": ORACLE_SMALL_QTY_REVENUE,
 }

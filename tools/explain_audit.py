@@ -130,6 +130,14 @@ CHECKS = [
         [r"BroadcastHashJoin", r"LeftAnti", PARTIAL_AGG],
         [r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Q17 shape: the correlated scalar subquery is decorrelated into a
+    # per-part threshold agg joined back — every join broadcasts (the
+    # fact table never shuffles on a join key)
+    (
+        "small_quantity_revenue",
+        [r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"SortMergeJoin", r"ShuffledHashJoin"],
+    ),
 ]
 
 
