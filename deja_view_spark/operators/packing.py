@@ -101,6 +101,31 @@ def pack_shards(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    budget: int,
+    weight_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Pack ``df`` into token-budget shards and write them as one
+    parquet directory partitioned by ``shard_id`` — each shard is the
+    unit a training loader reads, so the physical layout mirrors the
+    logical packing (one directory per shard, file count per shard set
+    by the upstream partitioning, no global sort).
+
+    Returns the shard manifest of what was written (re-read from the
+    output so the manifest reflects the files on disk, not the plan)."""
+    packed = pack_shards(
+        df, budget, weight_col=weight_col, order_col=order_col,
+        bucket_width=bucket_width,
+    )
+    packed.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    written = df.sparkSession.read.parquet(out_dir)
+    return shard_manifest(written, weight_col=weight_col)
+
+
 def shard_manifest(packed: DataFrame, weight_col: str = "n_tokens") -> DataFrame:
     """Per-shard rollup of a ``pack_shards`` output: document count,
     token total and the shard's [first, last] order range — the

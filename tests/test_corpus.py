@@ -161,3 +161,76 @@ def test_decontaminate_self_excluded(spark):
     rows = out.collect()
     for r in rows:
         assert r.max_overlap >= DECON_MIN_OVERLAP
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from deja_view_spark.operators.packing import (
+        pack_shards,
+        shard_manifest,
+        write_training_shards,
+    )
+
+    df = _weights(spark, n=300)
+    out = str(tmp_path / "shards")
+    man = write_training_shards(df, out, budget=500).collect()
+    # manifest from disk == manifest from the in-memory packing
+    want = shard_manifest(pack_shards(df, budget=500)).collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, want))
+    # physical layout: one directory per shard
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("shard_id=")}
+    assert len(dirs) == len(man)
+    # every row written exactly once
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from deja_view_spark.operators.skew import salted_join
+
+    # heavy skew: 80% of fact rows share one key
+    fact = spark.createDataFrame(
+        [(1 if i % 5 else i, i, f"p{i}") for i in range(2000)],
+        "k long, seq long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"attr{i}") for i in range(0, 2000, 5)] + [(1, "attr1")],
+        "k long, attr string",
+    )
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", n_salt=4, how=how)
+        want = fact.join(dim, "k", how)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's fact rows land in n_salt distinct salt groups —
+    the property that breaks the single-reducer bottleneck."""
+    from pyspark.sql import functions as F2
+
+    fact = spark.createDataFrame(
+        [(1, i, f"p{i}") for i in range(1000)], "k long, seq long, payload string"
+    )
+    non_key = ["seq", "payload"]
+    salts = (
+        fact.withColumn(
+            "_salt", F2.pmod(F2.xxhash64(*non_key), F2.lit(8)).cast("int")
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 8
+
+
+def test_salted_join_rejects_bad_args(spark):
+    from deja_view_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, _salt long")
+    with pytest.raises(ValueError, match="reserved"):
+        salted_join(df, df.select("k"), "k")
+    ok = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(ok, ok.select("k"), "k", how="full")
