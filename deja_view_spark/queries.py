@@ -538,11 +538,13 @@ ORACLES["docs_minhash_pairs"] = ORACLE_DOCS_MINHASH
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 ORACLES["ann_lsh_topk"] = ORACLE_ANN_LSH
 
-# merge the text/scoring, events/relational, discussions and corpus-prep
-# registries
+# merge the text/scoring, events/relational, discussions, corpus-prep,
+# quality-filter and graph registries
 from deja_view_spark import queries_corpus as _QC  # noqa: E402
 from deja_view_spark import queries_discussions as _QD  # noqa: E402
 from deja_view_spark import queries_events as _QE  # noqa: E402
+from deja_view_spark import queries_graph as _QG  # noqa: E402
+from deja_view_spark import queries_quality as _QQ  # noqa: E402
 from deja_view_spark import queries_relational as _QR  # noqa: E402
 from deja_view_spark import queries_text as _QT  # noqa: E402
 
@@ -556,3 +558,7 @@ QUERIES.update(_QD.QUERIES)
 ORACLES.update(_QD.ORACLES)
 QUERIES.update(_QC.QUERIES)
 ORACLES.update(_QC.ORACLES)
+QUERIES.update(_QQ.QUERIES)
+ORACLES.update(_QQ.ORACLES)
+QUERIES.update(_QG.QUERIES)
+ORACLES.update(_QG.ORACLES)

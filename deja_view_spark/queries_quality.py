@@ -1,0 +1,274 @@
+"""Web-scale corpus quality filters (driver-checkable).
+
+Two query families a pre-training pipeline runs before dedup/sampling
+(queries_corpus.py), extending the text-analysis suite:
+
+  docs_repetition  Gopher-style repetition signals per document
+                   (distinct-token ratio, duplicated-trigram fraction,
+                   most-frequent-bigram mass) + the composite keep gate
+                   — the filters of Rae et al. 2021 §A1.1 re-expressed
+                   as one Spark pass.
+  docs_pii_scrub   PII detection + redaction: e-mail / IPv4 / phone
+                   regex banks, per-doc match counts and the md5 of the
+                   redacted text (byte-level proof the scrubbed output
+                   is identical across engines).
+
+The driver's synthetic `documents` corpus contains no PII, so
+docs_pii_scrub first APPENDS deterministic PII spans derived from
+doc_id (same expression in Spark and the DuckDB oracle) — the
+detection/redaction logic is what is actually under test, on text
+whose ground truth is known exactly.
+
+Oracle-parity discipline (house rules): thresholds and regexes live
+once as module constants rendered into both engines; patterns are
+restricted to the Java-regex ∩ RE2 common dialect (\\b, \\d, bounded
+quantifiers — no lookaround, no backrefs); floats rounded to 4dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deja_view_spark.queries_text import TOKEN_RE, _shingles_from_toks
+from deja_view_spark.sources.catalog import load_table
+
+# ----------------------------------------------------------------- constants
+# Gopher-style gate thresholds (Rae et al. 2021, Table A1 — adapted to
+# token fractions; the synthetic corpus medians are distinct≈0.46,
+# dup-trigram≈0.0, top-bigram≈0.066, so the gate is non-degenerate).
+MIN_DISTINCT_RATIO = 0.35   # below: boilerplate / degenerate repetition
+MAX_DUP_TRIGRAM = 0.05      # above: copy-pasted spans
+MAX_TOP_BIGRAM = 0.10       # above: one phrase dominates the doc
+
+# PII regex banks — Java-regex ∩ RE2 dialect only.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b555-\d{4}\b"
+# Redaction runs e-mail -> IP -> phone, in that order (an e-mail's
+# numeric local-part must not be half-eaten by the IP pass first).
+PII_BANKS = [("email", EMAIL_RE, "<EMAIL>"),
+             ("ipv4", IPV4_RE, "<IP>"),
+             ("phone", PHONE_RE, "<PHONE>")]
+
+
+# -------------------------------------------------- repetition quality gate
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics + keep gate (Gopher filters).
+
+    Scale shape: distinct-token ratio and duplicated-trigram fraction
+    are PURE MAP-SIDE array expressions (size/array_distinct over the
+    shingle arrays — no explode, no shuffle); only the
+    most-frequent-bigram statistic needs a fine-grained
+    (doc_id, bigram) aggregation, which shuffles narrow hashed rows
+    with full map-side combine and no skew (keys are per-document).
+    One tokenize pass feeds all three metrics."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    base = docs.select("doc_id", toks.alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("_nd"),
+        _shingles_from_toks(F.col("_toks"), 3).alias("_tri"),
+        _shingles_from_toks(F.col("_toks"), 2).alias("_bi"),
+    )
+    per_doc = base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_nd") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+        F.when(
+            F.size("_tri") > 0,
+            F.round(
+                (F.size("_tri") - F.size(F.array_distinct("_tri")))
+                / F.size("_tri"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+        F.col("_bi"),
+    )
+    # mode of the bigram multiset: explode -> count -> rank (ties break
+    # lexicographically so both engines emit the same witness bigram)
+    counts = (
+        per_doc.select("doc_id", F.explode("_bi").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bigram"))
+    top_bi = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"),
+                F.col("c").alias("_top_c"))
+    )
+    out = (
+        per_doc.drop("_bi")
+        .join(top_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            "dup_trigram_frac",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(F.col("_top_c"), F.lit(0)) * 2.0 / F.col("n_tokens"), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+    keep = (
+        (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO)
+        & (F.col("dup_trigram_frac") <= MAX_DUP_TRIGRAM)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM)
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+_SQL_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+ORACLE_DOCS_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS nd,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           AS tri,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1])) AS bi
+  FROM t),
+b AS (
+  SELECT doc_id, g AS bigram, count(*) AS c
+  FROM (SELECT doc_id, unnest(bi) AS g FROM m)
+  GROUP BY 1, 2),
+tb AS (
+  SELECT doc_id, bigram AS top_bigram, c AS top_c FROM (
+    SELECT doc_id, bigram, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, bigram ASC) AS rn
+    FROM b) WHERE rn = 1),
+per_doc AS (
+  SELECT m.doc_id, m.n_tokens,
+         round(nd * 1.0 / n_tokens, 4) AS distinct_ratio,
+         CASE WHEN len(tri) > 0
+              THEN round((len(tri) - len(list_distinct(tri))) * 1.0
+                         / len(tri), 4)
+              ELSE 0.0 END AS dup_trigram_frac,
+         coalesce(top_bigram, '') AS top_bigram,
+         round(coalesce(top_c, 0) * 2.0 / n_tokens, 4) AS top_bigram_frac
+  FROM m LEFT JOIN tb ON m.doc_id = tb.doc_id)
+SELECT doc_id, n_tokens, distinct_ratio, dup_trigram_frac, top_bigram,
+       top_bigram_frac,
+       (distinct_ratio >= {MIN_DISTINCT_RATIO}
+        AND dup_trigram_frac <= {MAX_DUP_TRIGRAM}
+        AND top_bigram_frac <= {MAX_TOP_BIGRAM}) AS keep
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------- PII scrubbing
+def _spark_seeded_text():
+    """text + deterministic PII spans keyed off doc_id (mirrored in the
+    oracle SQL below): every 5th doc gets an e-mail, every 7th an IPv4,
+    every 11th a phone number."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" node at 10."), (did % 256).cast("string"),
+                     F.lit(".0."), (did % 100).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_SQL_SEEDED = """
+concat(text,
+  CASE WHEN doc_id % 5 = 0
+       THEN concat(' contact user', doc_id::VARCHAR, '@example.com')
+       ELSE '' END,
+  CASE WHEN doc_id % 7 = 0
+       THEN concat(' node at 10.', (doc_id % 256)::VARCHAR, '.0.',
+                   (doc_id % 100)::VARCHAR)
+       ELSE '' END,
+  CASE WHEN doc_id % 11 = 0
+       THEN concat(' call 555-', lpad((doc_id % 10000)::VARCHAR, 4, '0'))
+       ELSE '' END)
+"""
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the (deterministically seeded)
+    corpus: per-doc match counts per bank and the md5 of the fully
+    redacted text; emits only documents that contained PII.
+
+    Scale shape: one map-side pass — regexp_extract_all counts and the
+    chained regexp_replace all run inside whole-stage codegen on the
+    scan, no UDF, no shuffle (the final orderBy is presentation). At
+    100 TB this is the cheapest possible shape: scan-bandwidth-bound,
+    trivially parallel, and the redacted output could be written
+    straight back out partition-by-partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = _spark_seeded_text()
+    row = docs.select("doc_id", seeded.alias("_txt"))
+    counts = [
+        F.size(F.regexp_extract_all(F.col("_txt"), F.lit(pat), 0)).alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_BANKS
+    ]
+    redacted = F.col("_txt")
+    for _, pat, token in PII_BANKS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    out = row.select("doc_id", *counts, F.md5(redacted).alias("redacted_md5"))
+    any_pii = None
+    for name, _, _ in PII_BANKS:
+        c = F.col(f"n_{name}") > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.where(any_pii).orderBy("doc_id")
+
+
+_SQL_PII_COUNTS = ",\n       ".join(
+    f"len(regexp_extract_all(_txt, '{pat}')) AS n_{name}"
+    for name, pat, _ in PII_BANKS
+)
+_sql_redacted = "_txt"
+for _name, _pat, _token in PII_BANKS:
+    _sql_redacted = f"regexp_replace({_sql_redacted}, '{_pat}', '{_token}', 'g')"
+
+ORACLE_DOCS_PII_SCRUB = f"""
+WITH seeded AS (
+  SELECT doc_id, {_SQL_SEEDED} AS _txt FROM documents),
+scored AS (
+  SELECT doc_id,
+       {_SQL_PII_COUNTS},
+       md5({_sql_redacted}) AS redacted_md5
+  FROM seeded)
+SELECT * FROM scored
+WHERE n_email > 0 OR n_ipv4 > 0 OR n_phone > 0
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "docs_repetition": q_docs_repetition,
+    "docs_pii_scrub": q_docs_pii_scrub,
+}
+
+ORACLES = {
+    "docs_repetition": ORACLE_DOCS_REPETITION,
+    "docs_pii_scrub": ORACLE_DOCS_PII_SCRUB,
+}
