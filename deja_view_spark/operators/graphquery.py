@@ -140,6 +140,76 @@ def degree_stats(triples: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(
+    triples: DataFrame,
+    pred: str | None = None,
+    iters: int = 10,
+    damping: float = 0.85,
+    undirected: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Entity importance over the triple graph: PageRank restricted to
+    one predicate's edges (partition-pruned scan) or the whole graph.
+
+    Returns (node, rank) with sum(rank) <= 1 (dangling mass is
+    dropped, the usual simplification). ``undirected=True`` mirrors
+    every edge first — right for symmetric predicates (duplicates).
+
+    Scale shape: the canonical MapReduce PageRank — the edge set is
+    localCheckpoint'ed once and reused by every iteration; each
+    iteration is one equi-join on src plus one aggregation on dst
+    (fixed-width rows); ``checkpoint_every`` bounds plan lineage the
+    same way the connected-components loop does (SURVEY §7.4.4). For
+    cross-engine bit-exact parity see the fixed-point integer variant
+    (queries_graph.py); this float form is the KG-side operator where
+    a numpy test oracle, not a SQL hash, is the check."""
+    t = pred_scan(triples, pred) if pred else triples
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    edges = (
+        e.where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_df = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(damping) * F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def duplicate_clusters(triples: DataFrame, min_size: int = 2) -> DataFrame:
     """Canonical duplicate groups from the ``same_as`` partition:
     (canonical, members sorted, size), size >= ``min_size`` — the

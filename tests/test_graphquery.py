@@ -12,6 +12,7 @@ from deja_view_spark.operators.graphquery import (
     degree_stats,
     duplicate_clusters,
     neighbors,
+    pagerank,
     pred_scan,
     resolve_canonical,
     two_hop,
@@ -119,3 +120,56 @@ def test_duplicate_clusters_match_same_as(kg):
     for c in clusters:
         for m in c.members:
             assert (m, c.canonical) in sa
+
+
+def test_pagerank_matches_numpy(spark):
+    # hand graph: star (a->b,c,d) + chain (b->c->d) + cycle (d->a)
+    import numpy as np
+
+    raw = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "d"),
+           ("d", "a")]
+    triples = spark.createDataFrame(
+        [(s, "links", o, 1.0) for s, o in raw],
+        ["subj", "pred", "obj", "weight"],
+    )
+    got = {r.node: r.rank for r in pagerank(triples, iters=12).collect()}
+
+    nodes = sorted({x for e in raw for x in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes))
+    for s, _ in raw:
+        outdeg[idx[s]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(12):
+        c = np.zeros(len(nodes))
+        for s, o in raw:
+            c[idx[o]] += 0.85 * r[idx[s]] / outdeg[idx[s]]
+        r = 0.15 / len(nodes) + c
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u] == pytest.approx(r[idx[u]], abs=1e-12)
+    # no dangling nodes here -> mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_undirected_symmetric(spark):
+    # undirected path graph a-b-c: ends are symmetric, middle ranks top
+    triples = spark.createDataFrame(
+        [("a", "links", "b", 1.0), ("b", "links", "c", 1.0)],
+        ["subj", "pred", "obj", "weight"],
+    )
+    got = {r.node: r.rank for r in
+           pagerank(triples, undirected=True, iters=20).collect()}
+    assert got["a"] == pytest.approx(got["c"], abs=1e-12)
+    assert got["b"] > got["a"]
+
+
+def test_pagerank_on_kg_duplicates(kg):
+    _, triples = kg
+    ranks = pagerank(triples, pred="duplicates", undirected=True, iters=8)
+    rows = ranks.collect()
+    assert rows and all(r.rank > 0 for r in rows)
+    # nodes are exactly the duplicate-edge endpoints
+    dup = pred_scan(triples, "duplicates")
+    want = {r.subj for r in dup.collect()} | {r.obj for r in dup.collect()}
+    assert {r.node for r in rows} == want

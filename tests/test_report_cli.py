@@ -171,5 +171,14 @@ def test_cli_graph_verbs(spark, tmp_path, capsys):
         )
         == 0
     )
+    assert (
+        cli.main(
+            ["graph", "pagerank", "--triples", tdir,
+             "--pred", "duplicates", "--direction", "both", "--limit", "5"]
+        )
+        == 0
+    )
+    assert "PageRank" in capsys.readouterr().out
+
     # missing required args -> exit 2, not a traceback
     assert cli.main(["graph", "neighbors", "--triples", tdir]) == 2

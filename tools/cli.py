@@ -9,7 +9,7 @@ at parquet tables and the distributed operators.
         --output report.md [--threshold 0.8] [--json]
     python tools/cli.py suggest-discussions --input DOCS.parquet [-n 20]
     python tools/cli.py metrics --input DOCS.parquet [--output report.md]
-    python tools/cli.py graph {stats|clusters|neighbors|two-hop} \
+    python tools/cli.py graph {stats|clusters|neighbors|two-hop|pagerank} \
         --triples KG_DIR [--node N] [--pred P --pred2 Q] [--limit 20]
 
 DOCS.parquet is a documents-shaped table (doc_id, text[, ...]) — the
@@ -185,6 +185,7 @@ def cmd_graph(args) -> int:
         degree_stats,
         duplicate_clusters,
         neighbors,
+        pagerank,
         two_hop,
     )
 
@@ -215,6 +216,18 @@ def cmd_graph(args) -> int:
         )
         for r in rows:
             print(f"  -[{r.pred}:{r.weight}]-> {r.neighbor}")
+    elif args.op == "pagerank":
+        rows = (
+            pagerank(triples, pred=args.pred or None,
+                     undirected=args.direction == "both")
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(args.limit)
+            .collect()
+        )
+        print(f"top {len(rows)} nodes by PageRank"
+              + (f" over pred={args.pred}" if args.pred else "") + ":")
+        for r in rows:
+            print(f"  {r.rank:.6f}  {r.node}")
     elif args.op == "two-hop":
         if not (args.pred and args.pred2):
             print("graph two-hop requires --pred and --pred2", file=sys.stderr)
@@ -271,7 +284,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_metrics)
 
     p = sub.add_parser("graph", help="query a materialized kg_triples dir")
-    p.add_argument("op", choices=["stats", "clusters", "neighbors", "two-hop"])
+    p.add_argument(
+        "op",
+        choices=["stats", "clusters", "neighbors", "two-hop", "pagerank"],
+    )
     p.add_argument("--triples", required=True)
     p.add_argument("--node", default="")
     p.add_argument("--pred", default="")
