@@ -27,7 +27,7 @@ quantifiers — no lookaround, no backrefs); floats rounded to 4dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deja_view_spark.queries_text import TOKEN_RE, _shingles_from_toks
@@ -58,11 +58,14 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: distinct-token ratio and duplicated-trigram fraction
     are PURE MAP-SIDE array expressions (size/array_distinct over the
-    shingle arrays — no explode, no shuffle); only the
-    most-frequent-bigram statistic needs a fine-grained
-    (doc_id, bigram) aggregation, which shuffles narrow hashed rows
-    with full map-side combine and no skew (keys are per-document).
-    One tokenize pass feeds all three metrics."""
+    shingle arrays — no explode needed for them); the
+    most-frequent-bigram statistic (a per-doc mode) rides ONE explode
+    whose rows carry the already-computed scalars, so the whole query
+    is one scan + two narrow key-partitioned aggregations — no join,
+    no window sort, no second pass over the text. The mode's
+    tie-break (count desc, bigram asc) is a min-of-struct((-count,
+    bigram)) aggregate, which keeps full map-side combine where a
+    row_number window would force a per-group sort."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
     base = docs.select("doc_id", toks.alias("_toks")).select(
@@ -86,35 +89,37 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_trigram_frac"),
-        F.col("_bi"),
+        # explode_outer keeps token-poor docs (no bigrams) as one
+        # null-bigram row so they survive to the output
+        F.explode_outer("_bi").alias("bigram"),
     )
-    # mode of the bigram multiset: explode -> count -> rank (ties break
-    # lexicographically so both engines emit the same witness bigram)
-    counts = (
-        per_doc.select("doc_id", F.explode("_bi").alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
+    counts = per_doc.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("c"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("distinct_ratio").alias("distinct_ratio"),
+        F.max("dup_trigram_frac").alias("dup_trigram_frac"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bigram"))
-    top_bi = (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", F.col("bigram").alias("top_bigram"),
-                F.col("c").alias("_top_c"))
+    top = counts.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("distinct_ratio").alias("distinct_ratio"),
+        F.max("dup_trigram_frac").alias("dup_trigram_frac"),
+        F.min(
+            F.when(
+                F.col("bigram").isNotNull(),
+                F.struct((-F.col("c")).alias("negc"), F.col("bigram")),
+            )
+        ).alias("_m"),
     )
-    out = (
-        per_doc.drop("_bi")
-        .join(top_bi, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "distinct_ratio",
-            "dup_trigram_frac",
-            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
-            F.round(
-                F.coalesce(F.col("_top_c"), F.lit(0)) * 2.0 / F.col("n_tokens"), 4
-            ).alias("top_bigram_frac"),
-        )
+    out = top.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "dup_trigram_frac",
+        F.coalesce(F.col("_m.bigram"), F.lit("")).alias("top_bigram"),
+        F.round(
+            F.coalesce(-F.col("_m.negc"), F.lit(0)) * 2.0 / F.col("n_tokens"),
+            4,
+        ).alias("top_bigram_frac"),
     )
     keep = (
         (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO)
