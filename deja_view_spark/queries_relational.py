@@ -549,7 +549,92 @@ ORDER BY p_brand
 """
 
 
+# ------------------------------------------- two-role dimension (Q7 shape)
+TRADE_PAIRS = [("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")]
+TRADE_SINCE, TRADE_UNTIL = "1996-01-01", "1997-12-31"
+
+
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the SAME dimension (nation) joined in two roles
+    — supplier nation via lineitem.l_suppkey, customer nation via
+    orders→customer — with a symmetric nation-pair predicate and a
+    per-(pair, year) revenue rollup.
+
+    Scale shape: supplier/customer/nation are broadcast (dims), so the
+    only shuffle is the lineitem↔orders fact-fact join on orderkey;
+    the pair predicate applies AFTER both role joins, but because the
+    dims are broadcast the filter still runs map-side on the fact
+    scan's stage. The nation table enters the plan twice under
+    different aliases — Catalyst treats the two roles as independent
+    broadcasts (no self-join confusion)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair_pred = None
+    for a, b in TRADE_PAIRS:
+        c = (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+        pair_pred = c if pair_pred is None else (pair_pred | c)
+    return (
+        li.where(
+            F.col("l_shipdate").between(TRADE_SINCE, f"{TRADE_UNTIL} 23:59:59")
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair_pred)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_PAIR_SQL = " OR ".join(
+    f"(supp_nation = '{a}' AND cust_nation = '{b}')" for a, b in TRADE_PAIRS
+)
+
+ORACLE_BILATERAL_TRADE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue,
+       count(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '{TRADE_SINCE} 00:00:00'
+                       AND TIMESTAMP '{TRADE_UNTIL} 23:59:59')
+WHERE {_PAIR_SQL}
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 QUERIES = {
+    "bilateral_trade": q_bilateral_trade,
     "events_asof_purchase": q_events_asof_purchase,
     "events_tumbling_weeks": q_events_tumbling_weeks,
     "duplicate_edges_exact": q_duplicate_edges_exact,
@@ -566,6 +651,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bilateral_trade": ORACLE_BILATERAL_TRADE,
     "events_asof_purchase": ORACLE_EVENTS_ASOF,
     "events_tumbling_weeks": ORACLE_EVENTS_TUMBLING,
     "duplicate_edges_exact": ORACLE_DUP_EXACT,
