@@ -201,7 +201,78 @@ FROM documents
 
 
 # ----------------------------------------------------------------- registry
+# -------------------------------------------------- CUBE + grouping flags
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, month): all four grouping-set combinations
+    in ONE pass (Spark plans cube as an Expand + single hash aggregate,
+    not four scans), with grouping() flags distinguishing the subtotal
+    rows from genuine NULL keys — the multidimensional-report shape."""
+    ev = load_table(spark, sf_dir, "events")
+    month = F.month("ts").alias("month")
+    return (
+        ev.select("event_type", month, "value")
+        .cube("event_type", "month")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("month").cast("int").alias("g_month"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type", "month", "g_type", "g_month", "n", "total_value"
+        )
+        .orderBy("g_type", "g_month", "event_type", "month")
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type, month,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(month) AS INTEGER) AS g_month,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM (SELECT event_type, month(ts) AS month, value FROM events)
+GROUP BY CUBE (event_type, month)
+ORDER BY g_type, g_month, event_type, month
+"""
+
+
+# ------------------------------------------------------------------ PIVOT
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity matrix: groupBy(week).pivot(event_type, FIXED
+    value list) — the fixed list keeps the output schema deterministic
+    (no schema-inference scan) and pivot compiles to one hash aggregate
+    with conditional counts, exactly the oracle's CASE sums."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).alias("week")
+    out = (
+        ev.select(week, "event_type")
+        .groupBy("week")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_TYPES)
+        .orderBy("week")
+    )
+    return out
+
+
+ORACLE_EVENTS_PIVOT = f"""
+SELECT date_trunc('week', ts) AS week,
+       {", ".join(
+           f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+           f" AS BIGINT) AS {t}" for t in PIVOT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY week
+"""
+
+
 QUERIES = {
+    "events_cube": q_events_cube,
+    "events_pivot": q_events_pivot,
     "events_wow_metrics": q_events_wow_metrics,
     "events_sessions": q_events_sessions,
     "events_json_props": q_events_json_props,
@@ -210,6 +281,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cube": ORACLE_EVENTS_CUBE,
+    "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_wow_metrics": ORACLE_EVENTS_WOW,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "events_json_props": ORACLE_EVENTS_JSON,
