@@ -292,6 +292,71 @@ ORDER BY src_doc, dst_doc
 """
 
 
+# -------------------------------------------------- edit-distance verify
+# Candidate generation is the SAME df-cutoff inverted index as
+# docs_jaccard_pairs; the verify stage replaces set-overlap Jaccard
+# with character-level Levenshtein similarity
+#   edit_sim = 1 - lev(a, b) / max(len(a), len(b))
+# — the fuzzy-dedup verifier for OCR noise / minor edits where token
+# sets diverge but the byte stream barely moved. Both engines implement
+# the classic unit-cost DP (no transpositions), so values agree
+# exactly.
+EDIT_SIM_MIN = 0.3
+
+
+def q_docs_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-duplicate pairs over Jaccard-candidate pairs
+    (threshold {EDIT_SIM_MIN} on normalized edit similarity).
+
+    Scale shape: candidates come from the one-shuffle hashed-shingle
+    inverted index (df cutoff bounds the quadratic term); the O(len²)
+    Levenshtein DP runs ONLY on the candidate pairs — never all-pairs —
+    after a broadcast of the (small) candidate list into two text
+    lookups. At 100 TB the candidate count, not the corpus, bounds the
+    verify cost, which is the only sane place for a quadratic-in-length
+    kernel."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = q_docs_jaccard_pairs(spark, sf_dir).select("src_doc", "dst_doc")
+    a = docs.select(F.col("doc_id").alias("src_doc"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("dst_doc"), F.col("text").alias("_tb"))
+    scored = (
+        a.join(F.broadcast(cands), "src_doc")
+        .join(b, "dst_doc")
+        .select(
+            "src_doc",
+            "dst_doc",
+            F.levenshtein("_ta", "_tb").alias("lev"),
+            F.round(
+                1
+                - F.levenshtein("_ta", "_tb")
+                / F.greatest(F.length("_ta"), F.length("_tb")),
+                4,
+            ).alias("edit_sim"),
+        )
+        .where(F.col("edit_sim") >= EDIT_SIM_MIN)
+    )
+    return scored.orderBy("src_doc", "dst_doc")
+
+
+_JACCARD_CAND_SQL = ORACLE_DOCS_JACCARD.rsplit("ORDER BY", 1)[0]
+
+ORACLE_DOCS_EDITDISTANCE = f"""
+WITH cand AS ({_JACCARD_CAND_SQL}),
+scored AS (
+  SELECT src_doc, dst_doc,
+         levenshtein(a.text, b.text) AS lev,
+         round(1 - levenshtein(a.text, b.text) * 1.0 /
+               greatest(length(a.text), length(b.text)), 4) AS edit_sim
+  FROM cand
+  JOIN documents a ON cand.src_doc = a.doc_id
+  JOIN documents b ON cand.dst_doc = b.doc_id)
+SELECT src_doc, dst_doc, lev, edit_sim
+FROM scored
+WHERE edit_sim >= {EDIT_SIM_MIN}
+ORDER BY src_doc, dst_doc
+"""
+
+
 # ------------------------------------------------------ embedding near-dup
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4),
@@ -339,6 +404,7 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "docs_editdistance_pairs": q_docs_editdistance_pairs,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -347,6 +413,7 @@ ORACLES = {
     "docs_quality": ORACLE_DOCS_QUALITY,
     "docs_fingerprint": ORACLE_DOCS_FINGERPRINT,
     "docs_jaccard_pairs": ORACLE_DOCS_JACCARD,
+    "docs_editdistance_pairs": ORACLE_DOCS_EDITDISTANCE,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
 }
 
