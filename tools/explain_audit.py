@@ -138,6 +138,43 @@ CHECKS = [
         [r"BroadcastHashJoin", PARTIAL_AGG],
         [r"SortMergeJoin", r"ShuffledHashJoin"],
     ),
+    # Q7 shape: nation enters twice under different role aliases; every
+    # dim broadcasts; shipdate range pushed to the scan
+    (
+        "bilateral_trade",
+        [r"BroadcastHashJoin", r"PushedFilters: \[IsNotNull\(l_shipdate\)",
+         PARTIAL_AGG],
+        [],
+    ),
+    # CUBE: all four grouping sets in ONE Expand + hash agg (no
+    # union-of-scans), with map-side partial aggregation
+    ("events_cube", [r"Expand", PARTIAL_AGG], []),
+    # PIVOT with a fixed value list compiles to conditional partial
+    # counts — one agg pass, no per-value scan, no Python
+    (
+        "events_pivot",
+        [PARTIAL_AGG],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # Gopher repetition gate: per-doc scalars ride the bigram explode
+    # (Generate), mode is min-of-struct — aggregation only, no join, no
+    # window sort, no Python
+    (
+        "docs_repetition",
+        [r"Generate", PARTIAL_AGG],
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # PII scrub: one map-side regexp pass over the scan — no shuffle
+    # before the presentation sort, no Python evaluator
+    (
+        "docs_pii_scrub",
+        [r"regexp_replace"],
+        [r"Exchange hashpartitioning", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # edit-distance verify: levenshtein confined to the candidate join
+    # (candidates broadcast), never a corpus self-join
+    ("docs_editdistance_pairs", [r"levenshtein", r"BroadcastHashJoin"], []),
 ]
 
 
