@@ -52,6 +52,46 @@ PII_BANKS = [("email", EMAIL_RE, "<EMAIL>"),
              ("phone", PHONE_RE, "<PHONE>")]
 
 
+# ------------------------------------------- reusable column builders
+# (shared with streaming/quality.py — the streaming gate/scrubber are
+# the SAME column expressions bound to a readStream source)
+def repetition_scalar_cols(toks):
+    """Map-side repetition metrics from a token-array column:
+    (n_tokens, distinct_ratio, dup_trigram_frac) — the shuffle-free
+    subset of the Gopher gate (the most-frequent-bigram mass needs an
+    aggregation and stays batch/windowed)."""
+    tri = _shingles_from_toks(toks, 3)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    distinct_ratio = F.round(nd / n, 4)
+    dup_tri = (
+        F.when(
+            F.size(tri) > 0,
+            F.round(
+                (F.size(tri) - F.size(F.array_distinct(tri))) / F.size(tri), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return n, distinct_ratio, dup_tri
+
+
+def pii_count_cols(txt):
+    """One match-count column per PII bank, aliased n_<bank>."""
+    return [
+        F.size(F.regexp_extract_all(txt, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_BANKS
+    ]
+
+
+def pii_redact_col(txt):
+    """The fully redacted text (banks applied in declaration order)."""
+    red = txt
+    for _, pat, token in PII_BANKS:
+        red = F.regexp_replace(red, pat, token)
+    return red
+
+
 # -------------------------------------------------- repetition quality gate
 def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics + keep gate (Gopher filters).
@@ -68,30 +108,18 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window would force a per-group sort."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
-    base = docs.select("doc_id", toks.alias("_toks")).select(
-        "doc_id",
-        F.size("_toks").alias("n_tokens"),
-        F.size(F.array_distinct("_toks")).alias("_nd"),
-        _shingles_from_toks(F.col("_toks"), 3).alias("_tri"),
-        _shingles_from_toks(F.col("_toks"), 2).alias("_bi"),
-    )
+    base = docs.select("doc_id", toks.alias("_toks"))
+    n, dr, dt = repetition_scalar_cols(F.col("_toks"))
     per_doc = base.select(
         "doc_id",
-        "n_tokens",
-        F.round(F.col("_nd") / F.col("n_tokens"), 4).alias("distinct_ratio"),
-        F.when(
-            F.size("_tri") > 0,
-            F.round(
-                (F.size("_tri") - F.size(F.array_distinct("_tri")))
-                / F.size("_tri"),
-                4,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_trigram_frac"),
+        n.alias("n_tokens"),
+        dr.alias("distinct_ratio"),
+        dt.alias("dup_trigram_frac"),
         # explode_outer keeps token-poor docs (no bigrams) as one
         # null-bigram row so they survive to the output
-        F.explode_outer("_bi").alias("bigram"),
+        F.explode_outer(_shingles_from_toks(F.col("_toks"), 2)).alias(
+            "bigram"
+        ),
     )
     counts = per_doc.groupBy("doc_id", "bigram").agg(
         F.count("*").alias("c"),
@@ -229,16 +257,11 @@ def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     seeded = _spark_seeded_text()
     row = docs.select("doc_id", seeded.alias("_txt"))
-    counts = [
-        F.size(F.regexp_extract_all(F.col("_txt"), F.lit(pat), 0)).alias(
-            f"n_{name}"
-        )
-        for name, pat, _ in PII_BANKS
-    ]
-    redacted = F.col("_txt")
-    for _, pat, token in PII_BANKS:
-        redacted = F.regexp_replace(redacted, pat, token)
-    out = row.select("doc_id", *counts, F.md5(redacted).alias("redacted_md5"))
+    out = row.select(
+        "doc_id",
+        *pii_count_cols(F.col("_txt")),
+        F.md5(pii_redact_col(F.col("_txt"))).alias("redacted_md5"),
+    )
     any_pii = None
     for name, _, _ in PII_BANKS:
         c = F.col(f"n_{name}") > 0
