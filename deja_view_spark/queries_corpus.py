@@ -380,12 +380,210 @@ ORDER BY lang, source
 """
 
 
+# ------------------------------------------------- line-level dedup (CCNet)
+# CCNet-style segment-level deduplication: hash every text segment,
+# count how many DISTINCT documents each segment appears in, and flag
+# segments above the document-frequency cutoff as boilerplate. The
+# corpus ships newline-free text, so "lines" are deterministic
+# fixed-width token windows (LINE_W tokens, non-overlapping); on a real
+# crawl the segmenter is split('\n') and everything downstream is
+# identical. A document whose duplicated-segment fraction exceeds
+# DOC_DUP_FRAC is dropped (the doc-level consequence CCNet applies
+# after paragraph dedup).
+LINE_W = 8        # tokens per segment
+LINE_DF = 2       # segment in >= this many distinct docs -> duplicated
+DOC_DUP_FRAC = 0.5  # drop docs with more than half their segments duplicated
+
+
+def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (segment) dedup census: per document, how many of its
+    {LINE_W}-token segments are corpus-wide boilerplate (present in >=
+    {LINE_DF} distinct docs), and the resulting keep/drop decision.
+
+    Scale shape: segments shuffle as xxhash64 longs, never strings —
+    one aggregation keyed on the segment hash computes document
+    frequency (countDistinct doc), one long-keyed equi-join carries df
+    back to the per-(doc, segment) stream, one final per-doc
+    aggregation. No window over the corpus, no driver state; both
+    aggregations are partial-agg friendly. A hash collision
+    (~#segments²/2⁶⁴) could merge two segments; the DuckDB oracle
+    joins on the raw segment string, so the green hash doubles as a
+    no-collision witness at test scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    nseg = F.ceil(F.size("toks") / LINE_W).cast("int")
+    # guard size==0: Spark's sequence(1,0) yields DESCENDING [1,0]
+    idx = F.when(F.size("toks") > 0, F.sequence(F.lit(1), nseg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice("toks", (i - 1) * LINE_W + 1, LINE_W)
+                    ),
+                )
+            ).alias("seg"),
+        )
+        .select("doc_id", F.xxhash64("seg").alias("h"))
+    )
+    df_ = segs.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        segs.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum((F.col("df") >= LINE_DF).cast("long")).alias("n_dup_segs"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_segs") / F.col("n_segs"), 4)
+        )
+        .withColumn("keep", F.col("dup_frac") <= DOC_DUP_FRAC)
+    )
+    return per_doc.select(
+        "doc_id", "n_segs", "n_dup_segs", "dup_frac", "keep"
+    ).orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+segs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, CAST(ceil(len(toks) / {LINE_W}.0) AS INT)),
+           i -> array_to_string(
+                  list_slice(toks, (i - 1) * {LINE_W} + 1, i * {LINE_W}),
+                  ' '))) AS seg
+  FROM t WHERE len(toks) > 0),
+df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+SELECT doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN df >= {LINE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segs,
+       round(sum(CASE WHEN df >= {LINE_DF} THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS dup_frac,
+       (sum(CASE WHEN df >= {LINE_DF} THEN 1 ELSE 0 END) * 1.0 / count(*)
+        <= {DOC_DUP_FRAC}) AS keep
+FROM segs JOIN df USING (seg)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------- KMV distinct-count sketch
+# K-minimum-values sketch: the K smallest hash values of a set
+# determine an unbiased distinct-count estimate D ~ (K-1)/r_K where
+# r_K is the K-th minimum normalized to [0,1]. Unlike
+# approx_count_distinct (whose HLL is engine-specific), KMV over a
+# shared hash (md5) is DETERMINISTIC and cross-engine reproducible, so
+# the estimate itself carries a full value-hash oracle. Estimated set:
+# distinct 3-gram shingles per language.
+KMV_K = 64
+# Map-side pre-filter: only hashes with first hex digit < '4' (top 2
+# bits zero, p = 1/4) survive to the shuffle. The K-th minimum is far
+# below the cutoff whenever distinct >> K/p, so the estimate is
+# unchanged; the shuffle carries ~p of the distinct values instead of
+# all of them. Groups with fewer than K survivors fall back to the
+# plain hash-sampling estimate survivors/p (deterministic too).
+KMV_PREFILTER = "4"  # hex prefix cutoff, keep h < '4...'
+KMV_INV_P = 4
+_HEX60 = 1 << 60  # first 15 hex digits of md5 -> 60-bit integer
+
+
+def _sql_hex60(col: str) -> str:
+    """DuckDB: numeric value of the first 15 hex digits of ``col``
+    (md5 hex string) — digit-positional sum, BIGINT-safe (< 2^60)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}::BIGINT"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def q_docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-shingle cardinality estimate via a
+    K-minimum-values sketch (K={KMV_K}, md5 as the shared hash).
+
+    Scale shape: the hash + pre-filter are map-side (only ~1/{KMV_INV_P}
+    of distinct shingle hashes reach the shuffle); the distinct and the
+    per-language top-K window then run over that thin slice — the
+    full-corpus distinct set is never shuffled, which is the entire
+    point of the sketch. The estimate arithmetic is integer-only
+    ((K-1)·2^60 DIV value, DECIMAL(38,0) intermediate), so both engines
+    agree bit-for-bit — no float division in the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang", F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh")
+    )
+    hashed = (
+        sh.select("lang", F.md5("sh").alias("h"))
+        .where(F.col("h") < KMV_PREFILTER)
+        .distinct()
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    topk = hashed.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KMV_K
+    )
+    agg = topk.groupBy("lang").agg(
+        F.max("rk").alias("n_seen"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_seen") >= KMV_K,
+        F.expr(
+            f"CAST(CAST({(KMV_K - 1) * _HEX60} AS DECIMAL(38,0))"
+            f" DIV CAST(conv(substr(kth_hash, 1, 15), 16, 10) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ),
+    ).otherwise(F.col("n_seen").cast("long") * KMV_INV_P)
+    return (
+        agg.select(
+            "lang",
+            F.col("n_seen").cast("int").alias("n_seen"),
+            "kth_hash",
+            est.alias("est_distinct"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_KMV_DISTINCT = f"""
+WITH s AS (
+  SELECT DISTINCT lang,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3),
+hashed AS (
+  SELECT DISTINCT lang, md5(sh) AS h FROM s WHERE md5(sh) < '{KMV_PREFILTER}'),
+topk AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+  FROM hashed QUALIFY rk <= {KMV_K}),
+agg AS (
+  SELECT lang, max(rk) AS n_seen, max(h) AS kth_hash FROM topk GROUP BY lang)
+SELECT lang, CAST(n_seen AS INT) AS n_seen, kth_hash,
+       CAST(CASE WHEN n_seen >= {KMV_K}
+                 THEN {(KMV_K - 1) * _HEX60}::HUGEINT
+                      // {_sql_hex60('kth_hash')}::HUGEINT
+                 ELSE n_seen * {KMV_INV_P} END AS BIGINT) AS est_distinct
+FROM agg
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_pack_shards": q_docs_pack_shards,
     "docs_tfidf_topterms": q_docs_tfidf_topterms,
     "docs_decontaminate": q_docs_decontaminate,
     "corpus_clean": q_corpus_clean,
+    "docs_line_dedup": q_docs_line_dedup,
+    "docs_kmv_distinct": q_docs_kmv_distinct,
 }
 
 ORACLES = {
@@ -394,4 +592,6 @@ ORACLES = {
     "docs_tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "docs_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_clean": ORACLE_CORPUS_CLEAN,
+    "docs_line_dedup": ORACLE_LINE_DEDUP,
+    "docs_kmv_distinct": ORACLE_KMV_DISTINCT,
 }

@@ -1,5 +1,9 @@
 """Graph-analytics queries (driver-checkable).
 
+``events_triangles`` — per-vertex triangle counts over the undirected
+co-engagement graph via degree orientation (wedge join bounded by
+O(sqrt(m)) out-neighborhoods, each triangle emitted once).
+
 ``events_pagerank`` — PageRank over the user co-engagement graph
 derived from the events table, in FIXED-POINT INTEGER arithmetic so
 the iterative computation is bit-exact across engines and partition
@@ -41,7 +45,8 @@ DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a ratio
 ITERS = 8
 
 
-def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed distinct co-engagement chain edges (see module doc)."""
     ev = load_table(spark, sf_dir, "events")
     item = F.get_json_object("props", "$.k").cast("long")
     touched = ev.select(item.alias("item"), "user_id").distinct()
@@ -53,7 +58,7 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_idx = F.when(
         F.size("us") > 1, F.sequence(F.lit(1), F.size("us") - 1)
     ).otherwise(F.array().cast("array<int>"))
-    edges = (
+    return (
         chains.select(
             F.explode(
                 F.transform(
@@ -68,7 +73,12 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)  # reused by every iteration
+    )
+
+
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(
+        eager=True  # reused by every iteration
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -156,5 +166,104 @@ SELECT node, rank FROM {prev} ORDER BY node
 
 ORACLE_EVENTS_PAGERANK = _oracle_pagerank()
 
-QUERIES = {"events_pagerank": q_events_pagerank}
-ORACLES = {"events_pagerank": ORACLE_EVENTS_PAGERANK}
+
+# ------------------------------------------------------ triangle counting
+def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle participation counts over the (undirected)
+    co-engagement graph — the clustering-coefficient numerator, the
+    standard community-density signal.
+
+    Scale shape: DEGREE ORIENTATION. Each undirected edge is directed
+    from its lower-(degree, id) endpoint to the higher one, so every
+    out-neighborhood is O(sqrt(m)) even on power-law graphs — the wedge
+    self-join (the quadratic step) is bounded by the orientation, not
+    by the hottest vertex's true degree. One self-join on the wedge
+    apex + one semi-join against the oriented edge set closes the
+    wedges; each triangle is emitted exactly once and exploded to its
+    three corners for the per-vertex census. The oracle counts the
+    same triangles with the plain id-ordered three-way join (a < b < c
+    — fine at oracle scale, hot-vertex-quadratic at corpus scale)."""
+    und = (
+        _chain_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: degrees + wedges + closure
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, id): out-degree <= O(sqrt(m)) per vertex
+    withdeg = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    # wedges u -> {v, w} with v ≺ w in the (deg, id) order (each
+    # unordered wedge once); closure edge is then oriented v -> w
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi").select("u", "x", "y")
+    corners = tris.select(
+        F.explode(F.array("u", "x", "y")).alias("node")
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+ORACLE_EVENTS_TRIANGLES = """
+WITH touched AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         user_id
+  FROM events),
+chains AS (
+  SELECT item, list_sort(list(user_id)) AS us FROM touched GROUP BY item),
+edges AS (
+  SELECT DISTINCT us[i] AS src, us[i + 1] AS dst
+  FROM (SELECT us, unnest(generate_series(1, len(us) - 1)) AS i FROM chains)
+  WHERE us[i] <> us[i + 1]),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, count(*) AS n_triangles
+FROM corners
+GROUP BY node
+ORDER BY node
+"""
+
+QUERIES = {
+    "events_pagerank": q_events_pagerank,
+    "events_triangles": q_events_triangles,
+}
+ORACLES = {
+    "events_pagerank": ORACLE_EVENTS_PAGERANK,
+    "events_triangles": ORACLE_EVENTS_TRIANGLES,
+}

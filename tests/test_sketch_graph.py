@@ -1,0 +1,163 @@
+"""Line-level dedup, KMV distinct-count sketch, and triangle counting
+(queries_corpus.py, queries_graph.py).
+
+Each operator is checked against an independent small-scale oracle —
+planted duplicates for line dedup, the true distinct count for KMV,
+brute-force all-triples for triangles — on engine-synthesized inputs
+(the registry queries' DuckDB value-hash parity is the driver's job)."""
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deja_view_spark.queries_corpus import (
+    DOC_DUP_FRAC,
+    KMV_K,
+    LINE_DF,
+    LINE_W,
+    q_docs_kmv_distinct,
+    q_docs_line_dedup,
+)
+from deja_view_spark.queries_graph import q_events_triangles
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ line dedup
+def test_line_dedup_flags_planted_boilerplate(spark, tmp_path):
+    """A segment shared verbatim by LINE_DF docs is flagged in both;
+    unique segments never are; the doc-level keep flag follows the
+    duplicated fraction."""
+    boiler = " ".join(f"b{i}" for i in range(LINE_W))
+    uniq = lambda d, s: " ".join(f"u{d}x{s}n{i}" for i in range(LINE_W))  # noqa: E731
+    rows = [
+        # doc 0: all boilerplate (2 segments, both shared with doc 1)
+        (0, boiler + " " + boiler, "en", "a", 0),
+        (1, boiler + " " + boiler, "en", "a", 0),
+        # doc 2: half boilerplate -> dup_frac == 0.5 stays kept
+        (2, boiler + " " + uniq(2, 0), "en", "a", 0),
+        # doc 3: fully unique
+        (3, uniq(3, 0) + " " + uniq(3, 1), "en", "a", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in q_docs_line_dedup(spark, d).collect()
+    }
+    assert out[0]["n_segs"] == 2 and out[0]["n_dup_segs"] == 2
+    assert not out[0]["keep"] and not out[1]["keep"]
+    assert out[2]["n_dup_segs"] == 1 and out[2]["dup_frac"] == 0.5
+    assert out[2]["keep"]  # exactly at the threshold -> kept
+    assert out[3]["n_dup_segs"] == 0 and out[3]["keep"]
+    assert LINE_DF == 2 and DOC_DUP_FRAC == 0.5  # values the plants assume
+
+
+def test_line_dedup_deterministic_rerun(spark):
+    a = q_docs_line_dedup(spark, SF)
+    b = q_docs_line_dedup(spark, SF)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ------------------------------------------------------------ KMV sketch
+def test_kmv_estimate_accuracy(spark):
+    """The KMV estimate must land within the sketch's statistical
+    error of the true per-language distinct-shingle count. The
+    relative standard error of a K-minimum-values estimator is
+    ~1/sqrt(K-2); 5 sigma at K=64 is ~64%, we assert 50% which the
+    deterministic md5 hash comfortably meets on this corpus."""
+    from deja_view_spark.queries_text import _shingle_col
+    from deja_view_spark.sources.catalog import load_table
+
+    est = {
+        r["lang"]: (r["n_seen"], r["est_distinct"])
+        for r in q_docs_kmv_distinct(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    truth = {
+        r["lang"]: r["d"]
+        for r in docs.select(
+            "lang",
+            F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh"),
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("sh").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for lang, (n_seen, e) in est.items():
+        t = truth[lang]
+        if n_seen >= KMV_K:
+            assert abs(e - t) / t < 0.5, (lang, e, t)
+        else:  # sampling fallback: inverse-probability scaled survivors
+            assert e == n_seen * 4
+
+
+# ------------------------------------------------------------- triangles
+def _brute_triangles(edges):
+    """All-triples oracle over an explicit undirected edge set."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in es for v in e})
+    counts = dict.fromkeys(nodes, 0)
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for v in (a, b, c):
+                counts[v] += 1
+    return {v: c for v, c in counts.items() if c > 0}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_triangles_match_bruteforce(spark, tmp_path, seed):
+    """Degree-oriented counting equals the all-triples oracle on a
+    random graph, planted via an events table whose co-engagement
+    chains reproduce exactly the wanted edge set (one 2-user item per
+    edge)."""
+    n = 40
+    edges = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if (a * 131 + b * 17 + seed) % 7 == 0
+    ]
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        for u in (a, b):
+            rows.append((u, "touch", f'{{"k": {i}}}', "2024-01-01T00:00:00"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, props string, ts string"
+    ).select(
+        "user_id", "event_type", "props", F.col("ts").cast("timestamp").alias("ts")
+    )
+    d = str(tmp_path / "ev")
+    ev.write.parquet(d + "/events.parquet")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in q_events_triangles(spark, d).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_each_emitted_once_total(spark, tmp_path):
+    """Sum of per-vertex counts is exactly 3x the number of distinct
+    triangles (here: K4 = 4 triangles, every vertex in 3)."""
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        for u in (a, b):
+            rows.append((u, "touch", f'{{"k": {i}}}', "2024-01-01T00:00:00"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, props string, ts string"
+    ).select(
+        "user_id", "event_type", "props", F.col("ts").cast("timestamp").alias("ts")
+    )
+    d = str(tmp_path / "k4")
+    ev.write.parquet(d + "/events.parquet")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in q_events_triangles(spark, d).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
