@@ -259,11 +259,113 @@ GROUP BY node
 ORDER BY node
 """
 
+# --------------------------------------- duplicate clusters (CC as a query)
+# The KG canonicalization step in driver-checkable form: connected
+# components over the near-duplicate pair graph (docs_jaccard_pairs),
+# computed as CC_ITERS rounds of synchronous min-label propagation.
+# Fixed-round semantics make the output well-defined on BOTH engines
+# whether or not the labels have converged (they have, at any tested
+# scale: near-dup clusters are shallow); the oracle unrolls the same
+# rounds as chained CTEs, so the full value hash must match.
+CC_ITERS = 8
+
+
+def q_docs_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup cluster assignment: transitive closure of the
+    Jaccard near-duplicate pairs, one row per clustered document with
+    its cluster id (min doc_id reachable in {CC_ITERS} hops), the
+    cluster size, and the keep/drop decision (keep the representative,
+    drop the other members) — the decision a dedup pipeline acts on.
+
+    Scale shape: the edge list is checkpointed once and every round is
+    one long-keyed join + one min-aggregation (the label-propagation
+    CC plan; operators/components.py holds the alternating large/small
+    star variant for high-diameter graphs). Labels shuffle as (long,
+    long) rows; cluster sizes are one extra aggregation at the end."""
+    from deja_view_spark.queries_text import q_docs_jaccard_pairs
+
+    pairs = q_docs_jaccard_pairs(spark, sf_dir).select("src_doc", "dst_doc")
+    mirrored = pairs.unionByName(
+        pairs.select(
+            F.col("dst_doc").alias("src_doc"), F.col("src_doc").alias("dst_doc")
+        )
+    )
+    # self-loops make each round ONE join + agg over the CLOSED
+    # neighborhood (min over N(v) ∪ {v}), so the plan lineage grows
+    # linearly in rounds — a labels-referenced-twice formulation
+    # doubles the plan per round (2^ITERS blowup)
+    edges = (
+        mirrored.unionByName(
+            mirrored.select("src_doc").distinct().select(
+                "src_doc", F.col("src_doc").alias("dst_doc")
+            )
+        )
+        .localCheckpoint(eager=True)  # reused by every round
+    )
+    labels = edges.select(F.col("src_doc").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(CC_ITERS):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "src_doc"), "src_doc")
+            .groupBy(F.col("dst_doc").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_docs"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "n_docs",
+            (F.col("node") == F.col("label")).alias("is_rep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_duplicate_clusters() -> str:
+    from deja_view_spark.queries_text import ORACLE_DOCS_JACCARD
+
+    iters = []
+    prev = "l0"
+    for i in range(1, CC_ITERS + 1):
+        iters.append(f"""
+l{i} AS (
+  SELECT e.dst_doc AS node, min(p.label) AS label
+  FROM edges e JOIN {prev} p ON e.src_doc = p.node
+  GROUP BY e.dst_doc)""")
+        prev = f"l{i}"
+    chain = ",".join(iters)
+    return f"""
+WITH pairs AS (
+  SELECT src_doc, dst_doc FROM ({ORACLE_DOCS_JACCARD})),
+mirrored AS (
+  SELECT src_doc, dst_doc FROM pairs
+  UNION ALL SELECT dst_doc, src_doc FROM pairs),
+edges AS (
+  SELECT src_doc, dst_doc FROM mirrored
+  UNION ALL SELECT DISTINCT src_doc, src_doc FROM mirrored),
+l0 AS (
+  SELECT DISTINCT src_doc AS node, src_doc AS label FROM edges),{chain}
+SELECT l.node AS doc_id, l.label AS cluster_id, s.n_docs,
+       (l.node = l.label) AS is_rep
+FROM {prev} l
+JOIN (SELECT label, count(*) AS n_docs FROM {prev} GROUP BY label) s
+  ON l.label = s.label
+ORDER BY doc_id
+"""
+
+
+ORACLE_DOCS_DUPLICATE_CLUSTERS = _oracle_duplicate_clusters()
+
 QUERIES = {
     "events_pagerank": q_events_pagerank,
     "events_triangles": q_events_triangles,
+    "docs_duplicate_clusters": q_docs_duplicate_clusters,
 }
 ORACLES = {
     "events_pagerank": ORACLE_EVENTS_PAGERANK,
     "events_triangles": ORACLE_EVENTS_TRIANGLES,
+    "docs_duplicate_clusters": ORACLE_DOCS_DUPLICATE_CLUSTERS,
 }

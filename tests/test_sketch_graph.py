@@ -19,7 +19,10 @@ from deja_view_spark.queries_corpus import (
     q_docs_kmv_distinct,
     q_docs_line_dedup,
 )
-from deja_view_spark.queries_graph import q_events_triangles
+from deja_view_spark.queries_graph import (
+    q_docs_duplicate_clusters,
+    q_events_triangles,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -95,6 +98,30 @@ def test_kmv_estimate_accuracy(spark):
             assert abs(e - t) / t < 0.5, (lang, e, t)
         else:  # sampling fallback: inverse-probability scaled survivors
             assert e == n_seen * 4
+
+
+# ----------------------------------------------------- duplicate clusters
+def test_duplicate_clusters_transitive_chain(spark, tmp_path):
+    """A ~ B and B ~ C (but A !~ C) must land in ONE cluster with the
+    min doc_id as representative: the transitive closure a pairwise
+    dedup can't see. Block construction: 12-token blocks X, Y; doc1 =
+    X+U1, doc2 = X+Y, doc3 = Y+U3 -> shingle Jaccard(1,2) = 10/34 ≈
+    0.29 >= 0.2, Jaccard(1,3) = 0."""
+    blk = lambda p: " ".join(f"{p}{i}" for i in range(12))  # noqa: E731
+    rows = [
+        (1, blk("x") + " " + blk("u"), "en", "a", 0),
+        (2, blk("x") + " " + blk("y"), "en", "a", 0),
+        (3, blk("y") + " " + blk("w"), "en", "a", 0),
+        (9, blk("q") + " " + blk("r"), "en", "a", 0),  # no near-dups
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "chain")
+    df.write.parquet(d + "/documents.parquet")
+    out = q_docs_duplicate_clusters(spark, d).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["n_docs"], r["is_rep"]) for r in out}
+    assert got == {1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False)}
 
 
 # ------------------------------------------------------------- triangles
