@@ -410,3 +410,137 @@ ORDER BY event_type
 
 QUERIES["events_ts_parse"] = q_events_ts_parse
 ORACLES["events_ts_parse"] = ORACLE_EVENTS_TS_PARSE
+
+
+# ------------------------------------------- RANGE-frame moving average
+# Window-FRAME coverage: a RANGE frame over an integer day key (7-day
+# trailing moving average) plus a ROWS-unbounded running cumulative sum
+# in the same window spec family. The RANGE frame is keyed on an
+# integer day ordinal, not an interval literal, so Spark
+# (rangeBetween(-6, 0)) and DuckDB (RANGE BETWEEN 6 PRECEDING AND
+# CURRENT ROW) agree exactly; float outputs are rounded. Scale shape:
+# one partial-agg shuffle to the per-(user, day) grain, then windows
+# partitioned BY USER — parallel across users, never a global sort.
+MOVAVG_MAX_USER = 30
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < MOVAVG_MAX_USER
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("day_value"),
+    ).withColumn("day_ord", F.datediff("day", F.lit("1970-01-01")))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("day_ord")
+        .rangeBetween(-6, 0)
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("day_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "user_id",
+            "day",
+            "n_events",
+            F.round(F.avg("day_value").over(w7), 4).alias("ma7_value"),
+            F.sum("n_events").over(wcum).alias("cum_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_EVENTS_MOVING_AVG = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events,
+         round(sum(value), 4) AS day_value,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_ord
+  FROM events
+  WHERE user_id < {MOVAVG_MAX_USER}
+  GROUP BY user_id, CAST(ts AS DATE))
+SELECT user_id, day, n_events,
+       round(avg(day_value) OVER (
+         PARTITION BY user_id ORDER BY day_ord
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7_value,
+       CAST(sum(n_events) OVER (
+         PARTITION BY user_id ORDER BY day_ord
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_events
+FROM daily
+ORDER BY user_id, day
+"""
+
+QUERIES["events_moving_avg"] = q_events_moving_avg
+ORACLES["events_moving_avg"] = ORACLE_EVENTS_MOVING_AVG
+
+
+# ------------------------------------------------------- FULL OUTER join
+# Join-type coverage: FULL OUTER between two per-user aggregates with
+# asymmetric membership (heavy clickers vs heavy purchasers), the
+# "compare two cohorts, keep everyone" report shape. Scale shape: both
+# sides partial-aggregate before the join, the join shuffles on the
+# user key; at 100 TB this is the same co-partitioned SMJ as any
+# fact-fact equi-join (or a bucketed exchange-free one, see
+# sources/bucketed.py).
+COHORT_MIN = 15
+
+
+def q_events_cohort_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+        .where(F.col("n_clicks") >= COHORT_MIN)
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+        .where(F.col("n_purchases") >= COHORT_MIN)
+    )
+    joined = clicks.join(buys, "user_id", "full_outer")
+    status = (
+        F.when(F.col("n_clicks").isNull(), F.lit("purchase_only"))
+        .when(F.col("n_purchases").isNull(), F.lit("click_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            status.alias("status"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_COHORT_FULL_OUTER = f"""
+WITH clicks AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+  HAVING count(*) >= {COHORT_MIN}),
+buys AS (
+  SELECT user_id, count(*) AS n_purchases FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+  HAVING count(*) >= {COHORT_MIN})
+SELECT coalesce(c.user_id, b.user_id) AS user_id,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases,
+       CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+            WHEN b.user_id IS NULL THEN 'click_only'
+            ELSE 'both' END AS status
+FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+ORDER BY user_id
+"""
+
+QUERIES["events_cohort_full_outer"] = q_events_cohort_full_outer
+ORACLES["events_cohort_full_outer"] = ORACLE_EVENTS_COHORT_FULL_OUTER

@@ -740,3 +740,57 @@ ORDER BY lang
 
 QUERIES["docs_bpe_token_stats"] = q_docs_bpe_token_stats
 ORACLES["docs_bpe_token_stats"] = ORACLE_DOCS_BPE_TOKEN_STATS
+
+
+# ------------------------------------------------ BPE merge-pair census
+# One step of BPE vocabulary induction: the corpus-wide frequency of
+# adjacent token pairs — the statistic a BPE trainer maximizes when
+# choosing the next merge. Top-K with a full deterministic tie-break.
+# Scale shape: the pair stream is generated in-row from the token
+# array (no self-join), partial-aggregates map-side, and the global
+# top-K is a TakeOrdered over the (pair, count) aggregate — the same
+# two-shuffle plan at any corpus size.
+BPE_MERGE_TOP_K = 20
+
+
+def q_docs_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    pair_idx = F.when(
+        F.size("toks") > 1, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = docs.select(toks.alias("toks")).select(
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_MERGE_TOP_K)
+    )
+
+
+ORACLE_DOCS_BPE_MERGE = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> concat_ws(' ', toks[i], toks[i+1]))) AS pair
+  FROM t WHERE len(toks) >= 2)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_MERGE_TOP_K}
+"""
+
+QUERIES["docs_bpe_merge_pairs"] = q_docs_bpe_merge_pairs
+ORACLES["docs_bpe_merge_pairs"] = ORACLE_DOCS_BPE_MERGE
