@@ -5,7 +5,7 @@ shipping-priority join (TPC-H Q3 shape) exercising broadcast dim joins
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deja_view_spark.functions.similarity import duckdb_cosine_sql
@@ -665,3 +665,84 @@ ORACLES = {
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
     "small_quantity_revenue": ORACLE_SMALL_QTY_REVENUE,
 }
+
+
+# ----------------------------------------- histogram-quantile sketch
+# The single-pass SCALE companion to q_docs_length_percentiles: exact
+# per-group percentiles sort every value; the histogram sketch needs
+# one partial-agg shuffle over a FIXED key space (lang x bin) and a
+# window over #bins rows per group, so its memory is O(domain/W) no
+# matter how many documents exist. Quantile q is read off the
+# cumulative histogram with linear interpolation inside the owning
+# bin — rank arithmetic is integer-only, one float division at the
+# end, identical in both engines.
+HIST_BIN_W = 25  # n_chars per bin
+HIST_QS = (50, 90, 99)
+
+
+def q_docs_length_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bins = (
+        docs.select("lang", (F.floor(F.col("n_chars") / HIST_BIN_W)).alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("lang")
+    cum = bins.select(
+        "lang",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for q in HIST_QS:
+        rank = F.ceil(F.col("n") * q / 100)
+        owning = (rank > F.col("cum") - F.col("cnt")) & (rank <= F.col("cum"))
+        est = (
+            F.col("bin") * HIST_BIN_W
+            + HIST_BIN_W
+            * (rank - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+        )
+        aggs.append(
+            F.round(F.min(F.when(owning, est)), 4).alias(f"h{q}")
+        )
+    return cum.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+def _oracle_hist_quantiles() -> str:
+    cols = []
+    for q in HIST_QS:
+        rank = f"CAST(ceil(n * {q} / 100.0) AS BIGINT)"
+        cols.append(
+            f"round(min(CASE WHEN {rank} > cum - cnt AND {rank} <= cum"
+            f" THEN bin * {HIST_BIN_W} + {HIST_BIN_W} *"
+            f" ({rank} - (cum - cnt)) * 1.0 / cnt END), 4) AS h{q}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH bins AS (
+  SELECT lang, CAST(floor(n_chars / {HIST_BIN_W}.0) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT lang, bin, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM bins)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       {sel}
+FROM cum GROUP BY lang ORDER BY lang
+"""
+
+
+ORACLE_DOCS_HIST_QUANTILES = _oracle_hist_quantiles()
+
+QUERIES["docs_length_hist_quantiles"] = q_docs_length_hist_quantiles
+ORACLES["docs_length_hist_quantiles"] = ORACLE_DOCS_HIST_QUANTILES

@@ -100,6 +100,36 @@ def test_kmv_estimate_accuracy(spark):
             assert e == n_seen * 4
 
 
+# -------------------------------------------- histogram-quantile sketch
+def test_hist_quantiles_within_bin_of_exact(spark):
+    """The histogram estimate must land within one bin width of the
+    exact continuous quantile (the sketch's worst-case error bound)."""
+    from deja_view_spark.queries_relational import (
+        HIST_BIN_W,
+        q_docs_length_hist_quantiles,
+    )
+    from deja_view_spark.sources.catalog import load_table
+
+    est = {
+        r["lang"]: (r["h50"], r["h90"])
+        for r in q_docs_length_hist_quantiles(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        r["lang"]: (r["e50"], r["e90"])
+        for r in docs.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("e50"),
+            F.expr("percentile(n_chars, 0.9)").alias("e90"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang in est:
+        for e, x in zip(est[lang], exact[lang]):
+            assert abs(e - x) <= HIST_BIN_W, (lang, e, x)
+
+
 # ----------------------------------------------------- duplicate clusters
 def test_duplicate_clusters_transitive_chain(spark, tmp_path):
     """A ~ B and B ~ C (but A !~ C) must land in ONE cluster with the

@@ -175,6 +175,26 @@ CHECKS = [
     # edit-distance verify: levenshtein confined to the candidate join
     # (candidates broadcast), never a corpus self-join
     ("docs_editdistance_pairs", [r"levenshtein", r"BroadcastHashJoin"], []),
+    # line dedup: segment df keyed on xxhash64 longs, the df join back
+    # to the segment stream stays on the long key, no corpus window
+    ("docs_line_dedup", [r"xxhash64", PARTIAL_AGG], [r"Window"]),
+    # KMV sketch: the hash-range pre-filter (h < cutoff) sits below the
+    # distinct, so the shuffle only carries the filtered slice; the
+    # per-group top-K window runs over that slice
+    ("docs_kmv_distinct", [r"md5", r"Window", PARTIAL_AGG], []),
+    # histogram quantiles: fixed (lang, bin) key space partial-aggs
+    # map-side; windows run over bins, never over documents
+    ("docs_length_hist_quantiles", [r"Window", PARTIAL_AGG], []),
+    # moving average: windows partitioned per user (hashpartitioning on
+    # user_id), never a single global sort partition
+    (
+        "events_moving_avg",
+        [r"Window", r"hashpartitioning\(user_id", PARTIAL_AGG],
+        [r"SinglePartition.*Window"],
+    ),
+    # BPE merge census: in-row pair stream (Generate), partial agg,
+    # global top-K via TakeOrdered — no global sort
+    ("docs_bpe_merge_pairs", [r"Generate", r"TakeOrdered", PARTIAL_AGG], []),
 ]
 
 
