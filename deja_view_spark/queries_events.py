@@ -544,3 +544,55 @@ ORDER BY user_id
 
 QUERIES["events_cohort_full_outer"] = q_events_cohort_full_outer
 ORACLES["events_cohort_full_outer"] = ORACLE_EVENTS_COHORT_FULL_OUTER
+
+
+# ----------------------------------------- ranking-function breadth
+# The remaining window-ranking functions in one query: per event-type
+# user leaderboards with rank (gapped), dense_rank (gapless),
+# percent_rank (float, rounded) and ntile(4) quartile buckets over the
+# per-user event count. Scale shape: one partial-agg shuffle to the
+# (type, user) grain, then ONE window pass per partition key — all
+# four functions share the same window spec, so Catalyst evaluates
+# them in a single Window operator with one sort.
+def q_events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    return (
+        per_user.select(
+            "event_type",
+            "user_id",
+            "n",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .where(F.col("rnk") <= 25)
+        .orderBy("event_type", "rnk", "user_id")
+    )
+
+
+ORACLE_EVENTS_RANK_FUNCTIONS = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n, rnk, drnk, prnk, quartile
+FROM (
+  SELECT event_type, user_id, n,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         round(percent_rank() OVER w, 6) AS prnk,
+         ntile(4) OVER w AS quartile
+  FROM per_user
+  WINDOW w AS (PARTITION BY event_type ORDER BY n DESC, user_id ASC)) t
+WHERE rnk <= 25
+ORDER BY event_type, rnk, user_id
+"""
+
+QUERIES["events_rank_functions"] = q_events_rank_functions
+ORACLES["events_rank_functions"] = ORACLE_EVENTS_RANK_FUNCTIONS

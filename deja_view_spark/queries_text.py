@@ -794,3 +794,54 @@ LIMIT {BPE_MERGE_TOP_K}
 
 QUERIES["docs_bpe_merge_pairs"] = q_docs_bpe_merge_pairs
 ORACLES["docs_bpe_merge_pairs"] = ORACLE_DOCS_BPE_MERGE
+
+
+# ----------------------------------------------- INTERSECT / EXCEPT
+# Set-operator breadth: which (lang, source) combinations appear among
+# BOTH short and long documents, and which only on one side — Spark
+# intersect()/subtract() against their ANSI INTERSECT/EXCEPT twins.
+# Scale shape: both legs are distinct-aggregates over a two-column
+# key; Catalyst plans intersect/except as semi/anti joins on the
+# deduplicated sides — no full-table materialization, partial aggs
+# map-side.
+SETOP_SHORT_MAX = 250  # n_chars
+
+
+def q_docs_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    short = docs.where(F.col("n_chars") < SETOP_SHORT_MAX).select(
+        "lang", "source"
+    ).distinct()
+    longd = docs.where(F.col("n_chars") >= SETOP_SHORT_MAX).select(
+        "lang", "source"
+    ).distinct()
+    both = short.intersect(longd).withColumn("which", F.lit("both"))
+    short_only = short.subtract(longd).withColumn(
+        "which", F.lit("short_only")
+    )
+    long_only = longd.subtract(short).withColumn("which", F.lit("long_only"))
+    return both.unionByName(short_only).unionByName(long_only).orderBy(
+        "which", "lang", "source"
+    )
+
+
+ORACLE_DOCS_SOURCE_SETOPS = f"""
+WITH short AS (
+  SELECT DISTINCT lang, source FROM documents
+  WHERE n_chars < {SETOP_SHORT_MAX}),
+longd AS (
+  SELECT DISTINCT lang, source FROM documents
+  WHERE n_chars >= {SETOP_SHORT_MAX})
+SELECT lang, source, 'both' AS which
+  FROM (SELECT * FROM short INTERSECT SELECT * FROM longd)
+UNION ALL
+SELECT lang, source, 'short_only'
+  FROM (SELECT * FROM short EXCEPT SELECT * FROM longd)
+UNION ALL
+SELECT lang, source, 'long_only'
+  FROM (SELECT * FROM longd EXCEPT SELECT * FROM short)
+ORDER BY which, lang, source
+"""
+
+QUERIES["docs_source_setops"] = q_docs_source_setops
+ORACLES["docs_source_setops"] = ORACLE_DOCS_SOURCE_SETOPS
