@@ -596,3 +596,86 @@ ORDER BY event_type, rnk, user_id
 
 QUERIES["events_rank_functions"] = q_events_rank_functions
 ORACLES["events_rank_functions"] = ORACLE_EVENTS_RANK_FUNCTIONS
+
+
+# -------------------------------------------------- z-order layout stats
+# Driver-checkable form of the Morton-layout operator
+# (operators/layout.py): bucket events by the top bits of the
+# z-interleave of (user_id, day ordinal) and report each bucket's
+# per-dimension min/max spans — the exact statistics a file-level
+# pruner would consult. Under z-clustering BOTH dimensions' spans are
+# bounded per bucket (each bucket is a quad-tree cell); under a
+# single-column sort the other dimension's span stays full-range
+# (asserted in tests/test_layout.py). Integer-only, no floats.
+ZORDER_BUCKET_BITS = 4  # 16 buckets = top 4 bits of the 32-bit z key
+
+
+def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.operators.layout import ZBITS, scale_sql, zvalue_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("user_id").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    )
+    # min/max scaling to fill the bit width (broadcast single-row agg,
+    # never a collect) — without it the interleave's high bits are the
+    # constant high-order zeros of narrow-range dims and every row
+    # lands in one bucket
+    bounds = keyed.agg(
+        F.min("u").alias("u_lo"), F.max("u").alias("u_hi"),
+        F.min("d").alias("d_lo"), F.max("d").alias("d_hi"),
+    )
+    scaled = keyed.crossJoin(F.broadcast(bounds)).select(
+        "u",
+        "d",
+        F.expr(scale_sql("u", "u_lo", "u_hi")).alias("su"),
+        F.expr(scale_sql("d", "d_lo", "d_hi")).alias("sd"),
+    )
+    zk = scaled.select("u", "d", F.expr(zvalue_sql(["su", "sd"])).alias("z"))
+    bucket = F.shiftright("z", 2 * ZBITS - ZORDER_BUCKET_BITS).alias("bucket")
+    return (
+        zk.groupBy(bucket)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _oracle_zorder() -> str:
+    from deja_view_spark.operators.layout import ZBITS, scale_sql, zvalue_sql
+
+    z = zvalue_sql(["su", "sd"])
+    return f"""
+WITH keyed AS (
+  SELECT user_id AS u,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events),
+bounds AS (
+  SELECT min(u) AS u_lo, max(u) AS u_hi, min(d) AS d_lo, max(d) AS d_hi
+  FROM keyed),
+scaled AS (
+  SELECT u, d,
+         {scale_sql('u', 'u_lo', 'u_hi')} AS su,
+         {scale_sql('d', 'd_lo', 'd_hi')} AS sd
+  FROM keyed CROSS JOIN bounds),
+zk AS (SELECT u, d, {z} AS z FROM scaled)
+SELECT (z >> {2 * ZBITS - ZORDER_BUCKET_BITS}) AS bucket,
+       count(*) AS n,
+       min(u) AS u_min, max(u) AS u_max,
+       min(d) AS d_min, max(d) AS d_max
+FROM zk
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+ORACLE_EVENTS_ZORDER = _oracle_zorder()
+
+QUERIES["events_zorder_stats"] = q_events_zorder_stats
+ORACLES["events_zorder_stats"] = ORACLE_EVENTS_ZORDER
