@@ -679,3 +679,45 @@ ORACLE_EVENTS_ZORDER = _oracle_zorder()
 
 QUERIES["events_zorder_stats"] = q_events_zorder_stats
 ORACLES["events_zorder_stats"] = ORACLE_EVENTS_ZORDER
+
+
+# ------------------------------------------------ SCD-1 latest state
+# Aggregate-function breadth: max_by / min_by (DuckDB arg_max /
+# arg_min) keyed on the event epoch — the "current state per entity"
+# upsert-view a mutable-table MERGE would maintain, computed instead as
+# one partial-agg pass over the immutable log (the lakehouse way). The
+# ordering key is unix_micros(ts): a single BIGINT, so both engines
+# resolve the argmax identically — order, not value, is what argmax
+# consumes, so the NTZ->session-tz cast's constant shift is harmless ((user_id, ts) carries no duplicates
+# in this corpus; a tie-prone source would fold a row id into the key).
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tkey", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("max_by(event_type, tkey)").alias("last_type"),
+            F.round(F.expr("max_by(value, tkey)"), 4).alias("last_value"),
+            F.expr("min_by(event_type, tkey)").alias("first_type"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_LATEST_STATE = """
+SELECT user_id,
+       count(*) AS n_events,
+       arg_max(event_type, epoch_us(ts)) AS last_type,
+       round(arg_max(value, epoch_us(ts)), 4) AS last_value,
+       arg_min(event_type, epoch_us(ts)) AS first_type,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["events_latest_state"] = q_events_latest_state
+ORACLES["events_latest_state"] = ORACLE_EVENTS_LATEST_STATE
