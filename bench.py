@@ -8,12 +8,16 @@ line:
 
     {"metric": "...", "value": <total headline seconds>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1,
-     "kg": {rows, triples, sec, triples_per_sec},
-     "scaling": {cores_n, cores_4n, tps_n, tps_4n, efficiency}}
+     "kg": {rows, triples, sec, triples_per_sec, ctl_before, ctl_after},
+     "scaling": {cores_n, cores_4n, tps_n, tps_4n, efficiency, ...},
+     "weather_control": {...}}
 
 The KG build runs in SUBPROCESSES (tools/kg_run.py), one JVM per
 parallelism level, on the identical deterministic input — the sandbox
-stand-in for the north_rule's "N and 4N executors" cluster sizes.
+stand-in for the north_rule's "N and 4N executors" cluster sizes. The
+2M-row source parquet is generated ONCE at full parallelism and shared
+by every cell (round 3: the low-core cells no longer pay generation
+wall-clock, which is what blew the round-2 driver budget).
 
 Scaling pair choice: the host exposes 32 vCPUs, but they are
 oversubscribed/SMT-shared — plain multiprocessing (no Spark, no I/O)
@@ -25,6 +29,19 @@ while staying under its physical core count: the default pair is
 stand-in for adding executors to a cluster. The 8->32 pair and the
 ceiling measurement stay documented in BENCH/BASELINE.md.
 
+Budget: the whole default study must fit the driver's bench window
+(round 2's ~35-min run was killed at rc=124). An internal wall-clock
+budget (SPARK_GRAFT_BUDGET_SEC, default 1080s) gates every optional
+cell: the queries phase and the headline KG build always run; scaling
+cells are skipped (and recorded as skipped) once the projected finish
+would cross the budget. The JSON line is printed no matter what.
+
+Weather: each kg_run cell times a fixed single-threaded numpy kernel
+before and after its build (ctl_before/ctl_after). On a quiet host the
+readings sit at the kernel's nominal (~0.35s); CPU steal inflates them
+proportionally, so a storm window is machine-detectable from the JSON
+itself (the `weather_control` block) rather than a prose claim.
+
 Env knobs:
     SPARK_GRAFT_SF_DIR        sf dir for the queries (default sf0.1)
     SPARK_GRAFT_CPUS          cores for the query phase + the headline
@@ -33,6 +50,8 @@ Env knobs:
     SPARK_GRAFT_SCALING       "2,8" cores pair; "" skips the pair study
     SPARK_GRAFT_SCALING_ROWS  pair-study input rows (default 2000000)
     SPARK_GRAFT_SCALING_REPEATS  interleaved repeats per level (default 2)
+    SPARK_GRAFT_BUDGET_SEC    wall-clock budget for the whole study
+                              (default 1080; raise for the full study)
 """
 
 from __future__ import annotations
@@ -40,13 +59,20 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+T_START = time.time()
+
+
+def elapsed() -> float:
+    return time.time() - T_START
 
 
 def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
@@ -69,22 +95,23 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     return timings
 
 
-def run_kg(cores: int, rows: int) -> dict:
+def run_kg(cores: int, rows: int, src: str | None = None, gen_only: bool = False) -> dict:
     """One KG build in a fresh JVM at the given parallelism."""
-    out = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "tools", "kg_run.py"),
-            "--cores",
-            str(cores),
-            "--rows",
-            str(rows),
-        ],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-    )
-    m = re.search(r'\{"cores".*\}', out.stdout)
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "tools", "kg_run.py"),
+        "--cores",
+        str(cores),
+        "--rows",
+        str(rows),
+    ]
+    if src:
+        cmd += ["--src", src]
+    if gen_only:
+        cmd += ["--gen-only"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    pat = r'\{"generated".*\}' if gen_only else r'\{"cores".*\}'
+    m = re.search(pat, out.stdout)
     if not m:
         raise RuntimeError(
             f"kg_run cores={cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
@@ -103,74 +130,128 @@ def main() -> None:
     # input (measured eff 0.77 at 1M -> 0.86 at 2M for 2->8); the
     # north-rule regime (10^12 files) is the large-input limit
     scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "2000000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "1080"))
 
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_m.group(1)) if sf_m else 0.1
 
-    timings = run_queries(sf_dir, cores)
+    result: dict = {"metric": "kg_build_plus_queries", "unit": "sec", "sf": sf}
+    shared_dir = tempfile.mkdtemp(prefix="kg_bench_src_")
+    try:
+        timings = run_queries(sf_dir, cores)
+        result["queries"] = timings
 
-    result: dict = {
-        "metric": "kg_build_plus_queries",
-        "unit": "sec",
-        "sf": sf,
-        "queries": timings,
-    }
+        # one shared source for every KG cell (generated at full
+        # parallelism; identical bytes at every level by construction)
+        src_path = f"{shared_dir}/repos_src"
+        run_kg(cores, kg_rows, src=src_path, gen_only=True)
 
-    # headline KG build at full parallelism
-    kg_big = run_kg(cores, kg_rows)
-    result["kg"] = {
-        "rows": kg_big["rows"],
-        "triples": kg_big["triples"],
-        "sec": kg_big["sec"],
-        "triples_per_sec": kg_big["triples_per_sec"],
-        "stages": kg_big["stages"],
-    }
-
-    # N->4N scaling pair. The sandbox host is oversubscribed (6-18%
-    # CPU steal observed under load), so single runs swing +-50%. Each
-    # level runs `repeats` times INTERLEAVED (N,4N,N,4N) and the best
-    # throughput per level is compared — max filters host-contention
-    # noise while keeping the two levels drawn from the same window.
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    pair = [int(c) for c in scaling_env.split(",") if c.strip()]
-    if len(pair) == 2:
-        lo, hi = min(pair), max(pair)
-        ratio = hi / lo
-        runs: dict[int, list[dict]] = {lo: [], hi: []}
-        for _ in range(max(1, repeats)):
-            for c in (lo, hi):
-                runs[c].append(run_kg(c, scaling_rows))
-        # Each interleaved (N, 4N) ADJACENT pair shares one weather
-        # window, so efficiency is computed per pair and the best
-        # (quietest-window) pair is reported — comparing a quiet-window
-        # N run against a stormy-window 4N run (or vice versa) measures
-        # the host, not the job. All raw throughputs are emitted too.
-        pair_effs = [
-            round(
-                runs[hi][i]["triples_per_sec"]
-                / (ratio * runs[lo][i]["triples_per_sec"]),
-                3,
+        # headline KG build at full parallelism — always runs
+        kg_big = run_kg(cores, kg_rows, src=src_path)
+        result["kg"] = {
+            k: kg_big[k]
+            for k in (
+                "rows",
+                "triples",
+                "sec",
+                "triples_per_sec",
+                "ctl_before",
+                "ctl_after",
+                "stages",
             )
-            for i in range(len(runs[lo]))
-        ]
-        i_best = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
-        small, big = runs[lo][i_best], runs[hi][i_best]
-        result["scaling"] = {
-            "cores_n": lo,
-            "cores_4n": hi,
-            "rows": scaling_rows,
-            "tps_n": small["triples_per_sec"],
-            "tps_4n": big["triples_per_sec"],
-            "efficiency": pair_effs[i_best],
-            "per_pair_efficiency": pair_effs,
-            "determinism_ok": small["triples"] == big["triples"],
-            "all_runs": {
-                str(c): [r["triples_per_sec"] for r in rs]
-                for c, rs in runs.items()
-            },
         }
 
-    result["value"] = round(sum(timings.values()) + kg_big["sec"], 2)
+        # N->4N scaling pairs, budget-gated. The host is oversubscribed
+        # (6-18% CPU steal under load), so single runs swing +-50%: each
+        # level runs up to `repeats` times INTERLEAVED (N,4N,N,4N); each
+        # adjacent (N,4N) pair shares one weather window and efficiency
+        # is computed per pair, best pair reported.
+        pair = [int(c) for c in scaling_env.split(",") if c.strip()]
+        if len(pair) == 2 and scaling_rows != kg_rows:
+            # different row count -> cells regenerate their own source
+            src_for_cells = None
+        else:
+            src_for_cells = src_path
+        if len(pair) == 2:
+            lo, hi = min(pair), max(pair)
+            ratio = hi / lo
+            runs: dict[int, list[dict]] = {lo: [], hi: []}
+            est = {lo: 400.0, hi: 150.0}  # prior walls, refined as cells land
+            skipped = 0
+            for i in range(max(1, repeats)):
+                # a pair is only useful whole: require room for BOTH cells
+                if elapsed() + est[lo] + est[hi] > budget:
+                    skipped = max(1, repeats) - i
+                    break
+                for c in (lo, hi):
+                    t0 = time.time()
+                    runs[c].append(
+                        run_kg(c, scaling_rows, src=src_for_cells)
+                    )
+                    est[c] = time.time() - t0
+            n_pairs = min(len(runs[lo]), len(runs[hi]))
+            if n_pairs:
+                pair_effs = [
+                    round(
+                        runs[hi][i]["triples_per_sec"]
+                        / (ratio * runs[lo][i]["triples_per_sec"]),
+                        3,
+                    )
+                    for i in range(n_pairs)
+                ]
+                i_best = max(range(n_pairs), key=lambda i: pair_effs[i])
+                small, big = runs[lo][i_best], runs[hi][i_best]
+                result["scaling"] = {
+                    "cores_n": lo,
+                    "cores_4n": hi,
+                    "rows": scaling_rows,
+                    "tps_n": small["triples_per_sec"],
+                    "tps_4n": big["triples_per_sec"],
+                    "efficiency": pair_effs[i_best],
+                    "per_pair_efficiency": pair_effs,
+                    "determinism_ok": small["triples"] == big["triples"],
+                    "pairs_skipped_for_budget": skipped,
+                    "all_runs": {
+                        str(c): [r["triples_per_sec"] for r in rs]
+                        for c, rs in runs.items()
+                    },
+                }
+            else:
+                result["scaling"] = {
+                    "skipped": "budget",
+                    "budget_sec": budget,
+                    "elapsed_sec": round(elapsed(), 1),
+                }
+
+            # machine-detectable weather: every control reading from
+            # every cell, plus the spread. quiet host => spread ~1.0;
+            # a storm shows up as max/min >> 1 without any prose.
+            ctls = [
+                r[k]
+                for rs in ([kg_big], *runs.values())
+                for r in rs
+                for k in ("ctl_before", "ctl_after")
+            ]
+            result["weather_control"] = {
+                "kernel": "numpy elementwise sqrt/mul, 1 thread, fixed size",
+                "readings_sec": ctls,
+                "min": min(ctls),
+                "max": max(ctls),
+                "spread": round(max(ctls) / min(ctls), 2),
+            }
+
+        result["value"] = round(
+            sum(result.get("queries", {}).values())
+            + result.get("kg", {}).get("sec", 0.0),
+            2,
+        )
+    except Exception as exc:  # still emit a parseable line on failure
+        result["error"] = f"{type(exc).__name__}: {exc}"[:2000]
+        result.setdefault("value", -1.0)
+    finally:
+        shutil.rmtree(shared_dir, ignore_errors=True)
+    result["elapsed_total_sec"] = round(elapsed(), 1)
     print(json.dumps(result))
 
 

@@ -100,3 +100,84 @@ def embed_numpy(texts: list[str], dim: int = DEFAULT_DIM, seed: int = 42) -> np.
     (n, dim) float32 matrix)."""
     s = embed_series(pd.Series(texts), dim=dim, seed=seed)
     return np.stack(s.to_numpy())
+
+
+_HEX = "0123456789abcdef"
+
+
+def duckdb_embed_cte(
+    docs_sql: str,
+    dim: int = DEFAULT_DIM,
+    seed: int = 42,
+    out: str = "emb",
+) -> str:
+    """DuckDB CTE chain reproducing ``embed_series`` BIT-FOR-BIT, so
+    embed-dependent queries get full value-hash oracles instead of
+    rows-only checks.
+
+    ``docs_sql`` must select ``(doc_id, text)``; the final CTE ``out``
+    yields ``(doc_id, vec DOUBLE[])`` where ``vec`` equals the Spark
+    UDF's float32 output widened to double.
+
+    Why this is exact, not approximate:
+    - bucket = little-endian-int(md5[:8]) % dim reduces to
+      (first byte) % dim whenever dim divides 256 (2^8 = 0 mod dim),
+      and sign = md5[8] & 1 is the parity of the 18th hex digit — both
+      pure string arithmetic on DuckDB's md5() hex output;
+    - the accumulated coordinates are sums of +-1: exactly-representable
+      integers, so numpy's pairwise summation and SQL's sequential
+      SUM() agree to the last bit, as does the norm (sqrt of an exact
+      integer) and the IEEE division;
+    - the float32 round-trip (``astype(np.float32)``) is one
+      correctly-rounded CAST(.. AS FLOAT) on each coordinate.
+    """
+    if 256 % dim != 0:
+        raise ValueError("dim must divide 256 for the byte0-mod trick")
+    h = f"md5('{seed}:' || __tok)"
+    byte0 = (
+        f"((strpos('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr({h}, 2, 1)) - 1))"
+    )
+    sign_bit = f"(strpos('{_HEX}', substr({h}, 18, 1)) - 1) % 2"
+    return f"""
+__docs_{out} AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS __t FROM ({docs_sql})),
+__toks_{out} AS (
+  SELECT doc_id, unnest(regexp_extract_all(__t, '[a-z0-9_]+')) AS __tok
+  FROM __docs_{out}),
+__contrib_{out} AS (
+  SELECT doc_id,
+         {byte0} % {dim} AS bucket,
+         CASE WHEN {sign_bit} = 1 THEN 1.0 ELSE -1.0 END AS sign
+  FROM __toks_{out}),
+__sums_{out} AS (
+  SELECT doc_id, bucket, sum(sign) AS val
+  FROM __contrib_{out} GROUP BY 1, 2),
+__dense_{out} AS (
+  SELECT d.doc_id, i.i AS i, coalesce(s.val, 0.0) AS val
+  FROM (SELECT DISTINCT doc_id FROM __docs_{out}) d
+  CROSS JOIN (SELECT unnest(range({dim})) AS i) i
+  LEFT JOIN __sums_{out} s ON s.doc_id = d.doc_id AND s.bucket = i.i),
+__vecs_{out} AS (
+  SELECT doc_id, list(val ORDER BY i) AS raw
+  FROM __dense_{out} GROUP BY doc_id),
+{out} AS (
+  SELECT doc_id,
+         CASE WHEN list_dot_product(raw, raw) > 0
+           THEN list_transform(
+                  raw,
+                  x -> CAST(CAST(x / sqrt(list_dot_product(raw, raw)) AS FLOAT)
+                            AS DOUBLE))
+           ELSE raw END AS vec
+  FROM __vecs_{out})"""
+
+
+def duckdb_hex_int_sql(hex_expr: str, n_chars: int) -> str:
+    """DuckDB fragment: integer value of the first ``n_chars`` hex
+    digits of ``hex_expr`` (twin of Spark's ``conv(substring(h,1,n),
+    16,10)``) — used for md5-based deterministic row splits that must
+    agree across both engines."""
+    acc = "0"
+    for i in range(1, n_chars + 1):
+        acc = f"({acc} * 16 + (strpos('{_HEX}', substr({hex_expr}, {i}, 1)) - 1))"
+    return acc

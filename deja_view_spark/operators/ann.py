@@ -184,6 +184,96 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_topk_det(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 6,
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC medoid coarse quantizer — the
+    driver-checkable twin of ``ivf_topk``.
+
+    The KMeans fit in ``ivf_topk`` is seeded-deterministic in Spark but
+    not reproducible in SQL (iterative float averaging), which forced a
+    rows-only driver check in rounds 1-2. This variant keeps the full
+    IVF plan shape — coarse-assign every vector to an inverted list,
+    probe only the ``nprobe`` nearest lists, exact cosine re-rank — but
+    picks the ``n_centroids`` centroids as MEDOIDS: the vectors whose
+    ``md5(vec_id)`` sorts lowest (a seeded uniform draw both engines
+    can compute). Every arithmetic step (squared-distance expansion
+    ``|v|^2 - 2<v,c> + |c|^2`` over double-widened float32 values,
+    rounded-cosine ranking) is bit-reproducible in DuckDB, so the whole
+    pruned search carries a full value-hash oracle. Expression-only:
+    no Python anywhere in the plan.
+
+    Scale shape: the centroid table is ``n_centroids`` rows (broadcast);
+    assignment is one map-side projection + a partial-agg min-of-struct
+    per vector (no window over the big side); the probe fan-out joins on
+    the bucket key with the probe side broadcast — same skeleton the
+    KMeans variant uses, so the oracle certifies the production plan.
+    """
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    cents = (
+        emb.select(F.col(vec_col).alias("cvec"), h.alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .withColumn(
+            "bucket",
+            F.row_number().over(Window.orderBy("_h")).cast("int") - 1,
+        )
+        .select("bucket", "cvec")
+    )
+
+    def d2(v, c):
+        # identical token order to the oracle: (dot(v,v) - 2*dot(v,c)) + dot(c,c)
+        from deja_view_spark.functions.similarity import dot
+
+        return dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)
+
+    # assignment: min-of-struct partial agg (map-side combinable), not a
+    # window sort over n x n_centroids rows
+    assigned = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2(F.col("nvec"), F.col("cvec")))
+        .groupBy("neighbor_id")
+        .agg(
+            F.min(F.struct("_d2", "bucket")).alias("_m"),
+            F.any_value("nvec").alias("nvec"),
+        )
+        .select("neighbor_id", "nvec", F.col("_m.bucket").alias("_bucket"))
+    )
+
+    pw = Window.partitionBy("probe_id").orderBy(F.asc("_d2"), F.asc("bucket"))
+    probe_buckets = (
+        probes.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2(F.col("probe_vec"), F.col("cvec")))
+        .withColumn("_r", F.row_number().over(pw))
+        .where(F.col("_r") <= nprobe)
+        .select("probe_id", "probe_vec", F.col("bucket").alias("_bucket"))
+    )
+
+    scored = assigned.join(
+        F.broadcast(probe_buckets),
+        (assigned._bucket == probe_buckets._bucket)
+        & (F.col("neighbor_id") != F.col("probe_id")),
+    ).withColumn(
+        "cos", F.round(cosine_sim(F.col("nvec"), F.col("probe_vec")), 4)
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     probes: DataFrame,

@@ -518,21 +518,83 @@ ORDER BY probe_id, rank
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-3 (seeded sample-fit KMeans coarse quantizer, nprobe
-    nearest inverted lists, exact cosine re-rank). Deliberately
-    NO oracle: at nprobe=6/16 the op is genuinely approximate (recall
-    gate >= 0.95 in tests/test_ann.py); forcing exactness here would
-    mean probing ~all buckets, i.e. not demonstrating IVF pruning."""
-    from deja_view_spark.operators.ann import ivf_topk
+    """IVF ANN top-3 (deterministic-medoid coarse quantizer, nprobe=6
+    of 16 inverted lists, exact cosine re-rank). Since round 3 this
+    registry entry runs the md5-medoid variant (operators/ann.py:
+    ivf_topk_det) whose WHOLE pruned search — centroid pick, coarse
+    assignment, nprobe fan-out, re-rank — reproduces bit-for-bit in
+    DuckDB SQL, closing the rows-only gap; the sample-fit KMeans
+    quantizer (ivf_topk) stays the production fit path with its
+    recall>=0.95 gate in tests/test_ann.py. The result is still a
+    genuine IVF approximation: the oracle computes the SAME pruned
+    candidate set, not the exhaustive answer."""
+    from deja_view_spark.operators.ann import ivf_topk_det
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    return ivf_topk(emb, probes, k=3, n_centroids=16, nprobe=6)
+    return ivf_topk_det(emb, probes, k=3, n_centroids=16, nprobe=6)
+
+
+def _oracle_ann_ivf() -> str:
+    d2 = (
+        "(list_dot_product({v}, {v})"
+        " - 2.0 * list_dot_product({v}, cvec))"
+        " + list_dot_product(cvec, cvec)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS bucket,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT 16),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v AS nvec, bucket,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY _d2 ASC, bucket ASC) AS _r
+  FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.bucket, c.cvec,
+           {d2.format(v='(e.embedding::DOUBLE[])')} AS _d2
+    FROM embeddings e CROSS JOIN cents c)),
+probe_buckets AS (
+  SELECT probe_id, pvec, bucket
+  FROM (
+    SELECT p.vec_id AS probe_id, p.embedding::DOUBLE[] AS pvec,
+           c.bucket,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {d2.format(v='(p.embedding::DOUBLE[])')} ASC,
+                      c.bucket ASC) AS _r
+    FROM embeddings p CROSS JOIN cents c
+    WHERE p.vec_id < 50) t
+  WHERE _r <= 6),
+scored AS (
+  SELECT pb.probe_id, a.neighbor_id,
+         round({duckdb_cosine_sql('a.nvec', 'pb.pvec')}, 4) AS cos
+  FROM assigned a
+  JOIN probe_buckets pb
+    ON a.bucket = pb.bucket AND a.neighbor_id <> pb.probe_id
+  WHERE a._r = 1)
+SELECT probe_id, neighbor_id, cos, rank
+FROM (
+  SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+
+
+ORACLE_ANN_IVF = _oracle_ann_ivf()
 
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+ORACLES["ann_ivf_topk"] = ORACLE_ANN_IVF
 QUERIES["docs_minhash_pairs"] = q_docs_minhash_pairs
 ORACLES["docs_minhash_pairs"] = ORACLE_DOCS_MINHASH
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
@@ -562,3 +624,47 @@ QUERIES.update(_QQ.QUERIES)
 ORACLES.update(_QQ.ORACLES)
 QUERIES.update(_QG.QUERIES)
 ORACLES.update(_QG.ORACLES)
+
+# ------------------------------------------------------------------
+# Driver correctness-window rotation (round 3). The driver attests the
+# FIRST 50 registry entries; round 2's run covered exactly the first 50
+# of the old iteration order (CORRECTNESS_r02.json), leaving the 22
+# newest entries — the discussions / corpus-prep / quality / sketch /
+# graph families — plus the two formerly rows-only entries without an
+# official green row. Rotate those 24 to the front so CORRECTNESS_r03
+# attests them; the rest keep their old relative order (all already
+# green in r02), so r02 ∪ r03 covers every registered query.
+_ROUND3_FIRST = [
+    # the 22 entries past position 50 of the round-2 order
+    "shipping_priority",
+    "large_orders",
+    "waiting_suppliers",
+    "small_quantity_revenue",
+    "docs_length_hist_quantiles",
+    "discussions_overview",
+    "discussions_category_counts",
+    "discussions_unanswered_top",
+    "discussions_top_upvoted",
+    "suggest_discussions",
+    "docs_stratified_sample",
+    "docs_pack_shards",
+    "docs_tfidf_topterms",
+    "docs_decontaminate",
+    "corpus_clean",
+    "docs_line_dedup",
+    "docs_kmv_distinct",
+    "docs_repetition",
+    "docs_pii_scrub",
+    "events_pagerank",
+    "events_triangles",
+    "docs_duplicate_clusters",
+    # newly full-oracle in round 3 (were `no_oracle` rows in r01/r02)
+    "ann_ivf_topk",
+    "incremental_probe",
+]
+assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
+    set(_ROUND3_FIRST) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _ROUND3_FIRST} | {
+    name: fn for name, fn in QUERIES.items() if name not in _ROUND3_FIRST
+}

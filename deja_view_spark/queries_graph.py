@@ -266,8 +266,11 @@ ORDER BY node
 # Fixed-round semantics make the output well-defined on BOTH engines
 # whether or not the labels have converged (they have, at any tested
 # scale: near-dup clusters are shallow); the oracle unrolls the same
-# rounds as chained CTEs, so the full value hash must match.
-CC_ITERS = 8
+# rounds as chained CTEs, so the full value hash must match. 5 rounds
+# (was 8 in r2): Spark converges in 3 on every tested corpus, and each
+# unrolled oracle round costs real DuckDB time inside the driver's
+# correctness budget.
+CC_ITERS = 5
 
 
 def q_docs_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,12 +341,15 @@ l{i} AS (
         prev = f"l{i}"
     chain = ",".join(iters)
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT src_doc, dst_doc FROM ({ORACLE_DOCS_JACCARD})),
 mirrored AS (
   SELECT src_doc, dst_doc FROM pairs
   UNION ALL SELECT dst_doc, src_doc FROM pairs),
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED: every label round references `edges`; DuckDB would
+  -- otherwise inline (= recompute) the whole Jaccard subquery once per
+  -- round (~8x oracle cost observed in round 2)
   SELECT src_doc, dst_doc FROM mirrored
   UNION ALL SELECT DISTINCT src_doc, src_doc FROM mirrored),
 l0 AS (

@@ -379,11 +379,14 @@ ORDER BY c_custkey
 # ------------------------------------------------- ST1 incremental probe
 def q_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-driven incremental query (ST1, reference action.py:72-166):
-    'new' documents (every 50th) probed against the embedding index of
-    the rest — broadcast of the small new side, one scan of the big
-    side, J1 semantics (self-exclusion, threshold, top-k). Rows-only
-    driver check (the embedder is not SQL-expressible); exactness vs
-    the batch duplicate join is asserted in tests/test_streaming.py."""
+    'new' documents (a deterministic ~1/50 md5 split) probed against
+    the embedding index of the rest — broadcast of the small new side,
+    one scan of the big side, J1 semantics (self-exclusion, threshold,
+    top-k). Full value-hash oracle since round 3: the feature-hashing
+    embedder is reproduced bit-for-bit in DuckDB SQL
+    (functions/embedding.py:duckdb_embed_cte), so the driver checks the
+    embed -> probe -> rank chain end to end; batch/stream equivalence
+    stays asserted in tests/test_streaming.py."""
     from deja_view_spark.functions.embedding import make_embed_udf
     from deja_view_spark.streaming.incremental import (
         incremental_duplicate_probe,
@@ -393,7 +396,14 @@ def q_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("text").alias("doc_text"),
     )
-    is_new = F.xxhash64("doc_id") % 50 == 0
+    # md5-hex split (NOT xxhash64: the oracle must compute the same
+    # partition, and DuckDB lacks Spark's seeded xxhash64)
+    is_new = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % 50
+        == 0
+    )
     embed = make_embed_udf(dim=64)
     existing = docs.where(~is_new).select(
         "doc_id", embed("doc_text").alias("vector")
@@ -401,6 +411,47 @@ def q_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_duplicate_probe(
         docs.where(is_new), existing, dim=64, threshold=0.6, top_k=3
     ).orderBy("src", "rank")
+
+
+def _oracle_incremental_probe() -> str:
+    from deja_view_spark.functions.embedding import (
+        duckdb_embed_cte,
+        duckdb_hex_int_sql,
+    )
+
+    emb = duckdb_embed_cte(
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        dim=64,
+        out="emb",
+    )
+    split = duckdb_hex_int_sql("md5(doc_id)", 4)
+    return f"""
+WITH {emb},
+flagged AS (
+  SELECT doc_id, vec, ({split}) % 50 = 0 AS is_new FROM emb),
+probes AS (
+  SELECT doc_id AS src, vec AS pvec FROM flagged WHERE is_new),
+cands AS (
+  SELECT doc_id AS dst, vec FROM flagged WHERE NOT is_new),
+scored AS (
+  SELECT src, dst,
+         round((1.0 + list_dot_product(vec, pvec)) / 2.0, 4) AS similarity
+  FROM cands, probes
+  WHERE src <> dst)
+SELECT src, dst, similarity, rank
+FROM (
+  SELECT src, dst, similarity,
+         row_number() OVER (
+           PARTITION BY src
+           ORDER BY similarity DESC, dst ASC) AS rank
+  FROM scored
+  WHERE similarity >= 0.6) t
+WHERE rank <= 3
+ORDER BY src, rank
+"""
+
+
+ORACLE_INCREMENTAL_PROBE = _oracle_incremental_probe()
 
 
 # ------------------------------------------- large orders (Q18 shape)
@@ -656,6 +707,7 @@ ORACLES = {
     "events_tumbling_weeks": ORACLE_EVENTS_TUMBLING,
     "duplicate_edges_exact": ORACLE_DUP_EXACT,
     "customer_order_histogram": ORACLE_CUSTOMER_HISTOGRAM,
+    "incremental_probe": ORACLE_INCREMENTAL_PROBE,
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "customers_without_orders": ORACLE_CUSTOMERS_NO_ORDERS,
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,

