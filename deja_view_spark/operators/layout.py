@@ -56,14 +56,42 @@ def zvalue(cols: list[str], bits: int = ZBITS) -> Column:
 
 
 def cluster_by_zorder(
-    df: DataFrame, cols: list[str], bits: int = ZBITS, partitions: int | None = None
+    df: DataFrame,
+    cols: list[str],
+    bits: int = ZBITS,
+    partitions: int | None = None,
+    scale: bool = True,
 ) -> DataFrame:
     """Layout pass: range-partition + sort by the Morton key so every
     output file covers one contiguous z-range (a quad-tree cell whose
     per-dimension spans shrink with file count). Write the result with
-    any sink; downstream scans prune on min/max of ANY clustered col."""
-    z = zvalue(cols, bits).alias("_z")
-    out = df.withColumn("_z", z)
+    any sink; downstream scans prune on min/max of ANY clustered col.
+
+    ``scale=True`` (default) min/max-scales every dimension into
+    [0, 2^bits) first — one tiny (2k-value) aggregate, then the same
+    codegen'd interleave. Without it, raw values >= 2^bits alias
+    modulo 2^bits and negative values contribute sign bits, silently
+    destroying clustering locality; pass ``scale=False`` ONLY when the
+    inputs are already integers in [0, 2^bits) (the scaling is then an
+    exact identity anyway, so the flag is a one-job optimization, not
+    a semantic knob)."""
+    if scale:
+        stats = df.agg(
+            *[F.min(c).cast("long").alias(f"_lo_{c}") for c in cols],
+            *[F.max(c).cast("long").alias(f"_hi_{c}") for c in cols],
+        ).first()
+        scaled = [
+            F.expr(
+                scale_sql(c, str(stats[f"_lo_{c}"]), str(stats[f"_hi_{c}"]), bits)
+            ).alias(f"_s_{c}")
+            for c in cols
+        ]
+        out = df.select("*", *scaled).withColumn(
+            "_z", F.expr(zvalue_sql([f"_s_{c}" for c in cols], bits))
+        )
+        out = out.drop(*[f"_s_{c}" for c in cols])
+    else:
+        out = df.withColumn("_z", zvalue(cols, bits))
     if partitions:
         out = out.repartitionByRange(partitions, "_z")
     else:

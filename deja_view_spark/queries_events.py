@@ -686,13 +686,24 @@ ORACLES["events_zorder_stats"] = ORACLE_EVENTS_ZORDER
 # arg_min) keyed on the event epoch — the "current state per entity"
 # upsert-view a mutable-table MERGE would maintain, computed instead as
 # one partial-agg pass over the immutable log (the lakehouse way). The
-# ordering key is unix_micros(ts): a single BIGINT, so both engines
-# resolve the argmax identically — order, not value, is what argmax
-# consumes, so the NTZ->session-tz cast's constant shift is harmless ((user_id, ts) carries no duplicates
-# in this corpus; a tie-prone source would fold a row id into the key).
+# ordering key is zero-padded unix_micros(ts) concatenated with the
+# zero-padded UNIQUE event_id: a fixed-width ASCII string whose binary
+# comparison equals (ts, event_id) numeric order in both engines, so
+# the argmax is a TOTAL order — deterministic even if a source ever
+# emits (user_id, ts) ties (round-3 hardening; the previous key relied
+# on the corpus being tie-free, which is a data property, not a query
+# property).
 def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "tkey", F.unix_micros(F.col("ts").cast("timestamp"))
+        "tkey",
+        F.concat(
+            F.lpad(
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+                20,
+                "0",
+            ),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
     )
     return (
         ev.groupBy("user_id")
@@ -708,13 +719,18 @@ def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_LATEST_STATE = """
+WITH keyed AS (
+  SELECT *,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS tkey
+  FROM events)
 SELECT user_id,
        count(*) AS n_events,
-       arg_max(event_type, epoch_us(ts)) AS last_type,
-       round(arg_max(value, epoch_us(ts)), 4) AS last_value,
-       arg_min(event_type, epoch_us(ts)) AS first_type,
+       arg_max(event_type, tkey) AS last_type,
+       round(arg_max(value, tkey), 4) AS last_value,
+       arg_min(event_type, tkey) AS first_type,
        max(ts) AS last_ts
-FROM events
+FROM keyed
 GROUP BY user_id
 ORDER BY user_id
 """

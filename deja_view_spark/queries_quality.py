@@ -36,10 +36,13 @@ from deja_view_spark.sources.catalog import load_table
 # ----------------------------------------------------------------- constants
 # Gopher-style gate thresholds (Rae et al. 2021, Table A1 — adapted to
 # token fractions; the synthetic corpus medians are distinct≈0.46,
-# dup-trigram≈0.0, top-bigram≈0.066, so the gate is non-degenerate).
+# dup-trigram≈0.0, top-bigram-slot≈0.033, so the gate is
+# non-degenerate). top_bigram_frac = mode_count / (n_tokens - 1): the
+# fraction of overlapping-bigram SLOTS the mode occupies, a true [0,1]
+# fraction (round 3; the old *2/n_tokens form could exceed 1.0).
 MIN_DISTINCT_RATIO = 0.35   # below: boilerplate / degenerate repetition
 MAX_DUP_TRIGRAM = 0.05      # above: copy-pasted spans
-MAX_TOP_BIGRAM = 0.10       # above: one phrase dominates the doc
+MAX_TOP_BIGRAM = 0.05       # above: one phrase dominates the doc
 
 # PII regex banks — Java-regex ∩ RE2 dialect only.
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -144,8 +147,13 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_ratio",
         "dup_trigram_frac",
         F.coalesce(F.col("_m.bigram"), F.lit("")).alias("top_bigram"),
+        # fraction of BIGRAM SLOTS (n_tokens - 1 overlapping bigrams)
+        # occupied by the mode — a true [0, 1] fraction, matching the
+        # Gopher-style repetition mass definition ('a a a a' -> 1.0,
+        # not the 1.5 the old top_c*2/n_tokens normalization gave)
         F.round(
-            F.coalesce(-F.col("_m.negc"), F.lit(0)) * 2.0 / F.col("n_tokens"),
+            F.coalesce(-F.col("_m.negc"), F.lit(0))
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
             4,
         ).alias("top_bigram_frac"),
     )
@@ -190,7 +198,8 @@ per_doc AS (
                          / len(tri), 4)
               ELSE 0.0 END AS dup_trigram_frac,
          coalesce(top_bigram, '') AS top_bigram,
-         round(coalesce(top_c, 0) * 2.0 / n_tokens, 4) AS top_bigram_frac
+         round(coalesce(top_c, 0) * 1.0
+               / greatest(n_tokens - 1, 1), 4) AS top_bigram_frac
   FROM m LEFT JOIN tb ON m.doc_id = tb.doc_id)
 SELECT doc_id, n_tokens, distinct_ratio, dup_trigram_frac, top_bigram,
        top_bigram_frac,

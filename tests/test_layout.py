@@ -101,3 +101,38 @@ def test_cluster_by_zorder_partitions_are_z_contiguous(spark):
     assert all(sorted_flag for _, _, _, sorted_flag in parts)
     for (_, _, hi_prev, _), (_, lo_next, _, _) in zip(parts, parts[1:]):
         assert hi_prev <= lo_next  # disjoint, contiguous ranges
+
+
+def test_cluster_by_zorder_scales_wide_and_negative_inputs(spark):
+    """Raw inputs outside [0, 2^bits) — here x spans ~2M (> 2^16) and
+    is negative — must still yield a layout that PRUNES: a 10% x-slice
+    should touch few partitions after scale=True clustering, while the
+    unscaled interleave aliases x modulo 2^16 (and interleaves sign
+    bits), smearing the slice across ~all partitions (round-3 fix)."""
+    import pyspark.sql.functions as SF
+
+    n = 1 << 8
+    g = spark.range(n * n).select(
+        ((F.col("id") % n) * 7919 - 50_000).alias("x"),
+        ((F.col("id") / n).cast("long") * 11 + 100_000).alias("y"),
+    )
+    lo_q, hi_q = -50_000, -50_000 + 25 * 7919  # ~10% slice of x
+
+    def touched(df):
+        # partitions whose [min(x), max(x)] overlaps the slice — the
+        # file-skipping decision a parquet reader makes from footers
+        stats = (
+            df.withColumn("_pid", SF.spark_partition_id())
+            .groupBy("_pid")
+            .agg(SF.min("x").alias("lo"), SF.max("x").alias("hi"))
+            .collect()
+        )
+        return sum(1 for r in stats if r.hi >= lo_q and r.lo <= hi_q), len(stats)
+
+    t_scaled, n_scaled = touched(cluster_by_zorder(g, ["x", "y"], partitions=16))
+    t_raw, n_raw = touched(
+        cluster_by_zorder(g, ["x", "y"], partitions=16, scale=False)
+    )
+    assert n_scaled == n_raw == 16
+    assert t_raw >= 14, t_raw  # aliased layout: slice smears everywhere
+    assert t_scaled <= 8, t_scaled  # scaled layout actually prunes

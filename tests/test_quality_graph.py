@@ -54,7 +54,7 @@ def _py_repetition(text: str):
         "distinct_ratio": _r4(len(set(toks)) / n),
         "dup_trigram_frac": dup_tri,
         "top_bigram": top_g,
-        "top_bigram_frac": _r4(top_c * 2.0 / n),
+        "top_bigram_frac": _r4(top_c / max(n - 1, 1)),
     }
 
 

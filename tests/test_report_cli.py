@@ -180,5 +180,26 @@ def test_cli_graph_verbs(spark, tmp_path, capsys):
     )
     assert "PageRank" in capsys.readouterr().out
 
+    # --direction in ranks over REVERSED edges (round-3 fix: it used to
+    # silently equal out). `contains` is asymmetric (repo -> path), so
+    # in-link PageRank must surface different top nodes than out-link.
+    assert (
+        cli.main(
+            ["graph", "pagerank", "--triples", tdir,
+             "--pred", "contains", "--direction", "out", "--limit", "3"]
+        )
+        == 0
+    )
+    out_txt = capsys.readouterr().out
+    assert (
+        cli.main(
+            ["graph", "pagerank", "--triples", tdir,
+             "--pred", "contains", "--direction", "in", "--limit", "3"]
+        )
+        == 0
+    )
+    in_txt = capsys.readouterr().out
+    assert in_txt != out_txt
+
     # missing required args -> exit 2, not a traceback
     assert cli.main(["graph", "neighbors", "--triples", tdir]) == 2

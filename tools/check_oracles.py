@@ -32,7 +32,12 @@ def norm_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str, only: list[str]) -> int:
+def main(sf_dir: str, only: list[str], budget: float = 0.0) -> int:
+    """``budget`` > 0 = time-boxed sweep: queries run in registry order
+    (the driver's priority order) until the box is exhausted, then the
+    skipped names are printed — keeps local sweeps and pre-commit
+    checks predictable as the registry grows (72+ entries)."""
+    t_start = time.time()
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -41,8 +46,12 @@ def main(sf_dir: str, only: list[str]) -> int:
         )
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+    skipped: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if budget and (time.time() - t_start) > budget:
+            skipped.append(name)
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
@@ -68,9 +77,21 @@ def main(sf_dir: str, only: list[str]) -> int:
             o = odf[sorted(odf.columns)].astype(str).sort_values(list(sorted(odf.columns))).head(3)
             print("  spark:", m.values.tolist())
             print("  duck :", o.values.tolist())
+    if skipped:
+        print(
+            f"BUDGET ({budget:.0f}s) exhausted after "
+            f"{time.time() - t_start:.0f}s — skipped {len(skipped)}: "
+            + ", ".join(skipped)
+        )
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(main(sf, sys.argv[2:]))
+    args = sys.argv[1:]
+    budget = 0.0
+    if "--budget" in args:
+        i = args.index("--budget")
+        budget = float(args[i + 1])
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    sys.exit(main(sf, args[1:], budget=budget))

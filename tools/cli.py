@@ -177,6 +177,44 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_release_notes(args) -> int:
+    """Render the tiered release-notes markdown (reference
+    release_notes.py:118-219 / generate_release_notes.py CLI) from a
+    documents-shaped table. Labels are synthesized deterministically
+    from doc_id exactly as the driver-checked `release_tiers` aggregate
+    does (the corpus ships no label column), so the rendered section
+    counts equal that aggregate's n_items per tier."""
+    from deja_view_spark.functions.text import display_truncate
+    from deja_view_spark.queries_events import _LABEL_CHOICES
+    from deja_view_spark.sources.release_notes import generate_release_notes
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in _LABEL_CHOICES]),
+        (F.col("doc_id") % len(_LABEL_CHOICES) + 1).cast("int"),
+    )
+    items = docs.select(
+        F.col("doc_id").alias("number"),
+        display_truncate(F.col("text"), 60).alias("title"),
+        F.col("source").alias("author"),
+        F.array(label).alias("labels"),
+    )
+    doc = generate_release_notes(
+        items,
+        version=args.version,
+        repo_name=args.repo,
+        released_on=args.date,
+        output_file=args.output,
+        max_per_tier=args.limit,
+    )
+    if args.output:
+        print(f"release notes written to {args.output}")
+    else:
+        print(doc)
+    return 0
+
+
 def cmd_graph(args) -> int:
     """Query a materialized kg_triples/ directory (pred-partitioned
     parquet written by plans/pipeline.py) with the graphquery
@@ -217,8 +255,20 @@ def cmd_graph(args) -> int:
         for r in rows:
             print(f"  -[{r.pred}:{r.weight}]-> {r.neighbor}")
     elif args.op == "pagerank":
+        # --direction in = PageRank over the REVERSED edges (who is
+        # pointed AT matters, e.g. most-mentioned files): swap
+        # subj/obj before ranking rather than silently treating 'in'
+        # as 'out'
+        pr_input = triples
+        if args.direction == "in":
+            pr_input = triples.select(
+                F.col("obj").alias("subj"),
+                "pred",
+                F.col("subj").alias("obj"),
+                *[c for c in triples.columns if c not in ("subj", "pred", "obj")],
+            )
         rows = (
-            pagerank(triples, pred=args.pred or None,
+            pagerank(pr_input, pred=args.pred or None,
                      undirected=args.direction == "both")
             .orderBy(F.desc("rank"), F.asc("node"))
             .limit(args.limit)
@@ -282,6 +332,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True)
     p.add_argument("--output", default="")
     p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser(
+        "release-notes", help="tiered release-notes markdown from a docs table"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--version", default=None)
+    p.add_argument("--repo", default=None)
+    p.add_argument("--date", default="", help="released-on stamp (injectable)")
+    p.add_argument("--limit", type=int, default=200, help="max items per tier")
+    p.set_defaults(fn=cmd_release_notes)
 
     p = sub.add_parser("graph", help="query a materialized kg_triples dir")
     p.add_argument(
