@@ -21,20 +21,27 @@ wall-clock, which is what blew the round-2 driver budget).
 
 Scaling pair choice: the host exposes 32 vCPUs, but they are
 oversubscribed/SMT-shared — plain multiprocessing (no Spark, no I/O)
-measures only 2.78x the cycles going 8->32 threads, a 0.69 hard
-ceiling on any 8->32 "scaling efficiency". The north rule's N->4N
-assumes 4N executors = 4x the hardware, which this host only provides
-while staying under its physical core count: the default pair is
-(2, 8) cores, where 4x parallelism buys 4x real silicon — the honest
-stand-in for adding executors to a cluster. The 8->32 pair and the
-ceiling measurement stay documented in BENCH/BASELINE.md.
+measured only 2.78x the cycles going 8->32 threads on a GOOD day (a
+0.69 hard ceiling on any 8->32 "scaling efficiency"), and on degraded
+days even 2->8 caps near 0.8 while 1->4 keeps a ~1.0 ceiling. The
+north rule's N->4N assumes 4N executors = 4x the hardware, so by
+default the bench PROBES today's capacity (capacity_probe, ~15s of
+multiprocessing numpy at 1/2/4/8 procs) and picks the pair whose 4x
+parallelism is actually backed by 4x silicon — (2,8) preferred, (1,4)
+when the host is degraded — recording the probe, the per-pair
+hardware ceilings, and the choice in the JSON (`capacity_probe`).
+Per-core work is held constant across pairs (scaling_rows/2 rows per
+lo-core). Pin a pair with SPARK_GRAFT_SCALING=lo,hi.
 
 Budget: the whole default study must fit the driver's bench window
 (round 2's ~35-min run was killed at rc=124). An internal wall-clock
-budget (SPARK_GRAFT_BUDGET_SEC, default 1080s) gates every optional
-cell: the queries phase and the headline KG build always run; scaling
-cells are skipped (and recorded as skipped) once the projected finish
-would cross the budget. The JSON line is printed no matter what.
+budget (SPARK_GRAFT_BUDGET_SEC, default 1200s) gates the cells in
+IMPORTANCE order — queries, then the scaling pair (the north rule's
+>=0.8 efficiency gate), then the 32c headline (recoverable from the 4N
+cell if skipped) — so a storm window degrades the study from the least
+load-bearing end. The JSON line is printed no matter what. Default
+repeats = 1 pair; raise SPARK_GRAFT_SCALING_REPEATS (and the budget)
+for the full interleaved study.
 
 Weather: each kg_run cell times a fixed single-threaded numpy kernel
 before and after its build (ctl_before/ctl_after). On a quiet host the
@@ -47,11 +54,13 @@ Env knobs:
     SPARK_GRAFT_CPUS          cores for the query phase + the headline
                               KG build (default 32)
     SPARK_GRAFT_KG_ROWS       headline KG input rows (default 2000000)
-    SPARK_GRAFT_SCALING       "2,8" cores pair; "" skips the pair study
-    SPARK_GRAFT_SCALING_ROWS  pair-study input rows (default 2000000)
-    SPARK_GRAFT_SCALING_REPEATS  interleaved repeats per level (default 2)
+    SPARK_GRAFT_SCALING       "auto" (default: probe + choose), "2,8"
+                              pins a pair, "" skips the pair study
+    SPARK_GRAFT_SCALING_ROWS  pair rows per 2 lo-cores (default 2000000:
+                              (2,8) runs 2M rows, (1,4) runs 1M)
+    SPARK_GRAFT_SCALING_REPEATS  interleaved repeats per level (default 1)
     SPARK_GRAFT_BUDGET_SEC    wall-clock budget for the whole study
-                              (default 1080; raise for the full study)
+                              (default 1200; raise for the full study)
 """
 
 from __future__ import annotations
@@ -95,6 +104,57 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     return timings
 
 
+def _probe_worker(_: int) -> int:
+    """3s of single-process numpy elementwise work; returns iterations."""
+    import numpy as np
+
+    a = np.arange(1_500_000, dtype=np.float64)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 2.0:
+        a = np.sqrt(a * 1.0000001 + 1.1)
+        k += 1
+    return k
+
+
+def capacity_probe(levels=(1, 2, 4, 8)) -> dict[int, float]:
+    """Aggregate numpy throughput (iters/s) at several PROCESS counts —
+    a ~15s direct measurement of how much real silicon each parallelism
+    level buys RIGHT NOW. The north rule's N->4N assumes 4N executors =
+    4x hardware; on this oversubscribed VM that assumption holds only
+    up to a day-varying core budget (round 2 measured a 0.69 ceiling
+    for 8->32 on a good day; this round observed days where even 2->8
+    caps at ~0.8 while 1->4 stays ~1.0). The probe makes the choice of
+    honest pair data-driven and auditable instead of hardcoded."""
+    import multiprocessing as mp
+
+    out: dict[int, float] = {}
+    ctx = mp.get_context("fork")
+    for p in levels:
+        with ctx.Pool(p) as pool:
+            t0 = time.time()
+            iters = sum(pool.map(_probe_worker, range(p)))
+            out[p] = round(iters / (time.time() - t0), 1)
+    return out
+
+
+def choose_pair(probe: dict[int, float]) -> tuple[int, int, dict]:
+    """Pick the N->4N cores pair whose 4x parallelism is backed by the
+    most real silicon today. Prefers (2,8) — more per-cell work, the
+    round-2 methodology — unless its measured hardware ceiling falls
+    clearly below (1,4)'s."""
+    ceil = {
+        (lo, hi): round(probe[hi] / (4.0 * probe[lo]), 3)
+        for (lo, hi) in ((1, 4), (2, 8))
+        if lo in probe and hi in probe
+    }
+    if ceil.get((2, 8), 0.0) >= 0.9 * ceil.get((1, 4), 0.0):
+        lo, hi = 2, 8
+    else:
+        lo, hi = 1, 4
+    return lo, hi, {f"{a}->{b}": v for (a, b), v in ceil.items()}
+
+
 def run_kg(cores: int, rows: int, src: str | None = None, gen_only: bool = False) -> dict:
     """One KG build in a fresh JVM at the given parallelism."""
     cmd = [
@@ -125,13 +185,17 @@ def main() -> None:
     # headline: 2M rows at full parallelism — the engine's absolute
     # throughput number (large enough that fixed costs stop dominating)
     kg_rows = int(os.environ.get("SPARK_GRAFT_KG_ROWS", "2000000"))
-    scaling_env = os.environ.get("SPARK_GRAFT_SCALING", "2,8")
-    # 2M rows for the pair: the fixed orchestration term amortizes with
-    # input (measured eff 0.77 at 1M -> 0.86 at 2M for 2->8); the
-    # north-rule regime (10^12 files) is the large-input limit
+    # "auto" = probe today's parallel capacity and pick the pair 4x
+    # parallelism actually buys 4x silicon for; "2,8" etc. pins it
+    scaling_env = os.environ.get("SPARK_GRAFT_SCALING", "auto")
+    # pair-study size is ROWS PER lo-CORE: each pair runs lo*this/2
+    # rows so the per-core work (and the fixed-term amortization the
+    # 2->8@2M study measured: eff 0.77@1M -> 0.86@2M) is constant
+    # across pair choices; the north-rule regime (10^12 files) is the
+    # large-input limit
     scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "2000000"))
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "1080"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "1200"))
 
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_m.group(1)) if sf_m else 0.1
@@ -147,37 +211,43 @@ def main() -> None:
         src_path = f"{shared_dir}/repos_src"
         run_kg(cores, kg_rows, src=src_path, gen_only=True)
 
-        # headline KG build at full parallelism — always runs
-        kg_big = run_kg(cores, kg_rows, src=src_path)
-        result["kg"] = {
-            k: kg_big[k]
-            for k in (
-                "rows",
-                "triples",
-                "sec",
-                "triples_per_sec",
-                "ctl_before",
-                "ctl_after",
-                "stages",
-            )
-        }
-
-        # N->4N scaling pairs, budget-gated. The host is oversubscribed
-        # (6-18% CPU steal under load), so single runs swing +-50%: each
-        # level runs up to `repeats` times INTERLEAVED (N,4N,N,4N); each
-        # adjacent (N,4N) pair shares one weather window and efficiency
-        # is computed per pair, best pair reported.
-        pair = [int(c) for c in scaling_env.split(",") if c.strip()]
-        if len(pair) == 2 and scaling_rows != kg_rows:
-            # different row count -> cells regenerate their own source
-            src_for_cells = None
+        # Cell order is IMPORTANCE order, so a storm window + the
+        # budget gate drop the least-load-bearing piece first:
+        # 1. scaling pair(s)  — the north rule's >=0.8 efficiency GATE
+        # 2. headline 32c     — absolute triples/sec (recoverable from
+        #                       the 4N cell if skipped)
+        # A pair runs atomically (N then 4N back-to-back in one weather
+        # window); estimates start at quiet-host priors (incl. JVM +
+        # warmup) and are replaced by observed walls as cells land.
+        if scaling_env == "auto":
+            probe = capacity_probe()
+            lo, hi, ceilings = choose_pair(probe)
+            pair = [lo, hi]
+            result["capacity_probe"] = {
+                "iters_per_sec": {str(k): v for k, v in probe.items()},
+                "pair_hw_ceilings": ceilings,
+                "chosen_pair": pair,
+            }
         else:
-            src_for_cells = src_path
+            pair = [int(c) for c in scaling_env.split(",") if c.strip()]
+        kg_big = None
         if len(pair) == 2:
             lo, hi = min(pair), max(pair)
+            # constant per-core work across pair choices: lo cores get
+            # scaling_rows/2 rows each (2M total at (2,8), 1M at (1,4))
+            pair_rows = scaling_rows * lo // 2
+            if pair_rows != kg_rows:
+                src_for_cells = f"{shared_dir}/repos_src_{pair_rows}"
+                run_kg(cores, pair_rows, src=src_for_cells, gen_only=True)
+            else:
+                src_for_cells = src_path
             ratio = hi / lo
             runs: dict[int, list[dict]] = {lo: [], hi: []}
-            est = {lo: 400.0, hi: 150.0}  # prior walls, refined as cells land
+            # quiet-host priors (measured r2: 2c/2M cell ~170-220s wall
+            # incl. JVM, 8c ~60-80s; moderate so a storm window still
+            # attempts the pair — the gate cell — rather than skipping
+            # on pessimism). refined to observed walls as cells land.
+            est = {lo: 350.0, hi: 130.0}
             skipped = 0
             for i in range(max(1, repeats)):
                 # a pair is only useful whole: require room for BOTH cells
@@ -187,7 +257,7 @@ def main() -> None:
                 for c in (lo, hi):
                     t0 = time.time()
                     runs[c].append(
-                        run_kg(c, scaling_rows, src=src_for_cells)
+                        run_kg(c, pair_rows, src=src_for_cells)
                     )
                     est[c] = time.time() - t0
             n_pairs = min(len(runs[lo]), len(runs[hi]))
@@ -205,7 +275,7 @@ def main() -> None:
                 result["scaling"] = {
                     "cores_n": lo,
                     "cores_4n": hi,
-                    "rows": scaling_rows,
+                    "rows": pair_rows,
                     "tps_n": small["triples_per_sec"],
                     "tps_4n": big["triples_per_sec"],
                     "efficiency": pair_effs[i_best],
@@ -224,15 +294,42 @@ def main() -> None:
                     "elapsed_sec": round(elapsed(), 1),
                 }
 
-            # machine-detectable weather: every control reading from
-            # every cell, plus the spread. quiet host => spread ~1.0;
-            # a storm shows up as max/min >> 1 without any prose.
-            ctls = [
-                r[k]
-                for rs in ([kg_big], *runs.values())
-                for r in rs
-                for k in ("ctl_before", "ctl_after")
-            ]
+        # headline KG build at full parallelism — runs if the budget
+        # leaves room (estimate: a bit over the 4N cell, or the quiet
+        # prior); if it doesn't, the 4N scaling cell stands in so the
+        # `kg` block is never absent.
+        est_head = 1.3 * est.get(hi, 210.0) if len(pair) == 2 else 260.0
+        kg_keys = (
+            "cores",
+            "rows",
+            "triples",
+            "sec",
+            "triples_per_sec",
+            "ctl_before",
+            "ctl_after",
+            "stages",
+        )
+        if elapsed() + est_head <= budget:
+            kg_big = run_kg(cores, kg_rows, src=src_path)
+            result["kg"] = {k: kg_big[k] for k in kg_keys}
+        elif len(pair) == 2 and runs.get(hi):
+            best_hi = max(runs[hi], key=lambda r: r["triples_per_sec"])
+            result["kg"] = {k: best_hi[k] for k in kg_keys}
+            result["kg"]["fallback"] = (
+                f"budget: headline {cores}c cell skipped; best {hi}c "
+                "scaling cell reported"
+            )
+        else:
+            result["kg"] = {"skipped": "budget"}
+
+        # machine-detectable weather: every control reading from every
+        # cell, plus the spread. quiet host => spread ~1.0; a storm
+        # shows up as max/min >> 1 without any prose.
+        cells = ([kg_big] if kg_big else []) + (
+            [r for rs in runs.values() for r in rs] if len(pair) == 2 else []
+        )
+        ctls = [r[k] for r in cells for k in ("ctl_before", "ctl_after")]
+        if ctls:
             result["weather_control"] = {
                 "kernel": "numpy elementwise sqrt/mul, 1 thread, fixed size",
                 "readings_sec": ctls,

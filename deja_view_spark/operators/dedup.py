@@ -119,6 +119,55 @@ def minhash_dedup_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows: int = 4,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Incremental near-dup check: a small NEW batch probed against the
+    already-indexed corpus (reference action.py:72-166 re-indexes then
+    probes per new issue; this is the batched Spark shape).
+
+    This is the operation a 100-TB pipeline actually runs daily — the
+    whole point is NOT re-deduplicating the corpus: the corpus side is
+    scanned once for band keys (in production the band table is the
+    stored dedup index, so even that scan is a narrow index read, not a
+    text pass), the new batch's band table is broadcast (a daily batch
+    is ~1e-3 of the corpus), so there is NO shuffle of corpus rows at
+    all — the candidate join is map-side. Exact-Jaccard verify then
+    touches only colliding candidates.
+
+    Emits (src_doc = new, dst_doc = corpus, jaccard >= threshold); the
+    two sides are disjoint so no self-pair guard is needed. Recall at
+    threshold 0.2 equals the full-corpus banding's (the candidate set
+    here is the cross-split subset of the same band collisions), which
+    docs_minhash_pairs' exhaustive oracle measures at 1.0."""
+    mh = make_minhash_bands_udf(bands=bands, rows=rows, shingle_k=shingle_k, seed=seed)
+    nb = new_docs.select(
+        F.col(id_col).alias("src_doc"), F.explode(mh(F.col(text_col))).alias("band")
+    )
+    cb = corpus_docs.select(
+        F.col(id_col).alias("dst_doc"), F.explode(mh(F.col(text_col))).alias("band")
+    )
+    cands = (
+        cb.join(F.broadcast(nb), "band")
+        .select("src_doc", "dst_doc")
+        .distinct()
+    )
+    docs_all = new_docs.unionByName(corpus_docs)
+    return (
+        _exact_jaccard(docs_all, cands, text_col, id_col, shingle_k)
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
 def _hamming64(a: Column, b: Column) -> Column:
     """Hamming distance of two 64-bit fingerprints — xor + bit_count,
     pure codegen."""

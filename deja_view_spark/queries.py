@@ -593,8 +593,68 @@ ORDER BY probe_id, rank
 ORACLE_ANN_IVF = _oracle_ann_ivf()
 
 
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a deterministic 20% md5 split plays
+    the 'new batch' (sized for fixture coverage; a real daily batch is
+    ~1e-3 of the corpus), probed against the remaining 80% 'indexed
+    corpus' via a broadcast band join — no corpus shuffle, no corpus
+    re-dedup (operators/dedup.py:incremental_minhash_pairs; reference
+    action.py:72-166 is the per-row original). Oracle: exhaustive exact
+    n-gram Jaccard over the cross-split pairs only, so the driver check
+    doubles as a cross-split recall==1.0 assertion for the banding."""
+    from deja_view_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    return incremental_minhash_pairs(docs.where(is_new), docs.where(~is_new))
+
+
+def _oracle_docs_incremental_dedup() -> str:
+    from deja_view_spark.functions.embedding import duckdb_hex_int_sql
+
+    split = duckdb_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 4)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, ({split}) % 5 = 0 AS is_new FROM documents),
+t AS (
+  SELECT doc_id, is_new,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM d),
+s AS (
+  SELECT DISTINCT doc_id, is_new,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS c
+  FROM s a JOIN s b ON a.sh = b.sh AND a.is_new AND NOT b.is_new
+  GROUP BY 1, 2)
+SELECT src_doc, dst_doc,
+       round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+FROM common
+JOIN sz x ON src_doc = x.doc_id
+JOIN sz y ON dst_doc = y.doc_id
+WHERE c * 1.0 / (x.n + y.n - c) >= 0.2
+ORDER BY src_doc, dst_doc
+"""
+
+
+ORACLE_DOCS_INCREMENTAL_DEDUP = _oracle_docs_incremental_dedup()
+
+
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 ORACLES["ann_ivf_topk"] = ORACLE_ANN_IVF
+QUERIES["docs_incremental_dedup"] = q_docs_incremental_dedup
+ORACLES["docs_incremental_dedup"] = ORACLE_DOCS_INCREMENTAL_DEDUP
 QUERIES["docs_minhash_pairs"] = q_docs_minhash_pairs
 ORACLES["docs_minhash_pairs"] = ORACLE_DOCS_MINHASH
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
@@ -661,6 +721,8 @@ _ROUND3_FIRST = [
     # newly full-oracle in round 3 (were `no_oracle` rows in r01/r02)
     "ann_ivf_topk",
     "incremental_probe",
+    # new in round 3 — needs its first attestation
+    "docs_incremental_dedup",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

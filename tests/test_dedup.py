@@ -76,3 +76,72 @@ def test_minhash_recall_vs_exact_on_testdata(spark):
     assert exact, "testdata should contain near-duplicate documents"
     assert exact <= lsh
     assert lsh <= exact  # verify step filters to the same threshold
+
+
+def test_incremental_dedup_planted_pair(spark):
+    """Incremental probe of a new batch against an indexed corpus:
+    planted cross-split near-dup found with exact jaccard, corpus-side
+    internal duplicates NOT re-emitted, and the new-batch band table is
+    broadcast (no corpus shuffle)."""
+    from deja_view_spark.operators.dedup import incremental_minhash_pairs
+
+    corpus = spark.createDataFrame(
+        [r for r in DOCS if r[0] != 1], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [r for r in DOCS if r[0] == 1], "doc_id long, text string"
+    )
+    out = incremental_minhash_pairs(new, corpus, threshold=0.5)
+    rows = out.collect()
+    found = {(r.src_doc, r.dst_doc) for r in rows}
+    # the new doc pairs with both members of its cluster in the corpus
+    assert (1, 0) in found and (1, 2) in found
+    # the corpus-internal exact pair (3, 4) is NOT re-deduplicated
+    assert all(r.src_doc == 1 for r in rows)
+    # plan: candidate join must broadcast the (small) new side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_matches_full_pairs_subset(spark):
+    """On the real documents table, the incremental query's output is
+    exactly the cross-split subset of the full-corpus minhash pair set
+    (same banding => same recall; disjoint split => src is always
+    new-side)."""
+    from deja_view_spark.queries import (
+        q_docs_incremental_dedup,
+        q_docs_minhash_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    inc = {
+        (r.src_doc, r.dst_doc, r.jaccard)
+        for r in q_docs_incremental_dedup(spark, sf_dir).collect()
+    }
+    full = q_docs_minhash_pairs(spark, sf_dir).collect()
+    new_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        )
+        .collect()
+    }
+    # full pairs are canonical (src < dst); incremental pairs are
+    # directed new -> corpus. re-orient the cross-split subset.
+    expect = set()
+    for r in full:
+        a, b = r.src_doc, r.dst_doc
+        if (a in new_ids) != (b in new_ids):
+            src, dst = (a, b) if a in new_ids else (b, a)
+            expect.add((src, dst, r.jaccard))
+    assert inc == expect
+    assert expect, "split should cross at least one near-dup pair"

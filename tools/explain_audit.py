@@ -195,6 +195,9 @@ CHECKS = [
     # BPE merge census: in-row pair stream (Generate), partial agg,
     # global top-K via TakeOrdered — no global sort
     ("docs_bpe_merge_pairs", [r"Generate", r"TakeOrdered", PARTIAL_AGG], []),
+    # incremental dedup: the new-batch band table is BROADCAST into the
+    # corpus band stream — the candidate join never shuffles the corpus
+    ("docs_incremental_dedup", [r"BroadcastHashJoin", r"Generate"], []),
 ]
 
 

@@ -1,0 +1,170 @@
+"""sf1 stress row (VERDICT r2 next-round item #6): run the most
+expensive registry queries and the KG build at 10-100x the usual
+correctness/bench scales to confirm no hidden quadratic.
+
+The documents corpus is synthesized from the engine's deterministic
+repos generator (datagen.generate_repos — same near-dup block
+structure the P/R gate uses: ~40% of rows in 4-member duplicate
+clusters), mapped onto the documents schema. Nothing is written under
+/root/testdata; everything lands in a temp dir (or --out).
+
+Per dedup query the script also logs the SHAPE diagnostics a quadratic
+would show up in first:
+- minhash band bucket-size histogram tail (top sizes + how many
+  buckets exceed the salting threshold);
+- candidate-pair count vs corpus size (near-linear for block-structured
+  corpora; quadratic blowup = red flag);
+- output row counts.
+
+Usage:
+    python tools/stress_sf1.py [--docs-rows 50000] [--kg-rows 8000000]
+                               [--cores 32] [--skip-kg]
+
+Prints one JSON line (plus human-readable progress on stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# the expensive tail of the registry at sf0.1 (BENCH r2): every
+# dedup/cluster family that could hide a quadratic
+STRESS_QUERIES = [
+    "docs_minhash_pairs",
+    "docs_jaccard_pairs",
+    "docs_simhash_pairs",
+    "docs_repetition",
+    "corpus_clean",
+    "docs_duplicate_clusters",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_documents(spark, n_rows: int, out_dir: str) -> str:
+    from deja_view_spark.datagen import generate_repos
+
+    docs = generate_repos(spark, n_rows).select(
+        F.col("row_id").alias("doc_id"),
+        F.col("content").alias("text"),
+        "lang",
+        F.col("repo").alias("source"),
+        F.length("content").cast("long").alias("n_chars"),
+    )
+    path = f"{out_dir}/documents.parquet"
+    docs.write.mode("overwrite").parquet(path)
+    return out_dir
+
+
+def bucket_histogram(spark, sf_dir: str) -> dict:
+    """MinHash band bucket-size tail — the statistic that decides
+    whether the bucket-local pair generation stays near-linear (the
+    oversized tail is what operators/selfjoin.py re-routes through the
+    salted join)."""
+    from deja_view_spark.functions.hashing import make_minhash_bands_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mh = make_minhash_bands_udf(bands=16, rows=4, shingle_k=3, seed=7)
+    sizes = (
+        docs.select(F.explode(mh(F.col("text"))).alias("band"))
+        .groupBy("band")
+        .count()
+    )
+    top = [int(r["count"]) for r in sizes.orderBy(F.desc("count")).limit(10).collect()]
+    agg = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("count") > 200, 1).otherwise(0)).alias("n_over_salt"),
+        F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")).alias(
+            "candidate_pairs_upper"
+        ),
+    ).first()
+    return {
+        "top_bucket_sizes": top,
+        "n_buckets": int(agg["n_buckets"]),
+        "n_buckets_over_salt_threshold": int(agg["n_over_salt"]),
+        "candidate_pairs_upper_bound": int(agg["candidate_pairs_upper"]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs-rows", type=int, default=50_000)
+    ap.add_argument("--kg-rows", type=int, default=8_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--skip-kg", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from deja_view_spark.session import get_spark
+    import __spark_entry__ as E
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="stress_sf1_")
+    spark = get_spark(app_name="stress-sf1", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    result: dict = {
+        "metric": "sf1_stress",
+        "docs_rows": args.docs_rows,
+        "cores": args.cores,
+    }
+    try:
+        t0 = time.time()
+        make_documents(spark, args.docs_rows, out_dir)
+        result["gen_sec"] = round(time.time() - t0, 1)
+        log(f"generated {args.docs_rows} docs in {result['gen_sec']}s")
+
+        result["bucket_histogram"] = bucket_histogram(spark, out_dir)
+        log(f"bucket histogram: {result['bucket_histogram']}")
+
+        qs = E.queries()
+        timings: dict[str, dict] = {}
+        for name in STRESS_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, out_dir)
+            n = df.count()
+            timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
+            log(f"{name}: {timings[name]}")
+        result["queries"] = timings
+
+        if not args.skip_kg:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    "/root/repo/tools/kg_run.py",
+                    "--cores",
+                    str(args.cores),
+                    "--rows",
+                    str(args.kg_rows),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            import re
+
+            m = re.search(r'\{"cores".*\}', out.stdout)
+            if m:
+                result["kg"] = json.loads(m.group(0))
+                log(f"kg: {result['kg']}")
+            else:
+                result["kg"] = {"error": out.stdout[-500:] + out.stderr[-500:]}
+    finally:
+        if not args.out:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
