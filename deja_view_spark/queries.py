@@ -668,6 +668,7 @@ from deja_view_spark import queries_events as _QE  # noqa: E402
 from deja_view_spark import queries_graph as _QG  # noqa: E402
 from deja_view_spark import queries_quality as _QQ  # noqa: E402
 from deja_view_spark import queries_relational as _QR  # noqa: E402
+from deja_view_spark import queries_retrieval as _QRT  # noqa: E402
 from deja_view_spark import queries_text as _QT  # noqa: E402
 
 QUERIES.update(_QT.QUERIES)
@@ -684,6 +685,8 @@ QUERIES.update(_QQ.QUERIES)
 ORACLES.update(_QQ.ORACLES)
 QUERIES.update(_QG.QUERIES)
 ORACLES.update(_QG.ORACLES)
+QUERIES.update(_QRT.QUERIES)
+ORACLES.update(_QRT.ORACLES)
 
 # ------------------------------------------------------------------
 # Driver correctness-window rotation (round 3). The driver attests the
@@ -723,6 +726,9 @@ _ROUND3_FIRST = [
     "incremental_probe",
     # new in round 3 — needs its first attestation
     "docs_incremental_dedup",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "kg_two_hop",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

@@ -123,6 +123,20 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy("node")
 
 
+# chain-edges CTEs shared by every oracle that queries the
+# co-engagement graph (pagerank here, kg_two_hop in queries_retrieval)
+SQL_CHAIN_EDGES_CTES = """touched AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         user_id
+  FROM events),
+chains AS (
+  SELECT item, list_sort(list(user_id)) AS us FROM touched GROUP BY item),
+edges AS (
+  SELECT DISTINCT us[i] AS src, us[i + 1] AS dst
+  FROM (SELECT us, unnest(generate_series(1, len(us) - 1)) AS i FROM chains)
+  WHERE us[i] <> us[i + 1])"""
+
+
 def _oracle_pagerank() -> str:
     teleport = f"(({DAMP_DEN - DAMP_NUM} * {SCALE}::BIGINT) // ({DAMP_DEN} * n))"
     iters = []
@@ -143,16 +157,7 @@ r{i} AS (
         prev = f"r{i}"
     chain = ",".join(iters)
     return f"""
-WITH touched AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
-         user_id
-  FROM events),
-chains AS (
-  SELECT item, list_sort(list(user_id)) AS us FROM touched GROUP BY item),
-edges AS (
-  SELECT DISTINCT us[i] AS src, us[i + 1] AS dst
-  FROM (SELECT us, unnest(generate_series(1, len(us) - 1)) AS i FROM chains)
-  WHERE us[i] <> us[i + 1]),
+WITH {SQL_CHAIN_EDGES_CTES},
 nodes AS (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),

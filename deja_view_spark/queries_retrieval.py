@@ -1,0 +1,291 @@
+"""Retrieval-stack queries (driver-checkable): BM25 lexical ranking,
+hybrid lexical+semantic fusion (RRF), and a two-hop KG triple-pattern
+traversal.
+
+These extend the reference's single-modality semantic search
+(github_similarity_service.py:397-447 embeds a probe and asks Chroma
+for nearest neighbors) with the lexical and fused counterparts a
+production retrieval stack pairs with ANN, plus the graph-traversal
+query shape the KG pipeline's materialized triples exist to serve.
+
+Cross-engine determinism discipline (same as queries_corpus TF-IDF):
+``F.log``/DuckDB ``ln`` agree after round(.., 4); every ranking orders
+by the ROUNDED score with an id tiebreak so row_number is stable; RRF
+scores are built from integer ranks only, so the fusion arithmetic is
+bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deja_view_spark.functions.similarity import cosine_sim, duckdb_cosine_sql
+from deja_view_spark.queries_graph import SQL_CHAIN_EDGES_CTES
+from deja_view_spark.sources.catalog import load_table
+
+TOKEN_RE = "[a-z0-9_]+"
+
+# fixed lexical probe: terms chosen from the synthetic corpus vocabulary
+BM25_TERMS = ["join", "window", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+RRF_POOL = 50  # candidates taken from each ranker before fusion
+HYBRID_PROBE_ID = 7  # semantic probe: embeddings.vec_id == 7
+HYBRID_TOP_K = 20
+
+TWO_HOP_TOP_K = 25
+
+
+# --------------------------------------------------------------- BM25
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score for the fixed query BM25_TERMS.
+
+    Scale shape: ONE tokenize pass per row — dl and every per-term tf
+    come out of a single ``aggregate`` fold over the token array, so
+    Catalyst's CollapseProject cannot inline the regexp tokenizer once
+    per consumer (it would otherwise run 1 + len(terms) times per row).
+    Corpus stats (N, avgdl, per-term df) are a single-row aggregate
+    broadcast back over the scored table — two scans of a pruned
+    (doc_id, text) projection total, no driver collect, no explode:
+    the inverted-index-free formulation that scales linearly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    acc0 = F.struct(
+        F.lit(0).alias("dl"),
+        *[F.lit(0).alias(f"tf{i}") for i in range(len(BM25_TERMS))],
+    )
+    fold = F.aggregate(
+        toks,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["dl"] + 1).alias("dl"),
+            *[
+                (
+                    acc[f"tf{i}"]
+                    + F.when(x == F.lit(t), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"tf{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        ),
+    )
+    base = docs.select("doc_id", fold.alias("c")).select(
+        "doc_id",
+        F.col("c.dl").alias("dl"),
+        *[F.col(f"c.tf{i}").alias(f"tf{i}") for i in range(len(BM25_TERMS))],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = 1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            1.0
+            + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        score = score + idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+    return scored.select("doc_id", F.round(score, 4).alias("bm25"))
+
+
+def _sql_bm25_scored() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({BM25_K1} + 1.0)"
+        f" / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols} FROM tokd),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base),
+bm25_scored AS (
+  SELECT doc_id, round({terms}, 4) AS bm25 FROM base CROSS JOIN stats)"""
+
+
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 lexical retrieval for the fixed query. The final
+    ranking is a sorted limit (TakeOrderedAndProject — no global
+    sort materializes)."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+ORACLE_DOCS_BM25 = f"""
+WITH {_sql_bm25_scored()}
+SELECT doc_id, bm25 FROM bm25_scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+# ------------------------------------------------- hybrid fusion (RRF)
+def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
+    a cosine-similarity ranking for the probe embedding
+    (vec_id == HYBRID_PROBE_ID), rrf = sum over rankers of
+    1 / (RRF_K + rank).
+
+    Scale shape: each ranker reduces to a sorted limit of RRF_POOL rows
+    (TakeOrderedAndProject — scales; the rank window then runs over the
+    already-pooled RRF_POOL rows, a metadata-sized single partition,
+    NOT over the corpus). The probe row rides a broadcast, the fusion
+    join is RRF_POOL x RRF_POOL row-count, and the fused scores are
+    functions of INTEGER ranks only, so they are bit-identical across
+    engines with no float-fold caveats."""
+    lex_pool = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == HYBRID_PROBE_ID).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    sem_pool = (
+        emb.where(F.col("vec_id") != HYBRID_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("probe_vec")), 4
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    w_sem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = sem_pool.select(
+        "doc_id", F.row_number().over(w_sem).alias("rank_sem")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(RRF_K) + F.col("rank_sem")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+        "rank_lex",
+        "rank_sem",
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(HYBRID_TOP_K)
+
+
+ORACLE_DOCS_HYBRID_RRF = f"""
+WITH {_sql_bm25_scored()},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+  FROM bm25_scored
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT {RRF_POOL}),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_sem
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           round({duckdb_cosine_sql('e.embedding', 'p.embedding')}, 4) AS cos
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings
+          WHERE vec_id = {HYBRID_PROBE_ID}) p
+    WHERE e.vec_id <> {HYBRID_PROBE_ID})
+  ORDER BY cos DESC, doc_id ASC
+  LIMIT {RRF_POOL})
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       round(coalesce(1.0 / ({RRF_K} + rank_lex), 0.0)
+             + coalesce(1.0 / ({RRF_K} + rank_sem), 0.0), 6) AS rrf,
+       rank_lex, rank_sem
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {HYBRID_TOP_K}
+"""
+
+
+# ------------------------------------------- two-hop triple traversal
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop triple-pattern traversal over the co-engagement KG:
+    match (a)-[:chain]->(b)-[:chain]->(c) with a <> c and count the
+    distinct intermediates per (a, c) endpoint pair — the canonical
+    "related via shared neighbor" KG query the materialized triple
+    table exists to answer (the reference's duplicate graph supports
+    exactly this shape of transitive lookup).
+
+    Scale shape: the hop is ONE shuffle — both edge aliases hash on the
+    join key (dst = src), and the endpoint aggregation shuffles (a, c)
+    pairs with full map-side combine. Edges are distinct by
+    construction, so count(*) per (a, c) IS the distinct-intermediate
+    count — no count(distinct) expansion. At 100x scale the only
+    hazard is super-node skew on b; AQE skew-join splitting handles
+    it (enabled session-wide), and a degree-cap pre-filter is the
+    documented escalation."""
+    from deja_view_spark.queries_graph import _chain_edges
+
+    edges = _chain_edges(spark, sf_dir)
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .where(F.col("a") != F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("n_mids"))
+        .orderBy(F.desc("n_mids"), F.asc("a"), F.asc("c"))
+        .limit(TWO_HOP_TOP_K)
+    )
+
+
+ORACLE_KG_TWO_HOP = f"""
+WITH {SQL_CHAIN_EDGES_CTES}
+SELECT e1.src AS a, e2.dst AS c, count(*) AS n_mids
+FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+WHERE e1.src <> e2.dst
+GROUP BY e1.src, e2.dst
+ORDER BY n_mids DESC, a ASC, c ASC
+LIMIT {TWO_HOP_TOP_K}
+"""
+
+
+QUERIES = {
+    "docs_bm25_topk": q_docs_bm25_topk,
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,
+    "kg_two_hop": q_kg_two_hop,
+}
+
+ORACLES = {
+    "docs_bm25_topk": ORACLE_DOCS_BM25,
+    "docs_hybrid_rrf": ORACLE_DOCS_HYBRID_RRF,
+    "kg_two_hop": ORACLE_KG_TWO_HOP,
+}

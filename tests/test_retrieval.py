@@ -1,0 +1,120 @@
+"""Retrieval-stack semantics: BM25 against an independent pure-python
+scorer, RRF fusion arithmetic from the emitted ranks, two-hop counts
+against a python traversal of the same edge set, and the plan shapes
+(sorted limit, broadcast probe)."""
+
+import math
+import re
+
+import pandas as pd
+import pytest
+
+from deja_view_spark import queries_retrieval as R
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_bm25(sf_dir: str) -> dict[int, float]:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tok = re.compile(R.TOKEN_RE)
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = tok.findall(text.lower())
+        rows.append(
+            (
+                int(doc_id),
+                len(toks),
+                [sum(1 for x in toks if x == t) for t in R.BM25_TERMS],
+            )
+        )
+    n = len(rows)
+    avgdl = sum(dl for _, dl, _ in rows) / n
+    dfs = [
+        sum(1 for _, _, tfs in rows if tfs[i] > 0)
+        for i in range(len(R.BM25_TERMS))
+    ]
+    out = {}
+    for doc_id, dl, tfs in rows:
+        s = 0.0
+        for i, tf in enumerate(tfs):
+            idf = math.log(1.0 + (n - dfs[i] + 0.5) / (dfs[i] + 0.5))
+            norm = 1.0 - R.BM25_B + R.BM25_B * dl / avgdl
+            s += idf * tf * (R.BM25_K1 + 1.0) / (tf + R.BM25_K1 * norm)
+        out[doc_id] = round(s, 4)
+    return out
+
+
+def test_bm25_matches_python_scorer(spark):
+    expected = _py_bm25(SF_DIR)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in R.q_docs_bm25_topk(spark, SF_DIR).collect()
+    }
+    assert len(got) == min(R.BM25_TOP_K, len(expected))
+    for doc_id, score in got.items():
+        assert score == pytest.approx(expected[doc_id], abs=1e-4)
+    # the returned set IS the top-k of the python ranking
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert set(got) == {d for d, _ in top[: len(got)]}
+
+
+def test_bm25_plan_is_sorted_limit(spark):
+    plan = R.q_docs_bm25_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    rows = R.q_docs_hybrid_rrf(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= R.HYBRID_TOP_K
+    for r in rows:
+        expect = 0.0
+        if r["rank_lex"] is not None:
+            assert 1 <= r["rank_lex"] <= R.RRF_POOL
+            expect += 1.0 / (R.RRF_K + r["rank_lex"])
+        if r["rank_sem"] is not None:
+            assert 1 <= r["rank_sem"] <= R.RRF_POOL
+            expect += 1.0 / (R.RRF_K + r["rank_sem"])
+        assert r["rrf"] == pytest.approx(round(expect, 6), abs=1e-9)
+    # fused output is sorted by (rrf desc, doc_id)
+    keys = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_hybrid_lex_ranks_agree_with_bm25(spark):
+    bm25 = {
+        r["doc_id"]: r["bm25"]
+        for r in R._bm25_scored(spark, SF_DIR).collect()
+    }
+    ranked = sorted(bm25.items(), key=lambda kv: (-kv[1], kv[0]))
+    lex_rank = {d: i + 1 for i, (d, _) in enumerate(ranked[: R.RRF_POOL])}
+    for r in R.q_docs_hybrid_rrf(spark, SF_DIR).collect():
+        if r["rank_lex"] is not None:
+            assert lex_rank[r["doc_id"]] == r["rank_lex"]
+
+
+def test_hybrid_probe_is_broadcast(spark):
+    plan = R.q_docs_hybrid_rrf(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_two_hop_matches_python_traversal(spark):
+    from deja_view_spark.queries_graph import _chain_edges
+
+    edges = [(r["src"], r["dst"]) for r in _chain_edges(spark, SF_DIR).collect()]
+    out = {}
+    by_src = {}
+    for s, d in edges:
+        by_src.setdefault(s, []).append(d)
+    for a, b in edges:
+        for c in by_src.get(b, []):
+            if a != c:
+                out[(a, c)] = out.get((a, c), 0) + 1
+    expect = sorted(
+        ((n, a, c) for (a, c), n in out.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[: R.TWO_HOP_TOP_K]
+    got = [
+        (r["n_mids"], r["a"], r["c"])
+        for r in R.q_kg_two_hop(spark, SF_DIR).collect()
+    ]
+    assert got == expect

@@ -198,6 +198,23 @@ CHECKS = [
     # incremental dedup: the new-batch band table is BROADCAST into the
     # corpus band stream — the candidate join never shuffles the corpus
     ("docs_incremental_dedup", [r"BroadcastHashJoin", r"Generate"], []),
+    # BM25: single-row stats broadcast back over the corpus, top-k via
+    # TakeOrdered, tokenizer folded once (no Python evaluator)
+    (
+        "docs_bm25_topk",
+        [r"BroadcastNestedLoopJoin|BroadcastExchange", r"TakeOrdered"],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # hybrid RRF: each ranker pools via TakeOrdered BEFORE the rank
+    # window, probe rides a broadcast — no corpus-wide global sort
+    (
+        "docs_hybrid_rrf",
+        [r"TakeOrdered", r"BroadcastNestedLoopJoin|BroadcastExchange"],
+        [],
+    ),
+    # two-hop traversal: one hash join on the hop key + partial agg on
+    # the endpoint pair, top-k via TakeOrdered
+    ("kg_two_hop", [r"TakeOrdered", PARTIAL_AGG], []),
 ]
 
 

@@ -78,6 +78,14 @@ def main() -> None:
         action="store_true",
         help="generate the source parquet at --src and exit",
     )
+    ap.add_argument(
+        "--gen-partitions",
+        type=int,
+        default=0,
+        help="source parquet partition count (0 = max(cores*2, 8)); "
+        "bench.py pins this so every scaling cell reads an IDENTICAL "
+        "file layout sized for the smallest cell's wave count",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name=f"kg-bench-{args.cores}", cores=args.cores)
@@ -87,18 +95,19 @@ def main() -> None:
         # materialize the source first so generation cost (identical at
         # both parallelism levels anyway) is excluded from the timed
         # window; the timed job reads parquet like the real pipeline.
+        n_parts = args.gen_partitions or max(args.cores * 2, 8)
         if args.src:
             src_path = args.src
             if args.gen_only:
                 generate_repos(spark, args.rows).repartition(
-                    max(args.cores * 2, 8)
+                    n_parts
                 ).write.mode("overwrite").parquet(src_path)
                 print(json.dumps({"generated": src_path, "rows": args.rows}))
                 return
         else:
             src_path = f"{out_dir}/repos_src"
             generate_repos(spark, args.rows).repartition(
-                max(args.cores * 2, 8)
+                n_parts
             ).write.mode("overwrite").parquet(src_path)
         src = spark.read.parquet(src_path)
 
