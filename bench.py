@@ -256,7 +256,7 @@ def main() -> None:
         from tools.kg_run import weather_control
 
         ctl0 = weather_control()
-        factor = min(1.6, max(0.4, ctl0 / CTL_ANCHOR))
+        factor = min(3.0, max(0.4, ctl0 / CTL_ANCHOR))
         result["budget_model"] = {
             "ctl_start": ctl0,
             "ctl_anchor": CTL_ANCHOR,

@@ -44,6 +44,13 @@ STRESS_QUERIES = [
     "docs_jaccard_pairs",
     "docs_simhash_pairs",
     "docs_repetition",
+    "docs_line_dedup",
+    # corpus_clean legitimately returns 0 survivors on THIS corpus: the
+    # repos generator builds text from small sentence banks, so every
+    # doc shares >= DECON_MIN_OVERLAP shingles with the eval slice and
+    # the decontamination stage (correctly) drops the whole corpus. It
+    # stays in the list because the full pipeline still has to SCALE
+    # through its dedup window + shingle join to produce that answer.
     "corpus_clean",
     "docs_duplicate_clusters",
 ]
@@ -56,10 +63,18 @@ def log(msg: str) -> None:
 def make_documents(spark, n_rows: int, out_dir: str) -> str:
     from deja_view_spark.datagen import generate_repos
 
+    # generate_repos exposes (repo, path, commit, lang, content) — the
+    # row id is generator-internal, so mint doc_id from the unique path.
+    # lang is mapped into the documents table's natural-language domain:
+    # corpus_clean's stratified-sample stage keys its keep rates on
+    # {en,de,es,fr,zh}, and a lang outside that domain samples to zero.
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "es", "fr", "zh")])
     docs = generate_repos(spark, n_rows).select(
-        F.col("row_id").alias("doc_id"),
+        F.xxhash64("path").alias("doc_id"),
         F.col("content").alias("text"),
-        "lang",
+        F.element_at(
+            langs, (F.abs(F.xxhash64("lang")) % 5 + 1).cast("int")
+        ).alias("lang"),
         F.col("repo").alias("source"),
         F.length("content").cast("long").alias("n_chars"),
     )
