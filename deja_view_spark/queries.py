@@ -729,6 +729,7 @@ _ROUND3_FIRST = [
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "kg_two_hop",
+    "docs_semantic_dedup",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

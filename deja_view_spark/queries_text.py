@@ -845,3 +845,77 @@ ORDER BY which, lang, source
 
 QUERIES["docs_source_setops"] = q_docs_source_setops
 ORACLES["docs_source_setops"] = ORACLE_DOCS_SOURCE_SETOPS
+
+
+# ------------------------------------------------------------ SemDeDup
+def q_docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) over the embeddings
+    table: cluster the embedding space (16 deterministic md5-medoid
+    centroids — the oracle-reproducible twin of the production
+    sample-fit KMeans, exactly the ann_ivf_topk arrangement), confine
+    the O(n^2) cosine matrix to cluster-local blocks, and drop every
+    vector eps-dominated (eps=0.4 on this corpus) by a same-cluster
+    partner closer to the centroid. Output: one row per DROPPED
+    vector with its cluster, kept partner, and cosine. The reference's
+    serving-time duplicate probe (github_similarity_service.py:380-430)
+    answers one issue at a time; this is the corpus-scale batch
+    formulation a training-data pipeline runs."""
+    from deja_view_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_centroids=16, eps=0.4)
+
+
+def _oracle_semantic_dedup() -> str:
+    d2 = (
+        "(list_dot_product({v}, {v})"
+        " - 2.0 * list_dot_product({v}, cvec))"
+        " + list_dot_product(cvec, cvec)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS bucket,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT 16),
+mem AS (
+  SELECT vec_id AS id, v, bucket,
+         round({duckdb_cosine_sql('v', 'cvec')}, 4) AS ccos
+  FROM (
+    SELECT e.vec_id, e.embedding AS v, c.bucket, c.cvec,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2.format(v='(e.embedding::DOUBLE[])')} ASC,
+                      c.bucket ASC) AS _r
+    FROM embeddings e CROSS JOIN cents c) t
+  WHERE _r = 1),
+pairs AS (
+  SELECT a.id AS ida, b.id AS idb, a.bucket,
+         round({duckdb_cosine_sql('a.v', 'b.v')}, 4) AS cos,
+         a.ccos AS ccosa, b.ccos AS ccosb
+  FROM mem a JOIN mem b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE round({duckdb_cosine_sql('a.v', 'b.v')}, 4) >= 0.4),
+dominated AS (
+  SELECT CASE WHEN ccosa > ccosb OR (ccosa = ccosb AND ida > idb)
+              THEN ida ELSE idb END AS vec_id,
+         CASE WHEN ccosa > ccosb OR (ccosa = ccosb AND ida > idb)
+              THEN idb ELSE ida END AS kept_id,
+         bucket, cos
+  FROM pairs)
+SELECT vec_id, bucket, kept_id, cos
+FROM (
+  SELECT vec_id, bucket, kept_id, cos,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, kept_id ASC) AS _r
+  FROM dominated) t
+WHERE _r = 1
+ORDER BY vec_id
+"""
+
+
+ORACLE_DOCS_SEMANTIC_DEDUP = _oracle_semantic_dedup()
+
+QUERIES["docs_semantic_dedup"] = q_docs_semantic_dedup
+ORACLES["docs_semantic_dedup"] = ORACLE_DOCS_SEMANTIC_DEDUP
