@@ -341,19 +341,23 @@ def main() -> None:
             pair_rows = scaling_rows * lo // 2
             ratio = hi / lo
             runs: dict[int, list[dict]] = {lo: [], hi: []}
-            est = {lo: est_wall(lo, pair_rows), hi: est_wall(hi, pair_rows)}
             # a storm can price the full-size pair out of the window;
             # smaller-rows evidence (documented efficiency penalty from
             # fixed-cost amortization: r2 measured 0.77@1M vs 0.86@2M,
-            # so shrink as little as possible) beats NO scaling evidence
-            for frac in (0.75, 0.5):
-                if elapsed() + est[lo] + est[hi] <= budget:
-                    break
+            # so shrink as little as possible) beats NO scaling evidence.
+            # The 1.25 margin covers the cost model's observed error —
+            # one run estimated the pair at 1002s of a 1200s budget,
+            # the hi cell overran 16%, and the N cell (the GATE) got
+            # skipped while the less-load-bearing 32c headline still ran.
+            for frac in (1.0, 0.75, 0.5):
                 pair_rows = int(scaling_rows * lo // 2 * frac)
                 est = {
                     lo: est_wall(lo, pair_rows),
                     hi: est_wall(hi, pair_rows),
                 }
+                if elapsed() + 1.25 * (est[lo] + est[hi]) <= budget:
+                    break
+            if pair_rows != scaling_rows * lo // 2:
                 result["scaling_rows_downshifted"] = pair_rows
             if pair_rows != kg_rows:
                 src_for_cells = f"{shared_dir}/repos_src_{pair_rows}"
@@ -402,6 +406,27 @@ def main() -> None:
                     )
                     if best < 0.8:
                         max_pairs += 1
+            # RESCUE: if the whole study would otherwise end with zero
+            # complete pairs (the hi cell ran but the N cell was priced
+            # out mid-pair), rerun BOTH cells at half rows — reduced-
+            # size efficiency evidence beats a dangling 4N-only number.
+            # Wall scales ~linearly in rows above the ~25s JVM floor.
+            if not runs[lo] and runs[hi]:
+                half = pair_rows // 2
+                est_h = {
+                    c: (est[c] - 25.0) * half / pair_rows + 25.0
+                    for c in (lo, hi)
+                }
+                if elapsed() + 40.0 + est_h[lo] + est_h[hi] <= budget:
+                    src_h = f"{shared_dir}/repos_src_{half}"
+                    run_kg(cores, half, src=src_h, gen_only=True)
+                    r_hi2 = run_kg(hi, half, src=src_h)
+                    if elapsed() + est_h[lo] <= budget * 1.05:
+                        r_lo2 = run_kg(lo, half, src=src_h)
+                        runs = {lo: [r_lo2], hi: [r_hi2]}
+                        pair_rows = half
+                        result["scaling_rows_downshifted"] = half
+                        result["scaling_rescued_at_half_rows"] = True
             n_pairs = min(len(runs[lo]), len(runs[hi]))
             if n_pairs:
                 pair_effs = [

@@ -666,6 +666,7 @@ from deja_view_spark import queries_corpus as _QC  # noqa: E402
 from deja_view_spark import queries_discussions as _QD  # noqa: E402
 from deja_view_spark import queries_events as _QE  # noqa: E402
 from deja_view_spark import queries_graph as _QG  # noqa: E402
+from deja_view_spark import queries_lm as _QL  # noqa: E402
 from deja_view_spark import queries_quality as _QQ  # noqa: E402
 from deja_view_spark import queries_relational as _QR  # noqa: E402
 from deja_view_spark import queries_retrieval as _QRT  # noqa: E402
@@ -687,6 +688,8 @@ QUERIES.update(_QG.QUERIES)
 ORACLES.update(_QG.ORACLES)
 QUERIES.update(_QRT.QUERIES)
 ORACLES.update(_QRT.ORACLES)
+QUERIES.update(_QL.QUERIES)
+ORACLES.update(_QL.ORACLES)
 
 # ------------------------------------------------------------------
 # Driver correctness-window rotation (round 3). The driver attests the
@@ -730,6 +733,8 @@ _ROUND3_FIRST = [
     "docs_hybrid_rrf",
     "kg_two_hop",
     "docs_semantic_dedup",
+    "docs_lm_perplexity",
+    "docs_dsir_weights",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

@@ -215,6 +215,29 @@ CHECKS = [
     # two-hop traversal: one hash join on the hop key + partial agg on
     # the endpoint pair, top-k via TakeOrdered
     ("kg_two_hop", [r"TakeOrdered", PARTIAL_AGG], []),
+    # SemDeDup: cluster-local pairs via one equi-join on the bucket
+    # key; the k-row centroid table broadcasts; assignment is a
+    # min-of-struct partial agg (no n x k window)
+    (
+        "docs_semantic_dedup",
+        [r"BroadcastNestedLoopJoin|BroadcastExchange", r"partial_min"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # LM perplexity: pruned model enters scoring as a broadcast, model
+    # pruning itself is a sorted limit, scoring agg is partial — and
+    # the whole thing is expression-only (no Python evaluator)
+    (
+        "docs_lm_perplexity",
+        [r"BroadcastHashJoin", r"TakeOrdered", PARTIAL_AGG],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # DSIR: B-row histograms broadcast into the scoring join, top-K
+    # selection via TakeOrdered, never a global sort of the corpus
+    (
+        "docs_dsir_weights",
+        [r"BroadcastHashJoin", r"TakeOrdered", PARTIAL_AGG],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
