@@ -735,6 +735,8 @@ _ROUND3_FIRST = [
     "docs_semantic_dedup",
     "docs_lm_perplexity",
     "docs_dsir_weights",
+    "docs_weighted_sample",
+    "docs_lang_temperature_sample",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

@@ -576,6 +576,141 @@ ORDER BY lang
 """
 
 
+
+
+# ------------------------------------- weighted reservoir sampling (A-ES)
+# Efraimidis & Spirakis 2006: drawing k items with probability
+# proportional to weight == taking the top-k by ln(u_i)/w_i for
+# independent uniforms u_i. With u_i derived from md5(doc_id) the draw
+# is deterministic, partition-invariant, and bit-reproducible in both
+# engines — the weighted counterpart of the stratified md5 sampler.
+ES_SAMPLE_K = 150
+_ES_SALT = "es"
+_ES_DENOM = float((1 << 48) + 1)  # u = (h48 + 1) / (2^48 + 1) in (0,1)
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-ES_SAMPLE_K docs drawn with probability proportional to
+    length (n_chars) — the token-budget-weighted inclusion rule a
+    mixture builder uses when long documents should be picked more
+    often, without replacement.
+
+    Scale shape: the priority key ln(u)/w is a pure map-side
+    expression (48-bit md5 prefix -> exact double), selection is a
+    sorted limit (TakeOrderedAndProject) — no shuffle beyond the top-k
+    merge, no rand() (partition-layout-dependent), no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(_ES_SALT), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h48 + F.lit(1)) / F.lit(_ES_DENOM)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            F.round(key, 10).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(ES_SAMPLE_K)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars AS weight,
+       round(ln((('0x' || substr(md5(concat_ws(':', '{_ES_SALT}',
+                  doc_id::VARCHAR)), 1, 12))::BIGINT + 1)
+                / {_ES_DENOM}) / n_chars, 10) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT {ES_SAMPLE_K}
+"""
+
+
+# ------------------------------- temperature-based language sampling
+# Multilingual temperature sampling (mT5 / XLM-R style): language l is
+# sampled with probability proportional to n_l^ALPHA, flattening the
+# head-language skew. Realized as per-language keep RATES applied via
+# the same salted-md5 predicate as the stratified sampler — but with
+# the rates COMPUTED IN-QUERY from the corpus language histogram
+# (5-row aggregate, broadcast back), not hardcoded.
+TEMP_ALPHA = 0.3
+TEMP_BUDGET_FRAC = 0.5   # sample totals ~half the corpus
+_TEMP_SALT = "temp"
+
+
+def q_docs_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-alpha language rebalancing sample.
+
+    rate_l = min(1, (n_l^a / sum_l n_l^a) * (frac * N) / n_l); a doc
+    is kept iff its 16-bit salted-md5 value < floor(rate_l * 65536).
+
+    Scale shape: the language histogram is a tiny agg (one row per
+    language) that broadcasts back over the corpus; the keep test is
+    then a pure map-side integer compare riding the scan. No window,
+    no rand(), reproducible at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = hist.agg(
+        F.sum(F.pow(F.col("n_l"), F.lit(TEMP_ALPHA))).alias("z"),
+        F.sum("n_l").alias("n_total"),
+    )
+    rates = hist.join(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.pow(F.col("n_l"), F.lit(TEMP_ALPHA))
+            / F.col("z")
+            * (F.lit(TEMP_BUDGET_FRAC) * F.col("n_total"))
+            / F.col("n_l"),
+        ).alias("rate"),
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(_TEMP_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(h16 < F.floor(F.col("rate") * F.lit(65536.0)))
+        .select("doc_id", "lang", F.round("rate", 4).alias("rate"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LANG_TEMPERATURE_SAMPLE = f"""
+WITH hist AS (
+  SELECT lang, count(*)::BIGINT AS n_l FROM documents GROUP BY lang),
+tot AS (
+  SELECT sum(pow(n_l, {TEMP_ALPHA})) AS z, sum(n_l)::BIGINT AS n_total
+  FROM hist),
+rates AS (
+  SELECT lang,
+         least(1.0, pow(n_l, {TEMP_ALPHA}) / z
+                    * ({TEMP_BUDGET_FRAC} * n_total) / n_l) AS rate
+  FROM hist CROSS JOIN tot)
+SELECT d.doc_id, d.lang, round(r.rate, 4) AS rate
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5(concat_ws(':', '{_TEMP_SALT}',
+        d.doc_id::VARCHAR)), 1, 4))::BIGINT
+      < floor(r.rate * 65536.0)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_pack_shards": q_docs_pack_shards,
@@ -584,6 +719,8 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "docs_line_dedup": q_docs_line_dedup,
     "docs_kmv_distinct": q_docs_kmv_distinct,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
 }
 
 ORACLES = {
@@ -594,4 +731,6 @@ ORACLES = {
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "docs_line_dedup": ORACLE_LINE_DEDUP,
     "docs_kmv_distinct": ORACLE_KMV_DISTINCT,
+    "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "docs_lang_temperature_sample": ORACLE_LANG_TEMPERATURE_SAMPLE,
 }
