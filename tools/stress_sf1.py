@@ -53,6 +53,10 @@ STRESS_QUERIES = [
     # through its dedup window + shingle join to produce that answer.
     "corpus_clean",
     "docs_duplicate_clusters",
+    # round-3 additions: the statistical-LM selection pair (model build
+    # + broadcast scoring must stay linear in corpus size)
+    "docs_lm_perplexity",
+    "docs_dsir_weights",
 ]
 
 
@@ -80,6 +84,17 @@ def make_documents(spark, n_rows: int, out_dir: str) -> str:
     )
     path = f"{out_dir}/documents.parquet"
     docs.write.mode("overwrite").parquet(path)
+    # embeddings table (vec_id, embedding, label) via the engine's
+    # deterministic embedder — lets the stress row exercise the
+    # embedding-space operators (SemDeDup) at 100x the registry scale
+    from deja_view_spark.functions.embedding import make_embed_udf
+
+    embed = make_embed_udf(dim=64, seed=42)
+    spark.read.parquet(path).select(
+        F.col("doc_id").alias("vec_id"),
+        embed(F.col("text")).alias("embedding"),
+        (F.col("doc_id") % 10).cast("int").alias("label"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
     return out_dir
 
 
@@ -152,6 +167,25 @@ def main() -> None:
             timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
             log(f"{name}: {timings[name]}")
         result["queries"] = timings
+
+        # SemDeDup at the scale-correct configuration: the paper grows
+        # the cluster count with the corpus (50k clusters for 600M
+        # docs) so per-cluster blocks stay bounded — the registry query
+        # pins 16 centroids for its DuckDB oracle; here k tracks rows
+        # (~200 docs/cluster) and the block-local join is what gets
+        # stressed.
+        from deja_view_spark.operators.semdedup import semantic_dedup
+
+        k = max(16, args.docs_rows // 200)
+        emb = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+        t0 = time.time()
+        n = semantic_dedup(emb, n_centroids=k, eps=0.85).count()
+        result["semdedup_stress"] = {
+            "n_centroids": k,
+            "sec": round(time.time() - t0, 1),
+            "rows_dropped": n,
+        }
+        log(f"semdedup_stress: {result['semdedup_stress']}")
 
         if not args.skip_kg:
             out = subprocess.run(
