@@ -223,32 +223,39 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket distributions. Selection = sorted limit on the ROUNDED
     weight with doc_id tiebreak (identical ordering in both engines).
 
-    Plan: BOTH histograms come from ONE explode + ONE agg onto exactly
-    DSIR_BUCKETS keys (the target count is a conditional sum riding the
-    same partial agg — full map-side combine, then a B-row table that
-    broadcasts); scoring aggregates per-(doc, bucket) counts, joins the
-    broadcast log-ratio table, folds count x logratio per doc, and
-    finishes with TakeOrdered — at 100 TB the only big shuffle is the
-    (doc_id, bucket) partial agg.
+    Plan: ONE explode + ONE (doc, bucket) partial agg is the only
+    corpus-sized work — BOTH histograms then derive from those counts
+    (hist[b] = sum of per-doc counts; the target count is a
+    conditional sum riding the same B-key agg), so the tokenizer and
+    the md5 bucketing run exactly once per feature occurrence (the
+    two-pass formulation measured 39 s at the 50k-doc stress row; this
+    one re-aggregates a table that is already counts). The B-row
+    log-ratio table broadcasts back; the finish is TakeOrdered.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
     feats = F.concat(toks, _shingles_from_toks(toks, 2))
-    base = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(feats).alias("feat"),
-    ).select(
-        "doc_id", "lang", "source", _bucket_col(F.col("feat")).alias("b")
+    doc_bucket = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(feats).alias("feat"),
+        )
+        .select(
+            "doc_id", "lang", "source", _bucket_col(F.col("feat")).alias("b")
+        )
+        .groupBy("doc_id", "lang", "source", "b")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
 
-    # BOTH histograms from ONE pass over the feature stream: the
-    # target count is a conditional sum riding the same (b) partial agg
-    hist = base.groupBy("b").agg(
-        F.count("*").alias("rcnt"),
+    hist = doc_bucket.groupBy("b").agg(
+        F.sum("cnt").alias("rcnt"),
         F.sum(
-            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+            F.when(
+                F.col("source").isin(*DSIR_TARGET_SOURCES), F.col("cnt")
+            ).otherwise(F.lit(0))
         ).alias("tcnt"),
     )
     totals = hist.agg(
@@ -268,9 +275,7 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     per_doc = (
-        base.groupBy("doc_id", "lang", "b")
-        .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(per_bucket), "b")
+        doc_bucket.join(F.broadcast(per_bucket), "b")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").alias("n_feats"),
