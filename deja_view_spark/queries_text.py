@@ -919,3 +919,84 @@ ORACLE_DOCS_SEMANTIC_DEDUP = _oracle_semantic_dedup()
 
 QUERIES["docs_semantic_dedup"] = q_docs_semantic_dedup
 ORACLES["docs_semantic_dedup"] = ORACLE_DOCS_SEMANTIC_DEDUP
+
+
+# ------------------------------------------------------ k-means (Lloyd's)
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+KMEANS_DIM = 64
+KMEANS_DECIMALS = 4
+
+
+def q_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantized Lloyd's k-means over the embeddings table
+    (operators/kmeans.py): md5-medoid init, KMEANS_ROUNDS broadcast-
+    assign + partial-agg-mean updates (centroids rounded to 4dp each
+    round — the quantization that makes the whole iteration
+    bit-reproducible in DuckDB), final per-vector assignment with the
+    cosine to the own centroid. The fully-distributed build-side of the
+    IVF coarse quantizer ann_ivf_topk sample-fits."""
+    from deja_view_spark.operators.kmeans import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(
+        emb, k=KMEANS_K, rounds=KMEANS_ROUNDS,
+        dim=KMEANS_DIM, decimals=KMEANS_DECIMALS,
+    )
+
+
+def _oracle_kmeans() -> str:
+    d2 = (
+        "(list_dot_product({v}, {v})"
+        " - 2.0 * list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c})"
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        dd = d2.format(v="p.v", c="c.cvec")
+        return f"""{name} AS (
+  SELECT id, v, bucket FROM (
+    SELECT p.id, p.v, c.bucket,
+           row_number() OVER (PARTITION BY p.id
+             ORDER BY {dd} ASC, c.bucket ASC) AS _r
+    FROM pts p CROSS JOIN {cents} c) t
+  WHERE _r = 1)"""
+
+    def update_cte(name: str, assigned: str) -> str:
+        means = ", ".join(
+            f"round(avg(v[{i + 1}]), {KMEANS_DECIMALS})"
+            for i in range(KMEANS_DIM)
+        )
+        return f"""{name} AS (
+  SELECT bucket, [{means}]::DOUBLE[] AS cvec
+  FROM {assigned} GROUP BY bucket)"""
+
+    ctes = [
+        """pts AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS bucket,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {KMEANS_K})""",
+    ]
+    for r in range(KMEANS_ROUNDS):
+        ctes.append(assign_cte(f"a{r}", f"c{r}"))
+        ctes.append(update_cte(f"c{r + 1}", f"a{r}"))
+    ctes.append(assign_cte("afinal", f"c{KMEANS_ROUNDS}"))
+    cos = duckdb_cosine_sql("a.v", "c.cvec")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.id AS vec_id, a.bucket, round({cos}, 4) AS ccos
+FROM afinal a JOIN c{KMEANS_ROUNDS} c USING (bucket)
+ORDER BY vec_id
+"""
+    )
+
+
+ORACLE_EMBEDDINGS_KMEANS = _oracle_kmeans()
+
+QUERIES["embeddings_kmeans"] = q_embeddings_kmeans
+ORACLES["embeddings_kmeans"] = ORACLE_EMBEDDINGS_KMEANS

@@ -238,6 +238,14 @@ CHECKS = [
         [r"BroadcastHashJoin", r"TakeOrdered", PARTIAL_AGG],
         [r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # distributed k-means: k-row centroid table broadcasts, assignment
+    # is a min-of-struct partial agg, update is a partial-agg mean —
+    # the corpus never cartesians and no Python evaluator appears
+    (
+        "embeddings_kmeans",
+        [r"BroadcastNestedLoopJoin|BroadcastExchange", r"partial_min"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
