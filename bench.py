@@ -206,7 +206,14 @@ def choose_pair(probe: dict[int, float]) -> tuple[int, int, dict]:
         for (lo, hi) in ((1, 4), (2, 8))
         if lo in probe and hi in probe
     }
-    if ceil.get((2, 8), 0.0) >= 0.9 * ceil.get((1, 4), 0.0):
+    # strong-advantage rule: (2,8) is the round-2-endorsed methodology
+    # and, at constant per-core rows, runs 2x the input of (1,4) — the
+    # fixed-cost amortization it buys is worth more than a modest probe
+    # edge (measured: (2,8)@1M scored 0.87 in the same storm where
+    # (1,4)@500k pairs scored 0.67-0.71), and 2s probe bursts are noisy
+    # (+-30% across same-hour runs). Only a >1/3 ceiling advantage
+    # abandons (2,8).
+    if ceil.get((2, 8), 0.0) >= 0.75 * ceil.get((1, 4), 0.0):
         lo, hi = 2, 8
     else:
         lo, hi = 1, 4

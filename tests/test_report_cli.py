@@ -203,3 +203,34 @@ def test_cli_graph_verbs(spark, tmp_path, capsys):
 
     # missing required args -> exit 2, not a traceback
     assert cli.main(["graph", "neighbors", "--triples", tdir]) == 2
+
+
+def test_cli_corpus_verbs(spark, tmp_path, capsys):
+    """corpus sample-weighted / kmeans / lm-filter over the sf0.001
+    testdata dir — the registry operators behind a UX verb."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    out = str(tmp_path / "sample.parquet")
+    assert (
+        cli.main(
+            ["corpus", "sample-weighted", "--data", SF_DIR, "--output", out]
+        )
+        == 0
+    )
+    n = spark.read.parquet(out).count()
+    assert 0 < n <= 150  # ES_SAMPLE_K cap
+
+    assert (
+        cli.main(["corpus", "kmeans", "--data", SF_DIR, "--limit", "5"]) == 0
+    )
+    text = capsys.readouterr().out
+    assert "'bucket'" in text and "showed 5 rows" in text
+
+    assert (
+        cli.main(["corpus", "lm-filter", "--data", SF_DIR, "--limit", "3"])
+        == 0
+    )
+    assert "'ppl_bucket'" in capsys.readouterr().out

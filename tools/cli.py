@@ -177,6 +177,38 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+CORPUS_OPS = {
+    # verb -> registry query (the exact operators the DuckDB oracles
+    # certify; --data points at a dir holding documents.parquet /
+    # embeddings.parquet, the driver-testdata layout)
+    "sample-weighted": "docs_weighted_sample",
+    "sample-temperature": "docs_lang_temperature_sample",
+    "lm-filter": "docs_lm_perplexity",
+    "dsir": "docs_dsir_weights",
+    "semdedup": "docs_semantic_dedup",
+    "kmeans": "embeddings_kmeans",
+}
+
+
+def cmd_corpus(args) -> int:
+    """Corpus-selection verbs: run one of the training-data operators
+    over a testdata-layout dir and print (or write) the result."""
+    from deja_view_spark import queries as Q
+
+    spark = _spark(args.cores)
+    df = Q.QUERIES[CORPUS_OPS[args.op]](spark, args.data)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"{args.op}: {n} rows -> {args.output}")
+    else:
+        rows = df.limit(args.limit).collect()
+        for r in rows:
+            print(dict(r.asDict()))
+        print(f"({args.op}: showed {len(rows)} rows; use --output for all)")
+    return 0
+
+
 def cmd_release_notes(args) -> int:
     """Render the tiered release-notes markdown (reference
     release_notes.py:118-219 / generate_release_notes.py CLI) from a
@@ -343,6 +375,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--date", default="", help="released-on stamp (injectable)")
     p.add_argument("--limit", type=int, default=200, help="max items per tier")
     p.set_defaults(fn=cmd_release_notes)
+
+    p = sub.add_parser(
+        "corpus", help="training-data selection ops over a testdata dir"
+    )
+    p.add_argument("op", choices=sorted(CORPUS_OPS))
+    p.add_argument("--data", required=True,
+                   help="dir with documents.parquet / embeddings.parquet")
+    p.add_argument("--output", default=None)
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_corpus)
 
     p = sub.add_parser("graph", help="query a materialized kg_triples dir")
     p.add_argument(
