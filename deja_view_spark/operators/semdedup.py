@@ -158,3 +158,61 @@ def semantic_dedup(
         .select("vec_id", "bucket", "kept_id", "cos")
         .orderBy("vec_id")
     )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    eps: float = 0.4,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Serving-time SemDeDup: a small NEW batch probed against the
+    already-indexed corpus — the batched Spark shape of the reference's
+    per-issue duplicate probe (github_similarity_service.py:380-430),
+    in semantic space (the MinHash twin is
+    operators/dedup.incremental_minhash_pairs).
+
+    Keep rule: the INDEXED side always wins — a batch vector is
+    dropped iff ANY same-cluster corpus member is eps-close; its
+    reported partner is the closest one (tie: smallest id). No
+    ccos comparison: precedence is temporal, not geometric.
+
+    Scale shape: centroids default to the corpus medoid draw (in
+    production the stored quantizer — e.g. `kmeans.lloyd_kmeans`
+    output); the corpus side is assigned ONCE map-side (in production
+    that assignment is the stored IVF index, a narrow read); the
+    batch's assigned table BROADCASTS into the corpus stream, so NO
+    corpus row ever shuffles — the candidate join is map-side, and
+    cosine verify touches only same-cluster candidates.
+
+    Output: (vec_id, bucket, kept_id, cos) per dropped BATCH vector.
+    """
+    if cents is None:
+        cents = medoid_centroids(corpus, vec_col, id_col, n_centroids)
+    cm = assign_clusters(corpus, cents, vec_col, id_col)
+    bm = assign_clusters(batch, cents, vec_col, id_col)
+    b = bm.select(
+        F.col("id").alias("bid"),
+        F.col("v").alias("bv"),
+        F.col("bucket").alias("_bb"),
+    )
+    pairs = (
+        cm.join(F.broadcast(b), F.col("bucket") == F.col("_bb"))
+        .withColumn("cos", F.round(cosine_sim(F.col("bv"), F.col("v")), 4))
+        .where(F.col("cos") >= F.lit(eps))
+    )
+    w = Window.partitionBy("bid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("bid").alias("vec_id"),
+            F.col("_bb").alias("bucket"),
+            F.col("id").alias("kept_id"),
+            "cos",
+        )
+        .orderBy("vec_id")
+    )

@@ -738,6 +738,7 @@ _ROUND3_FIRST = [
     "docs_weighted_sample",
     "docs_lang_temperature_sample",
     "embeddings_kmeans",
+    "docs_incremental_semdedup",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

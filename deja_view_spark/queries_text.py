@@ -1000,3 +1000,75 @@ ORACLE_EMBEDDINGS_KMEANS = _oracle_kmeans()
 
 QUERIES["embeddings_kmeans"] = q_embeddings_kmeans
 ORACLES["embeddings_kmeans"] = ORACLE_EMBEDDINGS_KMEANS
+
+
+# ------------------------------------------- incremental SemDeDup probe
+def q_docs_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-time semantic dedup: the 10% newest vectors (vec_id %
+    10 == 0 — the deterministic batch split both engines compute)
+    probed against the indexed 90% corpus. The semantic twin of
+    docs_incremental_dedup; reference semantics =
+    github_similarity_service.py:380-430's per-issue probe, batched.
+    The corpus side never shuffles (batch assignment broadcasts into
+    the map-side candidate join)."""
+    from deja_view_spark.operators.semdedup import incremental_semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return incremental_semantic_dedup(batch, corpus, n_centroids=16, eps=0.4)
+
+
+def _oracle_incremental_semdedup() -> str:
+    d2 = (
+        "(list_dot_product({v}, {v})"
+        " - 2.0 * list_dot_product({v}, cvec))"
+        " + list_dot_product(cvec, cvec)"
+    )
+
+    def assign(name: str, src: str) -> str:
+        dd = d2.format(v="(e.embedding::DOUBLE[])")
+        return f"""{name} AS (
+  SELECT vec_id AS id, v, bucket FROM (
+    SELECT e.vec_id, e.embedding AS v, c.bucket,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {dd} ASC, c.bucket ASC) AS _r
+    FROM {src} e CROSS JOIN cents c) t
+  WHERE _r = 1)"""
+
+    cos = duckdb_cosine_sql("b.v", "c.v")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+batch AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS bucket,
+         embedding::DOUBLE[] AS cvec
+  FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT 16),
+{assign('cm', 'corpus')},
+{assign('bm', 'batch')},
+pairs AS (
+  SELECT b.id AS bid, b.bucket, c.id AS cid,
+         round({cos}, 4) AS cos
+  FROM bm b JOIN cm c USING (bucket)
+  WHERE round({cos}, 4) >= 0.4)
+SELECT bid AS vec_id, bucket, cid AS kept_id, cos
+FROM (
+  SELECT bid, bucket, cid, cos,
+         row_number() OVER (
+           PARTITION BY bid ORDER BY cos DESC, cid ASC) AS _r
+  FROM pairs) t
+WHERE _r = 1
+ORDER BY vec_id
+"""
+
+
+ORACLE_DOCS_INCREMENTAL_SEMDEDUP = _oracle_incremental_semdedup()
+
+QUERIES["docs_incremental_semdedup"] = q_docs_incremental_semdedup
+ORACLES["docs_incremental_semdedup"] = ORACLE_DOCS_INCREMENTAL_SEMDEDUP

@@ -127,3 +127,59 @@ def test_dedup_report_matches_bruteforce_within_cluster(spark):
     got = {r["vec_id"] for r in semantic_dedup(emb, n_centroids=3, eps=eps).collect()}
     assert got == expect
     assert len(expect) > 0
+
+
+def test_incremental_corpus_always_wins(spark):
+    from deja_view_spark.operators.semdedup import incremental_semantic_dedup
+
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [0.96, 0.28, 0.0]),
+        ],
+    )
+    batch = _emb(
+        spark,
+        [
+            (100, [1.0, 0.0, 0.0]),     # exact dup of corpus 0 -> dropped
+            (101, [0.99, 0.14, 0.0]),   # near-dup of 0/3 -> dropped
+            (102, [-1.0, 0.5, 0.5]),    # nothing close -> survives
+        ],
+    )
+    out = {r["vec_id"]: r for r in
+           incremental_semantic_dedup(batch, corpus, n_centroids=2,
+                                      eps=0.9).collect()}
+    assert 100 in out and out[100]["cos"] == 1.0
+    # the dropped batch vector names a CORPUS partner, never a batch one
+    assert all(r["kept_id"] < 100 for r in out.values())
+    assert 102 not in out
+
+
+def test_incremental_subset_of_batch_union_corpus_full_dedup(spark):
+    # a batch vector dropped by the incremental probe must also be a
+    # duplicate-pair member in the full joint dedup (same centroids)
+    import math
+
+    rows = [(i, [math.cos(0.05 * i), math.sin(0.05 * i), 0.0])
+            for i in range(40)]
+    emb = _emb(spark, rows)
+    batch = emb.where("vec_id % 10 = 0")
+    corpus = emb.where("vec_id % 10 <> 0")
+    from deja_view_spark.operators.semdedup import (
+        incremental_semantic_dedup,
+        medoid_centroids,
+    )
+
+    cents = medoid_centroids(corpus, n_centroids=3)
+    inc = {r["vec_id"] for r in
+           incremental_semantic_dedup(batch, corpus, eps=0.995,
+                                      cents=cents).collect()}
+    full_pairs = semantic_dedup(emb, eps=0.995, cents=cents)
+    touched = {r["vec_id"] for r in full_pairs.collect()} | {
+        r["kept_id"] for r in full_pairs.collect()
+    }
+    assert inc  # non-degenerate on this ring
+    assert inc <= touched
