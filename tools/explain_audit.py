@@ -246,6 +246,15 @@ CHECKS = [
         [r"BroadcastNestedLoopJoin|BroadcastExchange", r"partial_min"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # incremental SemDeDup: the batch side broadcasts into the corpus
+    # stream — the candidate join must be a broadcast join, never a
+    # corpus-shuffling sort-merge
+    (
+        "docs_incremental_semdedup",
+        [r"BroadcastHashJoin", r"partial_min"],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 

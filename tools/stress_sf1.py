@@ -187,6 +187,29 @@ def main() -> None:
         }
         log(f"semdedup_stress: {result['semdedup_stress']}")
 
+        # incremental probe at the same scale-correct k (the registry
+        # query pins 16 centroids for its oracle; at 50k docs that
+        # pinning costs ~100s of cluster-local cosines vs seconds here)
+        from deja_view_spark.operators.semdedup import (
+            incremental_semantic_dedup,
+            medoid_centroids,
+        )
+
+        batch = emb.where("vec_id % 10 = 0")
+        corpus = emb.where("vec_id % 10 <> 0")
+        cents = medoid_centroids(corpus, n_centroids=k)
+        t0 = time.time()
+        n = incremental_semantic_dedup(
+            batch, corpus, eps=0.85, cents=cents
+        ).count()
+        result["incremental_semdedup_stress"] = {
+            "n_centroids": k,
+            "sec": round(time.time() - t0, 1),
+            "batch_rows_dropped": n,
+        }
+        log(f"incremental_semdedup_stress: "
+            f"{result['incremental_semdedup_stress']}")
+
         if not args.skip_kg:
             out = subprocess.run(
                 [
