@@ -739,6 +739,8 @@ _ROUND3_FIRST = [
     "docs_lang_temperature_sample",
     "embeddings_kmeans",
     "docs_incremental_semdedup",
+    "docs_span_dedup",
+    "events_funnel",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

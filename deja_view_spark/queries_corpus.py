@@ -711,6 +711,91 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------- span census (exact substring dedup)
+# The primitive behind exact-substring training-data dedup (Lee et al.
+# 2021, "Deduplicating Training Data Makes Language Models Better"):
+# find every SPAN_K-token span that recurs across >= SPAN_DF distinct
+# documents, at ANY alignment. Overlapping sliding windows — unlike
+# ``docs_line_dedup``'s fixed non-overlapping segments — so a
+# duplicated substring is caught even when the copies start at
+# different token offsets. The published pipelines build a suffix
+# array; the distributed equivalent is this hashed span census (one
+# narrow explode + one aggregation with full map-side combine).
+SPAN_K = 10   # tokens per overlapping span
+SPAN_DF = 2   # span in >= this many distinct docs -> duplicated
+
+
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span census: every {SPAN_K}-token sliding-window span
+    occurring in >= {SPAN_DF} distinct documents, with its document
+    frequency, total occurrence count and first (min) document.
+
+    Scale shape: the explode emits one row per corpus token (minus
+    edge effects) — linear, no pairwise blowup — and the single
+    aggregation groups on the span's xxhash64 LONG, so the shuffle
+    combine runs on 8-byte keys; the span text rides as a min()
+    exemplar only so the output is human-usable. At 100-TB scale the
+    exemplar column would be dropped from the census and recovered by
+    a second hash-keyed join against only the df>={SPAN_DF} survivors
+    (a tiny fraction of the corpus under real dup rates). The DuckDB
+    oracle groups by the RAW span string, so a green value hash
+    doubles as a no-collision witness at test scale (cf.
+    ``docs_line_dedup``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    # guard size<K: Spark's sequence(1, n) with n<=0 yields a
+    # DESCENDING range, not an empty one
+    idx = F.when(
+        F.size("toks") >= SPAN_K,
+        F.sequence(F.lit(1), F.size("toks") - SPAN_K + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice("toks", i, SPAN_K))
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", F.xxhash64("span").alias("h"), "span")
+    )
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("span").alias("span"),
+        )
+        .where(F.col("n_docs") >= SPAN_DF)
+        .select("span", "n_docs", "n_occ", "first_doc")
+        .orderBy("span")
+    )
+
+
+ORACLE_SPAN_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - {SPAN_K} + 1),
+           i -> array_to_string(list_slice(toks, i, i + {SPAN_K} - 1),
+                                ' '))) AS span
+  FROM t WHERE len(toks) >= {SPAN_K})
+SELECT span,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ,
+       min(doc_id) AS first_doc
+FROM spans
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= {SPAN_DF}
+ORDER BY span
+"""
+
+
 QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_pack_shards": q_docs_pack_shards,
@@ -721,6 +806,7 @@ QUERIES = {
     "docs_kmv_distinct": q_docs_kmv_distinct,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
+    "docs_span_dedup": q_docs_span_dedup,
 }
 
 ORACLES = {
@@ -733,4 +819,5 @@ ORACLES = {
     "docs_kmv_distinct": ORACLE_KMV_DISTINCT,
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "docs_lang_temperature_sample": ORACLE_LANG_TEMPERATURE_SAMPLE,
+    "docs_span_dedup": ORACLE_SPAN_DEDUP,
 }

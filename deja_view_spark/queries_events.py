@@ -737,3 +737,106 @@ ORDER BY user_id
 
 QUERIES["events_latest_state"] = q_events_latest_state
 ORACLES["events_latest_state"] = ORACLE_EVENTS_LATEST_STATE
+
+
+# ----------------------------------------------------------------- funnel
+# Ordered conversion funnel view -> click -> purchase: the first view
+# starts the funnel, then the first click STRICTLY after it, then the
+# first purchase strictly after that. Computed as ONE shuffle: per-user
+# sorted event array scanned left-to-right by a higher-order
+# `aggregate` expression holding a 3-field timestamp state — entirely
+# whole-stage-codegen, no UDF, no self-joins. The equivalent
+# conditional-min join chain (t1 = min view; t2 = min click > t1;
+# t3 = min purchase > t2 — the oracle's formulation) is the skew-safe
+# fallback when a power-law user's event array would not fit a task;
+# on this corpus the single-shuffle scan is strictly fewer exchanges
+# (1 vs 3 + two joins).
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+        ).alias("e"),
+    )
+
+    def step(acc, e):
+        t1, t2, t3 = acc["t1"], acc["t2"], acc["t3"]
+        new_t1 = F.when(
+            t1.isNull() & (e["event_type"] == "view"), e["us"]
+        ).otherwise(t1)
+        new_t2 = F.when(
+            t2.isNull()
+            & t1.isNotNull()
+            & (e["event_type"] == "click")
+            & (e["us"] > t1),
+            e["us"],
+        ).otherwise(t2)
+        new_t3 = F.when(
+            t3.isNull()
+            & t2.isNotNull()
+            & (e["event_type"] == "purchase")
+            & (e["us"] > t2),
+            e["us"],
+        ).otherwise(t3)
+        return F.struct(
+            new_t1.alias("t1"), new_t2.alias("t2"), new_t3.alias("t3")
+        )
+
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+    scanned = (
+        rows.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select("user_id", F.aggregate("es", init, step).alias("s"))
+    )
+    t1, t2, t3 = F.col("s.t1"), F.col("s.t2"), F.col("s.t3")
+    return scanned.select(
+        "user_id",
+        F.when(t3.isNotNull(), 3)
+        .when(t2.isNotNull(), 2)
+        .when(t1.isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reached"),
+        t1.alias("view_us"),
+        (t2 - t1).alias("click_gap_us"),
+        (t3 - t2).alias("purchase_gap_us"),
+    ).orderBy("user_id")
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS reached,
+       t1 AS view_us,
+       t2 - t1 AS click_gap_us,
+       t3 - t2 AS purchase_gap_us
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = ORACLE_EVENTS_FUNNEL

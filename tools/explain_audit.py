@@ -255,6 +255,22 @@ CHECKS = [
         [r"SortMergeJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # span census: one in-row explode (Generate) feeds ONE partial
+    # aggregation keyed on the span's xxhash64 long — no window over
+    # the corpus, no join, no Python evaluator
+    (
+        "docs_span_dedup",
+        [r"Generate", r"xxhash64", PARTIAL_AGG],
+        [r"Window", r"Join", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # funnel: ONE shuffle (the per-user collect_list agg); the ordered
+    # scan is a higher-order aggregate expression, so no join chain and
+    # no per-user window sort appear in the plan
+    (
+        "events_funnel",
+        [r"HashAggregate|ObjectHashAggregate"],
+        [r"Join", r"Window", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
