@@ -740,6 +740,7 @@ _ROUND3_FIRST = [
     "embeddings_kmeans",
     "docs_incremental_semdedup",
     "docs_span_dedup",
+    "docs_span_scrub",
     "events_funnel",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(

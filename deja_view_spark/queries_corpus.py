@@ -796,6 +796,156 @@ ORDER BY span
 """
 
 
+# --------------------------------------- span scrub (dedup action step)
+# The consequence stage of the span census: per document, the token
+# positions covered by corpus-duplicated spans, with overlapping /
+# adjacent span intervals MERGED (gaps-and-islands) so the duplicated
+# token count is the size of the interval UNION, not a double-counted
+# sum — the "cut the repeated substring" step of exact-substring dedup.
+SCRUB_DROP_FRAC = 0.5  # drop docs with > half their tokens duplicated
+
+
+def q_docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage: every {SPAN_K}-token
+    span with corpus document frequency >= {SPAN_DF} marks the
+    interval [pos, pos+{SPAN_K}-1]; overlapping-or-adjacent intervals
+    merge into islands; dup_tokens is the summed island size (the
+    union), dup_token_frac its share of the doc, keep the
+    {SCRUB_DROP_FRAC} drop decision.
+
+    Scale shape: three keyed shuffles, each narrow — (1) the census
+    aggregation on the span's xxhash64 long, (2) the equi-join of the
+    per-(doc, pos) span stream against the df>={SPAN_DF} survivor set
+    on that same long key, (3) the per-document island merge, a window
+    partitioned BY DOCUMENT (never corpus-wide) whose partitions hold
+    only that doc's matched spans. The running-max island scan is the
+    classic gaps-and-islands plan and is mirrored verbatim in the
+    DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    idx = F.when(
+        F.size("toks") >= SPAN_K,
+        F.sequence(F.lit(1), F.size("toks") - SPAN_K + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("toks", i, SPAN_K))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "n_tokens", F.col("s.pos").alias("pos"),
+                F.col("s.h").alias("h"))
+    )
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= SPAN_DF)
+        .select("h")
+    )
+    marked = spans.join(hot, "h").withColumn(
+        "end", F.col("pos") + SPAN_K - 1
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "new_island",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island", F.sum("new_island").over(w)
+    )
+    per_island = islands.groupBy("doc_id", "island").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_spans"),
+        (F.max("end") - F.min("pos") + 1).alias("covered"),
+    )
+    return (
+        per_island.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sum("n_spans").alias("n_dup_spans"),
+            F.sum("covered").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4),
+        )
+        .withColumn("keep", F.col("dup_token_frac") <= SCRUB_DROP_FRAC)
+        .select(
+            "doc_id", "n_tokens", "n_dup_spans", "dup_tokens",
+            "dup_token_frac", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPAN_SCRUB = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+spans AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         unnest(generate_series(1, len(toks) - {SPAN_K} + 1)) AS pos,
+         toks
+  FROM t WHERE len(toks) >= {SPAN_K}),
+keyed AS (
+  SELECT doc_id, n_tokens, pos,
+         array_to_string(list_slice(toks, pos, pos + {SPAN_K} - 1),
+                         ' ') AS span
+  FROM spans),
+hot AS (
+  SELECT span FROM keyed
+  GROUP BY span HAVING count(DISTINCT doc_id) >= {SPAN_DF}),
+marked AS (
+  SELECT doc_id, n_tokens, pos, pos + {SPAN_K} - 1 AS e
+  FROM keyed JOIN hot USING (span)),
+flagged AS (
+  SELECT *,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked),
+isl AS (
+  SELECT *,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged),
+per_island AS (
+  SELECT doc_id, island,
+         any_value(n_tokens) AS n_tokens,
+         count(*) AS n_spans,
+         max(e) - min(pos) + 1 AS covered
+  FROM isl GROUP BY doc_id, island)
+SELECT doc_id,
+       any_value(n_tokens) AS n_tokens,
+       CAST(sum(n_spans) AS BIGINT) AS n_dup_spans,
+       CAST(sum(covered) AS BIGINT) AS dup_tokens,
+       round(sum(covered) * 1.0 / any_value(n_tokens), 4)
+         AS dup_token_frac,
+       (round(sum(covered) * 1.0 / any_value(n_tokens), 4)
+         <= {SCRUB_DROP_FRAC}) AS keep
+FROM per_island
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_pack_shards": q_docs_pack_shards,
@@ -807,6 +957,7 @@ QUERIES = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_span_dedup": q_docs_span_dedup,
+    "docs_span_scrub": q_docs_span_scrub,
 }
 
 ORACLES = {
@@ -820,4 +971,5 @@ ORACLES = {
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "docs_lang_temperature_sample": ORACLE_LANG_TEMPERATURE_SAMPLE,
     "docs_span_dedup": ORACLE_SPAN_DEDUP,
+    "docs_span_scrub": ORACLE_SPAN_SCRUB,
 }

@@ -171,3 +171,21 @@ def test_funnel_matches_conditional_min_joins(spark):
         for r in q_events_funnel(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_span_scrub_merges_overlapping_intervals(spark, tmp_path):
+    """Two docs sharing an 11-token run produce two overlapping
+    duplicated 10-token spans per doc (positions p and p+1); the union
+    coverage must be 11 tokens, not 20."""
+    from deja_view_spark.queries_corpus import q_docs_span_scrub
+
+    run = " ".join(f"tok{i}" for i in range(SPAN_K + 1))  # 11 tokens
+    doc_a = "lead " + run + " tail0 tail1"
+    doc_b = run + " other words here now"
+    d = _write_docs(spark, tmp_path, [doc_a, doc_b])
+    out = {r.doc_id: r for r in q_docs_span_scrub(spark, d).collect()}
+    assert out[0].n_dup_spans == 2          # spans at pos 2 and 3
+    assert out[0].dup_tokens == SPAN_K + 1  # merged union, not 2*K
+    assert out[1].dup_tokens == SPAN_K + 1
+    # doc_b is 16 tokens, 11 duplicated -> frac ~0.6875 -> dropped
+    assert not out[1].keep

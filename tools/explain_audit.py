@@ -263,6 +263,15 @@ CHECKS = [
         [r"Generate", r"xxhash64", PARTIAL_AGG],
         [r"Window", r"Join", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # span scrub: census agg + long-keyed survivor join + per-DOC
+    # island window (hashpartitioning on doc_id, never a global sort
+    # partition); no Python evaluator
+    (
+        "docs_span_scrub",
+        [r"Generate", r"xxhash64", r"Window", r"hashpartitioning\(doc_id",
+         PARTIAL_AGG],
+        [r"SinglePartition.*Window", r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # funnel: ONE shuffle (the per-user collect_list agg); the ordered
     # scan is a higher-order aggregate expression, so no join chain and
     # no per-user window sort appear in the plan
