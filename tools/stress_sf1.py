@@ -57,6 +57,12 @@ STRESS_QUERIES = [
     # + broadcast scoring must stay linear in corpus size)
     "docs_lm_perplexity",
     "docs_dsir_weights",
+    # span family: linear by construction (one row per corpus token),
+    # but a dup-heavy corpus (~40% clustered) maximizes the census
+    # survivor set and the scrub's marked-span join — the exact spot
+    # output inflation would show
+    "docs_span_dedup",
+    "docs_span_scrub",
 ]
 
 
