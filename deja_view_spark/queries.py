@@ -741,6 +741,7 @@ _ROUND3_FIRST = [
     "docs_incremental_semdedup",
     "docs_span_dedup",
     "docs_span_scrub",
+    "docs_incremental_spans",
     "events_funnel",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(

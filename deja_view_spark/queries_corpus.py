@@ -946,6 +946,146 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------- incremental span contamination probe
+# Third member of the incremental family (minhash bands =
+# docs_incremental_dedup, semantic = docs_incremental_semdedup): a
+# small NEW BATCH of documents is screened against the indexed
+# corpus's span table for verbatim k-token overlap — the
+# "quarantine incoming data that copies the corpus" gate an ingest
+# pipeline runs per batch. Same deterministic 20% md5 split as the
+# other two probes so the fixtures cover real matches.
+SPAN_PROBE_FLAG_FRAC = 0.2  # quarantine batch docs > this contaminated
+
+
+def q_docs_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per new-batch document: how many of its {SPAN_K}-token spans
+    already exist verbatim in the indexed corpus, how many distinct
+    corpus documents share them, and the quarantine decision at
+    >{SPAN_PROBE_FLAG_FRAC} contaminated-span fraction.
+
+    Scale shape (mirrors incremental_minhash_pairs): the batch span
+    table is the SMALL side and is BROADCAST into the corpus span
+    stream, so the corpus never shuffles for the candidate join; only
+    MATCHED rows (contamination-sized, not corpus-sized) reach the
+    per-batch-doc aggregation, and the batch's own span totals come
+    from a batch-sized aggregation. Hash keys are xxhash64 longs; the
+    DuckDB oracle joins raw span strings (collision witness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    idx = F.when(
+        F.size("toks") >= SPAN_K,
+        F.sequence(F.lit(1), F.size("toks") - SPAN_K + 1),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def spans_of(df):
+        return (
+            df.select("doc_id", toks.alias("toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.xxhash64(
+                                F.concat_ws(" ", F.slice("toks", i, SPAN_K))
+                            ).alias("h"),
+                        ),
+                    )
+                ).alias("s"),
+            )
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.h").alias("h"))
+        )
+
+    batch_spans = spans_of(docs.where(is_new)).withColumnRenamed(
+        "doc_id", "batch_doc"
+    )
+    corpus_spans = spans_of(docs.where(~is_new)).select(
+        F.col("doc_id").alias("corpus_doc"), "h"
+    )
+    matched = corpus_spans.join(F.broadcast(batch_spans), "h")
+    hits = matched.groupBy("batch_doc").agg(
+        F.countDistinct("pos").alias("n_contaminated"),
+        F.countDistinct("corpus_doc").alias("n_corpus_docs"),
+    )
+    totals = batch_spans.groupBy("batch_doc").agg(
+        F.countDistinct("pos").alias("n_spans")
+    )
+    return (
+        totals.join(F.broadcast(hits), "batch_doc", "left")
+        .select(
+            F.col("batch_doc").alias("doc_id"),
+            "n_spans",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_spans"), 4
+            ).alias("contaminated_frac"),
+        )
+        .withColumn(
+            "quarantine",
+            F.col("contaminated_frac") > SPAN_PROBE_FLAG_FRAC,
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_incremental_spans() -> str:
+    from deja_view_spark.functions.embedding import duckdb_hex_int_sql
+
+    split = duckdb_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 4)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, ({split}) % 5 = 0 AS is_new FROM documents),
+t AS (
+  SELECT doc_id, is_new, {_SQL_TOKS} AS toks FROM d),
+spans AS (
+  SELECT doc_id, is_new,
+         unnest(generate_series(1, len(toks) - {SPAN_K} + 1)) AS pos,
+         toks
+  FROM t WHERE len(toks) >= {SPAN_K}),
+keyed AS (
+  SELECT doc_id, is_new, pos,
+         array_to_string(list_slice(toks, pos, pos + {SPAN_K} - 1),
+                         ' ') AS span
+  FROM spans),
+hits AS (
+  SELECT b.doc_id,
+         count(DISTINCT b.pos) AS n_contaminated,
+         count(DISTINCT c.doc_id) AS n_corpus_docs
+  FROM keyed b JOIN keyed c ON b.span = c.span
+  WHERE b.is_new AND NOT c.is_new
+  GROUP BY b.doc_id),
+totals AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_spans
+  FROM keyed WHERE is_new GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / t.n_spans, 4)
+         AS contaminated_frac,
+       (round(coalesce(h.n_contaminated, 0) * 1.0 / t.n_spans, 4)
+         > {SPAN_PROBE_FLAG_FRAC}) AS quarantine
+FROM totals t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+ORACLE_INCREMENTAL_SPANS = _oracle_incremental_spans()
+
+
 QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_pack_shards": q_docs_pack_shards,
@@ -958,6 +1098,7 @@ QUERIES = {
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_span_dedup": q_docs_span_dedup,
     "docs_span_scrub": q_docs_span_scrub,
+    "docs_incremental_spans": q_docs_incremental_spans,
 }
 
 ORACLES = {
@@ -972,4 +1113,5 @@ ORACLES = {
     "docs_lang_temperature_sample": ORACLE_LANG_TEMPERATURE_SAMPLE,
     "docs_span_dedup": ORACLE_SPAN_DEDUP,
     "docs_span_scrub": ORACLE_SPAN_SCRUB,
+    "docs_incremental_spans": ORACLE_INCREMENTAL_SPANS,
 }

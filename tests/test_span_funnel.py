@@ -189,3 +189,35 @@ def test_span_scrub_merges_overlapping_intervals(spark, tmp_path):
     assert out[1].dup_tokens == SPAN_K + 1
     # doc_b is 16 tokens, 11 duplicated -> frac ~0.6875 -> dropped
     assert not out[1].keep
+
+
+def test_incremental_spans_flags_copied_batch_doc(spark, tmp_path):
+    """A batch doc (md5-split 'new': doc_id 2) copying a 10-token run
+    from a corpus doc (doc_id 0) is quarantined; an all-original batch
+    doc (doc_id 4) reports zero contamination. doc_ids 2/4/9 fall in
+    the 20% split, 0/1/3 in the corpus split (md5 % 5)."""
+    from deja_view_spark.queries_corpus import q_docs_incremental_spans
+
+    run = " ".join(f"c{i}" for i in range(SPAN_K))
+    texts = {
+        0: "corpus lead " + run + " corpus tail",         # corpus
+        1: " ".join(f"other{i}" for i in range(SPAN_K)),   # corpus
+        2: run + " fresh suffix words",                    # batch, copies
+        4: " ".join(f"novel{i}" for i in range(SPAN_K + 2)),  # batch
+    }
+    rows = [(i, t, "en", "synth", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in q_docs_incremental_spans(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {2, 4}            # only batch docs reported
+    assert out[2].n_contaminated == 1    # the copied span at pos 1
+    assert out[2].n_corpus_docs == 1
+    assert out[2].quarantine             # 1/4 spans > 0.2
+    assert out[4].n_contaminated == 0 and not out[4].quarantine

@@ -272,6 +272,14 @@ CHECKS = [
          PARTIAL_AGG],
         [r"SinglePartition.*Window", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # incremental span probe: batch span table broadcasts into the
+    # corpus span stream — candidate join is a broadcast join, never a
+    # corpus-shuffling sort-merge; no Python evaluator
+    (
+        "docs_incremental_spans",
+        [r"BroadcastHashJoin", r"xxhash64", PARTIAL_AGG],
+        [r"SortMergeJoin", r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # funnel: ONE shuffle (the per-user collect_list agg); the ordered
     # scan is a higher-order aggregate expression, so no join chain and
     # no per-user window sort appear in the plan
