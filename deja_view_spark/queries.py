@@ -743,6 +743,9 @@ _ROUND3_FIRST = [
     "docs_span_scrub",
     "docs_incremental_spans",
     "events_funnel",
+    "events_reach_k",
+    "docs_cross_source_dedup",
+    "docs_ngram_novelty",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

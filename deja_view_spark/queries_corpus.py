@@ -1086,6 +1086,185 @@ ORDER BY t.doc_id
 ORACLE_INCREMENTAL_SPANS = _oracle_incremental_spans()
 
 
+# ---------------------------------------- source-priority exact dedup
+# Cross-source dedup with a retention POLICY: when identical content
+# arrives from several sources, keep the copy from the most trusted
+# source (curated > original crawl > mirror), not an arbitrary one —
+# the "prefer the canonical edition" rule every multi-source training
+# corpus applies before near-dup passes. The driver corpus has no
+# verbatim duplicates, so the input is the corpus plus two
+# deterministic re-ingest slices (the re-crawl shape `docs_exact_dedup`
+# also uses): every 23rd doc re-ingested from a low-priority "mirror"
+# source, every 69th ALSO from a high-priority "curated" source.
+CROSS_SOURCE_PRIORITY = "CASE WHEN source = 'curated' THEN 0 WHEN source = 'mirror' THEN 2 ELSE 1 END"
+
+
+def q_docs_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per multi-copy content group: the kept (doc, source) under the
+    priority policy, copy/source counts, and the chars freed by
+    dropping the losers.
+
+    Scale shape: ONE shuffle — a single groupBy on the 256-bit content
+    hash with full map-side partial aggregation; the policy winner is
+    a `min_by` over the (priority, doc_id) ordering struct inside the
+    same aggregate, so no window, no self-join, no second pass. The
+    oracle picks the winner with a row_number window (fine at oracle
+    scale; the min_by form is the corpus-scale plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "source", "n_chars")
+    mirror = base.where(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+        "n_chars",
+    )
+    curated = base.where(F.col("doc_id") % 69 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        "text",
+        F.lit("curated").alias("source"),
+        "n_chars",
+    )
+    corpus = base.unionByName(mirror).unionByName(curated)
+    prio = F.expr(CROSS_SOURCE_PRIORITY)
+    return (
+        corpus.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min_by(
+                F.struct(F.col("doc_id"), F.col("source")),
+                F.struct(prio.alias("p"), F.col("doc_id")),
+            ).alias("w"),
+            (F.sum("n_chars") - F.min("n_chars")).alias("freed_chars"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "content_hash",
+            "n_copies",
+            "n_sources",
+            F.col("w.doc_id").alias("kept_doc_id"),
+            F.col("w.source").alias("kept_source"),
+            "freed_chars",
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
+ORACLE_CROSS_SOURCE_DEDUP = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, text, 'mirror', n_chars
+  FROM documents WHERE doc_id % 23 = 0
+  UNION ALL
+  SELECT doc_id + 30000000, text, 'curated', n_chars
+  FROM documents WHERE doc_id % 69 = 0),
+ranked AS (
+  SELECT sha256(text) AS content_hash, doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY sha256(text)
+           ORDER BY {CROSS_SOURCE_PRIORITY}, doc_id) AS rn
+  FROM corpus),
+grp AS (
+  SELECT content_hash, count(*) AS n_copies,
+         count(DISTINCT source) AS n_sources,
+         CAST(sum(n_chars) - min(n_chars) AS BIGINT) AS freed_chars
+  FROM ranked GROUP BY content_hash HAVING count(*) > 1)
+SELECT g.content_hash, g.n_copies, g.n_sources,
+       r.doc_id AS kept_doc_id, r.source AS kept_source, g.freed_chars
+FROM grp g JOIN ranked r ON g.content_hash = r.content_hash AND r.rn = 1
+ORDER BY kept_doc_id
+"""
+
+
+# ------------------------------------------------- first-occurrence novelty
+# Per-document "new information yield": the fraction of a document's
+# distinct n-grams whose FIRST corpus occurrence (min doc_id =
+# ingestion order) is this document. The crawl-prioritization signal —
+# a feed whose documents stop contributing unseen n-grams is saturated
+# (dedup-adjacent but graded, like the deduplicated-token-yield curves
+# in data-scaling studies).
+NOVELTY_N = 3
+
+
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc (with >= {NOVELTY_N} tokens): distinct n-gram count,
+    how many of those n-grams first appear in the corpus here, and the
+    novelty fraction.
+
+    Scale shape: the (doc, ngram) stream is aggregated, never joined
+    back to the corpus. In-row `array_distinct` dedups within-doc
+    repeats BEFORE the explode (no corpus-wide distinct shuffle), then
+    per-hash min(doc_id) is one partial-agg shuffle of fixed-width
+    (long, long) rows and the per-doc census of firsts is a second,
+    doc-sized agg; final assembly joins two doc-sized aggregates.
+    Hash keys are xxhash64 longs; the oracle groups the RAW n-gram
+    string (collision witness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    idx = F.when(
+        F.size("toks") >= NOVELTY_N,
+        F.sequence(F.lit(1), F.size("toks") - NOVELTY_N + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx,
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice("toks", i, NOVELTY_N))
+                        ),
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    totals = pairs.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    firsts = pairs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_ngrams"), 4
+            ).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(toks, i, i + {NOVELTY_N} - 1), ' ') AS ng
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {NOVELTY_N} + 1)) AS i
+        FROM t WHERE len(toks) >= {NOVELTY_N})),
+dg AS (SELECT DISTINCT doc_id, ng FROM g),
+totals AS (SELECT doc_id, count(*) AS n_ngrams FROM dg GROUP BY doc_id),
+firsts AS (SELECT ng, min(doc_id) AS first_doc FROM dg GROUP BY ng),
+novel AS (
+  SELECT first_doc AS doc_id, count(*) AS n_novel FROM firsts
+  GROUP BY first_doc)
+SELECT t.doc_id, t.n_ngrams,
+       coalesce(n.n_novel, 0) AS n_novel,
+       round(coalesce(n.n_novel, 0) * 1.0 / t.n_ngrams, 4) AS novelty_frac
+FROM totals t LEFT JOIN novel n USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_pack_shards": q_docs_pack_shards,
@@ -1099,6 +1278,8 @@ QUERIES = {
     "docs_span_dedup": q_docs_span_dedup,
     "docs_span_scrub": q_docs_span_scrub,
     "docs_incremental_spans": q_docs_incremental_spans,
+    "docs_cross_source_dedup": q_docs_cross_source_dedup,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
 }
 
 ORACLES = {
@@ -1114,4 +1295,6 @@ ORACLES = {
     "docs_span_dedup": ORACLE_SPAN_DEDUP,
     "docs_span_scrub": ORACLE_SPAN_SCRUB,
     "docs_incremental_spans": ORACLE_INCREMENTAL_SPANS,
+    "docs_cross_source_dedup": ORACLE_CROSS_SOURCE_DEDUP,
+    "docs_ngram_novelty": ORACLE_NGRAM_NOVELTY,
 }

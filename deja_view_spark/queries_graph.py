@@ -370,13 +370,91 @@ ORDER BY doc_id
 
 ORACLE_DOCS_DUPLICATE_CLUSTERS = _oracle_duplicate_clusters()
 
+# ------------------------------------------------- bounded k-hop reach
+REACH_K = 4
+
+
+def q_events_reach_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded reachability census: for every node of the directed
+    co-engagement graph, how many DISTINCT other nodes it reaches in
+    at most ``REACH_K`` hops, and how many of those are first reached
+    at exactly distance K (the expanding-frontier signal) — the
+    influence-radius metric behind "who sees content seeded here".
+
+    Scale shape: SEMI-NAIVE BFS. Round i's frontier holds only the
+    pairs FIRST discovered at distance i (anti-join against the
+    reached set), so each round shuffles the newly discovered pairs,
+    not the whole closure; every round is one equi-join + one distinct
+    over fixed-width (long, long) rows with full map-side partial
+    aggregation. The edge set and each frontier are localCheckpoint'ed
+    (on a cluster: a cached/bucketed edge table) so lineage stays
+    linear in K, not exponential. K is fixed and small — the k-hop
+    census is the standard bounded-radius proxy; a full transitive
+    closure at corpus scale would switch to the doubling trick
+    (O(log diameter) rounds) with the identical join shape. The
+    oracle is a depth-bounded recursive CTE taking min-distance per
+    pair (= BFS first-discovery), so the two engines must agree on
+    both counts. Parallels the reference's neighborhood expansion of
+    similar-issue links (github_similarity_service.py find_similar
+    fan-out), generalized to K hops."""
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=True)
+    reached = edges  # distance-1 pairs (already distinct)
+    frontier = edges
+    for _ in range(2, REACH_K + 1):
+        step = (
+            frontier.withColumnRenamed("dst", "mid")
+            .join(edges.withColumnRenamed("src", "mid"), "mid")
+            .select("src", "dst")
+            .distinct()
+        )
+        frontier = step.join(
+            reached, ["src", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        reached = reached.unionByName(frontier)
+    ring = frontier.where(F.col("src") != F.col("dst")).groupBy("src").agg(
+        F.count("*").alias("n_ring_k")
+    )
+    return (
+        reached.where(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_reach"))
+        .join(ring, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "n_reach",
+            F.coalesce("n_ring_k", F.lit(0)).alias("n_ring_k"),
+        )
+        .orderBy("node")
+    )
+
+
+ORACLE_EVENTS_REACH_K = f"""
+WITH RECURSIVE {SQL_CHAIN_EDGES_CTES},
+walk(src, dst, d) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.src, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON w.dst = e.src
+  WHERE w.d < {REACH_K}),
+md AS (
+  SELECT src, dst, min(d) AS md FROM walk
+  WHERE src <> dst GROUP BY src, dst)
+SELECT src AS node,
+       count(*) AS n_reach,
+       count(*) FILTER (WHERE md = {REACH_K}) AS n_ring_k
+FROM md GROUP BY src ORDER BY node
+"""
+
+
 QUERIES = {
     "events_pagerank": q_events_pagerank,
     "events_triangles": q_events_triangles,
     "docs_duplicate_clusters": q_docs_duplicate_clusters,
+    "events_reach_k": q_events_reach_k,
 }
 ORACLES = {
     "events_pagerank": ORACLE_EVENTS_PAGERANK,
     "events_triangles": ORACLE_EVENTS_TRIANGLES,
     "docs_duplicate_clusters": ORACLE_DOCS_DUPLICATE_CLUSTERS,
+    "events_reach_k": ORACLE_EVENTS_REACH_K,
 }

@@ -1,0 +1,131 @@
+"""Tests for the round-3 additions: source-priority cross-source
+dedup, first-occurrence n-gram novelty, and bounded k-hop reachability
+(queries_corpus.py / queries_graph.py)."""
+
+import json
+
+from deja_view_spark import queries_graph as QG
+from deja_view_spark.queries_corpus import (
+    q_docs_cross_source_dedup,
+    q_docs_ngram_novelty,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, texts: dict[int, str]):
+    rows = [(i, t, "en", "src0", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+# ------------------------------------------------ cross-source dedup
+def test_cross_source_priority_policy(spark, tmp_path):
+    """doc 0 is re-ingested as both mirror (23|0) and curated (69|0):
+    the curated copy must win. doc 23 gets only a mirror copy: the
+    ORIGINAL wins (priority 1 beats mirror's 2). doc 5 has no replica
+    and must not be reported."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {0: "alpha beta gamma", 23: "delta epsilon", 5: "zeta eta"},
+    )
+    out = {
+        r.kept_doc_id: r
+        for r in q_docs_cross_source_dedup(spark, sf).collect()
+    }
+    assert len(out) == 2
+    curated_winner = out[30_000_000]  # doc 0's curated replica id
+    assert curated_winner.kept_source == "curated"
+    assert curated_winner.n_copies == 3
+    assert curated_winner.n_sources == 3
+    assert curated_winner.freed_chars == 2 * len("alpha beta gamma")
+    orig_winner = out[23]
+    assert orig_winner.kept_source == "src0"
+    assert orig_winner.n_copies == 2
+    assert orig_winner.freed_chars == len("delta epsilon")
+
+
+# --------------------------------------------------- n-gram novelty
+def test_novelty_first_occurrence_semantics(spark, tmp_path):
+    """doc 1 contributes both of its 3-grams first (novelty 1.0);
+    doc 2 shares one with doc 1 (0.5); doc 3 repeats doc 1 verbatim
+    (0.0); a doc under 3 tokens is excluded."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {
+            1: "a b c d",
+            2: "a b c x",
+            3: "a b c d",
+            4: "too short",
+        },
+    )
+    out = {r.doc_id: r for r in q_docs_ngram_novelty(spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_ngrams == 2 and out[1].novelty_frac == 1.0
+    assert out[2].n_ngrams == 2 and out[2].novelty_frac == 0.5
+    assert out[3].n_ngrams == 2 and out[3].novelty_frac == 0.0
+
+
+def test_novelty_within_doc_repeats_counted_once(spark, tmp_path):
+    """A doc repeating its own 3-gram ('a b c' twice in 'a b c a b c')
+    counts it ONCE in n_ngrams (in-row array_distinct), so novelty is
+    a fraction of distinct grams."""
+    sf = _write_docs(spark, tmp_path, {1: "a b c a b c"})
+    row = q_docs_ngram_novelty(spark, sf).collect()[0]
+    # grams: 'a b c' x2, 'b c a', 'c a b' -> 3 distinct, all first here
+    assert row.n_ngrams == 3
+    assert row.novelty_frac == 1.0
+
+
+# ------------------------------------------------ k-hop reachability
+def test_reach_k_matches_python_bfs(spark):
+    """Semi-naive Spark BFS equals a pure-Python BFS (min-distance,
+    self excluded) over the same co-engagement chain edges at sf0.001."""
+    from deja_view_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select("props", "user_id").toPandas()
+    ev["item"] = ev["props"].map(lambda s: json.loads(s)["k"])
+    edges = set()
+    for _, grp in ev.groupby("item"):
+        us = sorted(set(grp["user_id"]))
+        for a, b in zip(us, us[1:]):
+            if a != b:
+                edges.add((a, b))
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    def bfs(u):
+        dist = {u: 0}
+        frontier = [u]
+        for d in range(1, QG.REACH_K + 1):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, []):
+                    if y not in dist:
+                        dist[y] = d
+                        nxt.append(y)
+            frontier = nxt
+        reach = {v for v, d in dist.items() if v != u}
+        ring = {v for v, d in dist.items() if v != u and d == QG.REACH_K}
+        return len(reach), len(ring)
+
+    # NOTE: python dist[] records FIRST discovery only, so a node first
+    # seen at d<K never re-enters; same min-distance semantics as the
+    # engine's anti-join frontier. But a cycle returning to u itself is
+    # recorded at d=0 in python and excluded; the engine excludes
+    # src==dst pairs explicitly — same outcome.
+    out = {r.node: r for r in QG.q_events_reach_k(spark, SF).collect()}
+    srcs = {a for a, _ in edges}
+    assert set(out) == srcs
+    for u in srcs:
+        n_reach, n_ring = bfs(u)
+        assert out[u].n_reach == n_reach, u
+        assert out[u].n_ring_k == n_ring, u

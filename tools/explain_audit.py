@@ -288,6 +288,29 @@ CHECKS = [
         [r"HashAggregate|ObjectHashAggregate"],
         [r"Join", r"Window", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # semi-naive BFS: per-round equi-joins + partial-agg census; never
+    # a cartesian expansion, never a Python evaluator
+    (
+        "events_reach_k",
+        [PARTIAL_AGG],
+        [r"CartesianProduct|BroadcastNestedLoopJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # source-priority dedup: ONE content-hash groupBy (min_by picks the
+    # policy winner inside the aggregate) — no join, no window
+    (
+        "docs_cross_source_dedup",
+        [r"sha2", PARTIAL_AGG],
+        [r"Join", r"Window", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # first-occurrence novelty: hashed ngram stream aggregated (never
+    # joined back to the corpus); final join is doc-sized
+    (
+        "docs_ngram_novelty",
+        [r"xxhash64", PARTIAL_AGG],
+        [r"Window", r"CartesianProduct|BroadcastNestedLoopJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
