@@ -109,3 +109,80 @@ def kmeans_assignments(
     return mem.select(
         F.col("id").alias(id_col), "bucket", "ccos"
     ).orderBy(id_col)
+
+
+def pq_assignments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    subdim: int = 16,
+    k: int = 8,
+    rounds: int = 1,
+    decimals: int = 4,
+) -> DataFrame:
+    """Product quantization: the vector is split into ``m`` contiguous
+    sub-blocks of ``subdim`` dims, each block gets its OWN quantized
+    Lloyd's codebook (same md5-medoid init + broadcast-assign +
+    partial-agg-mean machinery as `lloyd_kmeans`, run on the slice),
+    and every vector is encoded as its per-block nearest-centroid ids
+    — the PQ code. Returns one row per vector: the joined code string
+    ("b0-b1-...-bm"), plus the per-block squared quantization error
+    (4dp) — the reconstruction-quality signal.
+
+    Why this exists at 100 TB: a float64[64] embedding is 512 bytes; a
+    PQ(4x8) code is 4 SMALL ints (codebook = m*k*subdim doubles,
+    metadata-sized). PQ codes are what an IVF-PQ ANN index actually
+    stores and scans — this operator is the distributed encode pass
+    that builds it (the compression half of the coarse-quantizer story
+    `embeddings_kmeans` / `ann_ivf_topk` cover).
+
+    Scale shape: per block, the codebook fit touches the corpus
+    ``rounds``+1 times via broadcast joins and partial aggs (k-row
+    build side, min-of-struct argmin — no window over n x k); the m
+    per-block assignment streams are UNIONED and folded to one row per
+    vector by a single conditional-aggregation groupBy (one shuffle of
+    (long, int, int, double) rows), not m-1 self-joins. Argmin
+    tie-break is (d2, bucket) ascending, mirrored by the oracle's
+    row_number ordering."""
+    blocks = []
+    for b in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), b * subdim + 1, subdim).alias("v"),
+        )
+        cents = lloyd_kmeans(
+            sub, vec_col="v", id_col="id", k=k, rounds=rounds,
+            dim=subdim, decimals=decimals,
+        )
+        blocks.append(
+            sub.join(F.broadcast(cents))
+            .withColumn("_d2", _d2(F.col("v"), F.col("cvec")))
+            .groupBy("id")
+            .agg(F.min(F.struct("_d2", "bucket")).alias("_m"))
+            .select(
+                "id",
+                F.lit(b).alias("block"),
+                F.col("_m.bucket").alias("bucket"),
+                F.round(F.col("_m._d2"), decimals).alias("d2"),
+            )
+        )
+    u = blocks[0]
+    for nxt in blocks[1:]:
+        u = u.unionByName(nxt)
+    code = F.concat_ws(
+        "-",
+        *[
+            F.max(F.when(F.col("block") == b, F.col("bucket")))
+            .cast("int")
+            .cast("string")
+            for b in range(m)
+        ],
+    )
+    aggs = [code.alias("pq_code")] + [
+        F.max(F.when(F.col("block") == b, F.col("d2"))).alias(f"d2_{b}")
+        for b in range(m)
+    ]
+    return (
+        u.groupBy(F.col("id").alias(id_col)).agg(*aggs).orderBy(id_col)
+    )

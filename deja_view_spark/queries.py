@@ -746,6 +746,7 @@ _ROUND3_FIRST = [
     "events_reach_k",
     "docs_cross_source_dedup",
     "docs_ngram_novelty",
+    "embeddings_pq",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

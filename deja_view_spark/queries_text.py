@@ -998,6 +998,94 @@ ORDER BY vec_id
 
 ORACLE_EMBEDDINGS_KMEANS = _oracle_kmeans()
 
+
+# ------------------------------------------------ product quantization
+PQ_M = 4        # sub-blocks
+PQ_SUBDIM = 16  # dims per block (m * subdim = KMEANS_DIM)
+PQ_K = 8        # centroids per block codebook
+PQ_ROUNDS = 1   # quantized Lloyd's rounds per block
+
+
+def q_embeddings_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ(4x8) encode of the embeddings table
+    (operators/kmeans.pq_assignments): per-block quantized-Lloyd's
+    codebooks, per-vector code string + per-block squared
+    reconstruction error. The compression half of the IVF-PQ index
+    story — a 512-byte float vector becomes a 4-id code against a
+    metadata-sized codebook, which is what an ANN index actually
+    stores at corpus scale."""
+    from deja_view_spark.operators.kmeans import pq_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_assignments(
+        emb, m=PQ_M, subdim=PQ_SUBDIM, k=PQ_K, rounds=PQ_ROUNDS,
+        decimals=KMEANS_DECIMALS,
+    )
+
+
+def _oracle_pq() -> str:
+    d2t = (
+        "(list_dot_product({v}, {v})"
+        " - 2.0 * list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c})"
+    )
+
+    def assign_cte(name: str, pts: str, cents: str, final: bool) -> str:
+        dd = d2t.format(v="p.v", c="c.cvec")
+        extra = f", round(_dd, {KMEANS_DECIMALS}) AS d2" if final else ", v"
+        return f"""{name} AS (
+  SELECT id, bucket{extra} FROM (
+    SELECT p.id, p.v, c.bucket, {dd} AS _dd,
+           row_number() OVER (PARTITION BY p.id
+             ORDER BY {dd} ASC, c.bucket ASC) AS _r
+    FROM {pts} p CROSS JOIN {cents} c) t
+  WHERE _r = 1)"""
+
+    ctes = []
+    for b in range(PQ_M):
+        off = b * PQ_SUBDIM
+        ctes.append(f"""p{b} AS (
+  SELECT vec_id AS id,
+         list_slice(embedding::DOUBLE[], {off + 1}, {off + PQ_SUBDIM}) AS v
+  FROM embeddings)""")
+        ctes.append(f"""c{b}_0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1
+           AS bucket,
+         v AS cvec
+  FROM p{b} ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {PQ_K})""")
+        means = ", ".join(
+            f"round(avg(v[{i + 1}]), {KMEANS_DECIMALS})"
+            for i in range(PQ_SUBDIM)
+        )
+        for r in range(PQ_ROUNDS):
+            ctes.append(
+                assign_cte(f"a{b}_{r}", f"p{b}", f"c{b}_{r}", final=False)
+            )
+            ctes.append(f"""c{b}_{r + 1} AS (
+  SELECT bucket, [{means}]::DOUBLE[] AS cvec
+  FROM a{b}_{r} GROUP BY bucket)""")
+        ctes.append(
+            assign_cte(f"f{b}", f"p{b}", f"c{b}_{PQ_ROUNDS}", final=True)
+        )
+    code = ", ".join(f"f{b}.bucket" for b in range(PQ_M))
+    d2s = ",\n       ".join(f"f{b}.d2 AS d2_{b}" for b in range(PQ_M))
+    joins = " ".join(f"JOIN f{b} USING (id)" for b in range(1, PQ_M))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT f0.id AS vec_id,
+       concat_ws('-', {code}) AS pq_code,
+       {d2s}
+FROM f0 {joins}
+ORDER BY vec_id
+"""
+    )
+
+
+ORACLE_EMBEDDINGS_PQ = _oracle_pq()
+
+QUERIES["embeddings_pq"] = q_embeddings_pq
+ORACLES["embeddings_pq"] = ORACLE_EMBEDDINGS_PQ
+
 QUERIES["embeddings_kmeans"] = q_embeddings_kmeans
 ORACLES["embeddings_kmeans"] = ORACLE_EMBEDDINGS_KMEANS
 

@@ -110,3 +110,78 @@ def test_kmeans_centroid_count_bounded(spark):
     assert 1 <= len(cents) <= 6
     got = {tuple(np.round(r["cvec"], 2)) for r in cents}
     assert got <= {(1.0, 0.0), (0.0, 1.0)}
+
+
+# ------------------------------------------------ product quantization
+def test_pq_matches_numpy_reference(spark):
+    """pq_assignments == running the numpy Lloyd's twin independently
+    on each 16-dim sub-block: same codes, same 4dp block errors."""
+    from deja_view_spark.operators.kmeans import pq_assignments
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    m, subdim, k, rounds, decimals = 4, 16, 8, 1, 4
+
+    expect_code = {}
+    expect_d2 = {}
+    for b in range(m):
+        sub = vecs[:, b * subdim : (b + 1) * subdim]
+        cents, assign = _numpy_kmeans(ids, sub, k, rounds, decimals)
+        for i, vid in enumerate(ids):
+            v = sub[i].astype(np.float64)
+            d2, bkt = min(
+                ((v @ v - 2.0 * (v @ c)) + c @ c, bb)
+                for bb, c in cents.items()
+            )
+            expect_code.setdefault(vid, []).append(bkt)
+            expect_d2.setdefault(vid, []).append(round(d2, decimals))
+
+    from deja_view_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = pq_assignments(
+        emb, m=m, subdim=subdim, k=k, rounds=rounds, decimals=decimals
+    ).collect()
+    assert len(out) == len(ids)
+    for r in out:
+        want = "-".join(str(b) for b in expect_code[r.vec_id])
+        assert r.pq_code == want, r.vec_id
+        for b in range(m):
+            got = getattr(r, f"d2_{b}")
+            assert got == pytest.approx(expect_d2[r.vec_id][b], abs=2e-4)
+
+
+def test_pq_compression_beats_single_codebook_error(spark):
+    """PQ's summed block error must not exceed the error of one 8-way
+    64-dim codebook (same total byte budget comparison is unfair to
+    the single codebook — 4x8^4 effective cells vs 8 — so PQ should
+    reconstruct strictly better on real data)."""
+    from deja_view_spark.operators.kmeans import pq_assignments
+    from deja_view_spark.sources.catalog import load_table
+    from deja_view_spark.operators.kmeans import lloyd_kmeans
+    from deja_view_spark.operators.semdedup import assign_clusters
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pq_out = pq_assignments(emb, m=4, subdim=16, k=8, rounds=1)
+    pq_err = pq_out.select(
+        (F.col("d2_0") + F.col("d2_1") + F.col("d2_2") + F.col("d2_3"))
+        .alias("e")
+    ).agg(F.sum("e")).collect()[0][0]
+
+    cents = lloyd_kmeans(emb, k=8, rounds=1, dim=64)
+    mem = assign_clusters(emb, cents)
+    # assign_clusters returns ccos, recompute d2 directly
+    from deja_view_spark.operators.kmeans import _d2
+    full_err = (
+        emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("v"))
+        .join(F.broadcast(cents))
+        .withColumn("_d2", _d2(F.col("v"), F.col("cvec")))
+        .groupBy("id")
+        .agg(F.min("_d2").alias("e"))
+        .agg(F.sum("e"))
+        .collect()[0][0]
+    )
+    assert pq_err < full_err

@@ -311,6 +311,14 @@ CHECKS = [
         [r"Window", r"CartesianProduct|BroadcastNestedLoopJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # product quantization: every codebook build side broadcasts (k-row
+    # centroid tables), argmin is a partial-agg min-of-struct — same
+    # contract as embeddings_kmeans, times m blocks
+    (
+        "embeddings_pq",
+        [r"BroadcastNestedLoopJoin|BroadcastExchange", r"partial_min"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
