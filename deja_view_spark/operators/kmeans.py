@@ -186,3 +186,56 @@ def pq_assignments(
     return (
         u.groupBy(F.col("id").alias(id_col)).agg(*aggs).orderBy(id_col)
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    subdim: int = 16,
+    k: int = 8,
+    rounds: int = 1,
+    decimals: int = 4,
+):
+    """Fit the per-block PQ codebooks and encode every vector; returns
+    (codes, codebooks) where codes is (id, c0..c{m-1}: int) and
+    codebooks is the list of m (bucket, cvec) centroid tables (k rows
+    each — metadata-sized, broadcastable). The numeric-code sibling of
+    `pq_assignments` for consumers that need the ids (IVF-PQ ADC
+    search), same codebook fit and argmin tie order."""
+    codebooks = []
+    blocks = []
+    for b in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), b * subdim + 1, subdim).alias("v"),
+        )
+        cents = lloyd_kmeans(
+            sub, vec_col="v", id_col="id", k=k, rounds=rounds,
+            dim=subdim, decimals=decimals,
+        )
+        codebooks.append(cents)
+        blocks.append(
+            sub.join(F.broadcast(cents))
+            .withColumn("_d2", _d2(F.col("v"), F.col("cvec")))
+            .groupBy("id")
+            .agg(F.min(F.struct("_d2", "bucket")).alias("_m"))
+            .select(
+                "id",
+                F.lit(b).alias("block"),
+                F.col("_m.bucket").alias("bucket"),
+            )
+        )
+    u = blocks[0]
+    for nxt in blocks[1:]:
+        u = u.unionByName(nxt)
+    codes = u.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("block") == b, F.col("bucket")))
+            .cast("int")
+            .alias(f"c{b}")
+            for b in range(m)
+        ]
+    )
+    return codes, codebooks

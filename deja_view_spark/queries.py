@@ -593,6 +593,134 @@ ORDER BY probe_id, rank
 ORACLE_ANN_IVF = _oracle_ann_ivf()
 
 
+# ------------------------------------------------------------ IVF-PQ ADC
+IVFPQ_M, IVFPQ_SUBDIM, IVFPQ_K, IVFPQ_ROUNDS = 4, 16, 8, 1
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/ann.ivfpq_topk_det): the coarse quantizer
+    prunes to nprobe=6 of 16 inverted lists, then candidates are
+    ranked by ASYMMETRIC DISTANCE over their 4x8 PQ codes alone —
+    probe-side lookup tables against the block codebooks, in-row sum
+    of 4 LUT hits, top-3 per probe. Every stage (medoid picks,
+    quantized-Lloyd's codebooks, argmin codes, LUT distances)
+    reproduces bit-for-bit in the oracle, so the driver hash-checks
+    the full compressed-domain search, not a float approximation of
+    it."""
+    from deja_view_spark.operators.ann import ivfpq_topk_det
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ivfpq_topk_det(
+        emb, probes, k=3, n_centroids=16, nprobe=6,
+        m=IVFPQ_M, subdim=IVFPQ_SUBDIM, pq_k=IVFPQ_K, pq_rounds=IVFPQ_ROUNDS,
+    )
+
+
+def _oracle_ann_ivfpq() -> str:
+    m, subdim, pq_k, rounds = IVFPQ_M, IVFPQ_SUBDIM, IVFPQ_K, IVFPQ_ROUNDS
+    d2t = (
+        "(list_dot_product({v}, {v})"
+        " - 2.0 * list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c})"
+    )
+    ctes = [f"""cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS bucket,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT 16)""",
+        f"""assigned AS (
+  SELECT neighbor_id, bucket FROM (
+    SELECT e.vec_id AS neighbor_id, c.bucket,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2t.format(v='(e.embedding::DOUBLE[])', c='c.cvec')} ASC,
+                      c.bucket ASC) AS _r
+    FROM embeddings e CROSS JOIN cents c) t
+  WHERE _r = 1)""",
+        """probes AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS q
+  FROM embeddings WHERE vec_id < 50)""",
+        f"""pb AS (
+  SELECT probe_id, bucket FROM (
+    SELECT p.probe_id, c.bucket,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY {d2t.format(v='p.q', c='c.cvec')} ASC,
+                      c.bucket ASC) AS _r
+    FROM probes p CROSS JOIN cents c) t
+  WHERE _r <= 6)""",
+    ]
+    for b in range(m):
+        off = b * subdim
+        ctes.append(f"""p{b} AS (
+  SELECT vec_id AS id,
+         list_slice(embedding::DOUBLE[], {off + 1}, {off + subdim}) AS v
+  FROM embeddings)""")
+        ctes.append(f"""cb{b}_0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1
+           AS bucket,
+         v AS cvec
+  FROM p{b} ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {pq_k})""")
+        means = ", ".join(
+            f"round(avg(v[{i + 1}]), 4)" for i in range(subdim)
+        )
+        dd = d2t.format(v="p.v", c="c.cvec")
+        for r in range(rounds):
+            ctes.append(f"""ab{b}_{r} AS (
+  SELECT id, v, bucket FROM (
+    SELECT p.id, p.v, c.bucket,
+           row_number() OVER (PARTITION BY p.id
+             ORDER BY {dd} ASC, c.bucket ASC) AS _r
+    FROM p{b} p CROSS JOIN cb{b}_{r} c) t
+  WHERE _r = 1)""")
+            ctes.append(f"""cb{b}_{r + 1} AS (
+  SELECT bucket, [{means}]::DOUBLE[] AS cvec
+  FROM ab{b}_{r} GROUP BY bucket)""")
+        ctes.append(f"""code{b} AS (
+  SELECT id, bucket AS code FROM (
+    SELECT p.id, c.bucket,
+           row_number() OVER (PARTITION BY p.id
+             ORDER BY {dd} ASC, c.bucket ASC) AS _r
+    FROM p{b} p CROSS JOIN cb{b}_{rounds} c) t
+  WHERE _r = 1)""")
+        qsub = f"list_slice(p.q, {off + 1}, {off + subdim})"
+        ctes.append(f"""lut{b} AS (
+  SELECT p.probe_id, c.bucket AS code,
+         {d2t.format(v=qsub, c='c.cvec')} AS d2p
+  FROM probes p CROSS JOIN cb{b}_{rounds} c)""")
+    adc = " + ".join(f"l{b}.d2p" for b in range(m))
+    code_joins = " ".join(
+        f"JOIN code{b} ON cand.neighbor_id = code{b}.id "
+        f"JOIN lut{b} l{b} ON l{b}.probe_id = cand.probe_id "
+        f"AND l{b}.code = code{b}.code"
+        for b in range(m)
+    )
+    ctes.append("""cand AS (
+  SELECT p.probe_id, a.neighbor_id
+  FROM assigned a JOIN pb p USING (bucket)
+  WHERE a.neighbor_id <> p.probe_id)""")
+    ctes.append(f"""scored AS (
+  SELECT cand.probe_id, cand.neighbor_id, round({adc}, 4) AS adc
+  FROM cand {code_joins})""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT probe_id, neighbor_id, adc, rank FROM (
+  SELECT probe_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+    )
+
+
+ORACLE_ANN_IVFPQ = _oracle_ann_ivfpq()
+
+
 def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup: a deterministic 20% md5 split plays
     the 'new batch' (sized for fixture coverage; a real daily batch is
@@ -653,6 +781,8 @@ ORACLE_DOCS_INCREMENTAL_DEDUP = _oracle_docs_incremental_dedup()
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 ORACLES["ann_ivf_topk"] = ORACLE_ANN_IVF
+QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
+ORACLES["ann_ivfpq_topk"] = ORACLE_ANN_IVFPQ
 QUERIES["docs_incremental_dedup"] = q_docs_incremental_dedup
 ORACLES["docs_incremental_dedup"] = ORACLE_DOCS_INCREMENTAL_DEDUP
 QUERIES["docs_minhash_pairs"] = q_docs_minhash_pairs
@@ -747,6 +877,7 @@ _ROUND3_FIRST = [
     "docs_cross_source_dedup",
     "docs_ngram_novelty",
     "embeddings_pq",
+    "ann_ivfpq_topk",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

@@ -89,3 +89,90 @@ def test_ivf_det_partition_invariant_and_pruned(spark):
     # exhaustive set would need all 16)
     ranks = [t[3] for t in a]
     assert set(ranks) == {1, 2, 3}
+
+
+def test_ivfpq_matches_numpy_twin(spark):
+    """Full numpy replica of the IVF-PQ ADC search: md5-medoid coarse
+    quantizer, per-block quantized Lloyd's codebooks (shared twin from
+    test_kmeans), probe LUTs, in-row left-to-right ADC sum, top-3 by
+    (adc, neighbor_id)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from deja_view_spark.operators.ann import ivfpq_topk_det
+    from tests.test_kmeans import _numpy_kmeans
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    n_cent, nprobe, k = 16, 6, 3
+    m, subdim, pq_k, rounds = 4, 16, 8, 1
+
+    # coarse: 16 md5-lowest medoids, argmin (d2, bucket)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )
+    coarse = {b: vecs[order[b]].astype(np.float64) for b in range(n_cent)}
+
+    def d2(v, c):
+        return (v @ v - 2.0 * (v @ c)) + c @ c
+
+    bucket_of = {}
+    for i, vid in enumerate(ids):
+        v = vecs[i].astype(np.float64)
+        bucket_of[vid] = min((d2(v, c), b) for b, c in coarse.items())[1]
+
+    # PQ codebooks + codes per block
+    cents_b, code_of = [], {}
+    for b in range(m):
+        sub = vecs[:, b * subdim : (b + 1) * subdim]
+        cents, assign = _numpy_kmeans(ids, sub, pq_k, rounds, 4)
+        cents_b.append(cents)
+        for vid in ids:
+            code_of.setdefault(vid, []).append(assign[vid])
+
+    # probes: vec_id < 50; nprobe nearest coarse buckets; ADC rank
+    expect = {}
+    for i, vid in enumerate(ids):
+        if vid >= 50:
+            continue
+        q = vecs[i].astype(np.float64)
+        pb = sorted((d2(q, c), b) for b, c in coarse.items())[:nprobe]
+        probed = {b for _, b in pb}
+        luts = [
+            {bb: d2(q[b * subdim : (b + 1) * subdim], c)
+             for bb, c in cents_b[b].items()}
+            for b in range(m)
+        ]
+        scored = []
+        for vid2 in ids:
+            if vid2 == vid or bucket_of[vid2] not in probed:
+                continue
+            total = luts[0][code_of[vid2][0]]
+            for b in range(1, m):
+                total = total + luts[b][code_of[vid2][b]]
+            scored.append((round(total, 4), vid2))
+        scored.sort()
+        expect[vid] = scored[:k]
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = ivfpq_topk_det(
+        emb, probes, k=k, n_centroids=n_cent, nprobe=nprobe,
+        m=m, subdim=subdim, pq_k=pq_k, pq_rounds=rounds,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.probe_id, []).append((r.adc, r.neighbor_id, r.rank))
+    assert set(got) == set(expect)
+    for pid, rows in got.items():
+        assert [r[2] for r in rows] == list(range(1, len(rows) + 1))
+        for (adc, nid, _), (eadc, enid) in zip(rows, expect[pid]):
+            assert nid == enid, (pid, nid, enid)
+            assert adc == _pt.approx(eadc, abs=2e-4)

@@ -319,6 +319,14 @@ CHECKS = [
         [r"BroadcastNestedLoopJoin|BroadcastExchange", r"partial_min"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # IVF-PQ ADC: codebooks/LUTs/probe-buckets all broadcast; the LUT
+    # hits are BroadcastHashJoins on (probe, code); the only window is
+    # the final per-probe top-k
+    (
+        "ann_ivfpq_topk",
+        [r"BroadcastHashJoin", r"partial_min"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
