@@ -225,3 +225,46 @@ def duplicate_clusters(triples: DataFrame, min_size: int = 2) -> DataFrame:
         .where(F.col("size") >= min_size)
         .orderBy("canonical")
     )
+
+
+def reach_k(edges: DataFrame, k: int = 4, dedup: bool = True) -> DataFrame:
+    """Bounded reachability census over an arbitrary (src, dst) edge
+    table: per source node, the count of DISTINCT nodes first reached
+    within <= k directed hops, plus the exact-distance-k ring. The
+    generic core behind the registry query `events_reach_k` (see
+    queries_graph.py for the scale discussion: semi-naive frontiers,
+    anti-join against the reached set, localCheckpoint per round so
+    lineage stays linear in k; doubling-trick for full closure).
+    Pass ``dedup=False`` when the edge table is already distinct to
+    skip the safety-dedup shuffle."""
+    edges = edges.select("src", "dst")
+    if dedup:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
+    reached = edges
+    frontier = edges
+    for _ in range(2, k + 1):
+        step = (
+            frontier.withColumnRenamed("dst", "mid")
+            .join(edges.withColumnRenamed("src", "mid"), "mid")
+            .select("src", "dst")
+            .distinct()
+        )
+        frontier = step.join(
+            reached, ["src", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        reached = reached.unionByName(frontier)
+    ring = frontier.where(F.col("src") != F.col("dst")).groupBy("src").agg(
+        F.count("*").alias("n_ring_k")
+    )
+    return (
+        reached.where(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_reach"))
+        .join(ring, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "n_reach",
+            F.coalesce("n_ring_k", F.lit(0)).alias("n_ring_k"),
+        )
+    )

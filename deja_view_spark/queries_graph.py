@@ -396,36 +396,14 @@ def q_events_reach_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (= BFS first-discovery), so the two engines must agree on
     both counts. Parallels the reference's neighborhood expansion of
     similar-issue links (github_similarity_service.py find_similar
-    fan-out), generalized to K hops."""
-    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=True)
-    reached = edges  # distance-1 pairs (already distinct)
-    frontier = edges
-    for _ in range(2, REACH_K + 1):
-        step = (
-            frontier.withColumnRenamed("dst", "mid")
-            .join(edges.withColumnRenamed("src", "mid"), "mid")
-            .select("src", "dst")
-            .distinct()
-        )
-        frontier = step.join(
-            reached, ["src", "dst"], "left_anti"
-        ).localCheckpoint(eager=True)
-        reached = reached.unionByName(frontier)
-    ring = frontier.where(F.col("src") != F.col("dst")).groupBy("src").agg(
-        F.count("*").alias("n_ring_k")
-    )
-    return (
-        reached.where(F.col("src") != F.col("dst"))
-        .groupBy("src")
-        .agg(F.count("*").alias("n_reach"))
-        .join(ring, "src", "left")
-        .select(
-            F.col("src").alias("node"),
-            "n_reach",
-            F.coalesce("n_ring_k", F.lit(0)).alias("n_ring_k"),
-        )
-        .orderBy("node")
-    )
+    fan-out), generalized to K hops. Core loop:
+    operators/graphquery.reach_k (shared with the CLI's triples-graph
+    `reach` verb); chain edges are already distinct, so the
+    safety-dedup shuffle is skipped."""
+    from deja_view_spark.operators.graphquery import reach_k
+
+    edges = _chain_edges(spark, sf_dir)
+    return reach_k(edges, k=REACH_K, dedup=False).orderBy("node")
 
 
 ORACLE_EVENTS_REACH_K = f"""

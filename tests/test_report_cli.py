@@ -234,3 +234,49 @@ def test_cli_corpus_verbs(spark, tmp_path, capsys):
         == 0
     )
     assert "'ppl_bucket'" in capsys.readouterr().out
+
+
+def test_cli_round3_verbs(spark, tmp_path, capsys):
+    """corpus novelty / cross-source-dedup / pq-encode and the graph
+    reach verb over a built triples dir."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    assert (
+        cli.main(["corpus", "novelty", "--data", SF_DIR, "--limit", "3"])
+        == 0
+    )
+    assert "'novelty_frac'" in capsys.readouterr().out
+
+    assert (
+        cli.main(
+            ["corpus", "cross-source-dedup", "--data", SF_DIR, "--limit", "3"]
+        )
+        == 0
+    )
+    assert "'kept_source'" in capsys.readouterr().out
+
+    assert (
+        cli.main(["corpus", "pq-encode", "--data", SF_DIR, "--limit", "3"])
+        == 0
+    )
+    assert "'pq_code'" in capsys.readouterr().out
+
+    from deja_view_spark.datagen import generate_repos
+    from deja_view_spark.plans.pipeline import KGPipeline
+
+    out = str(tmp_path / "kg")
+    pipe = KGPipeline(spark, generate_repos(spark, 300), out)
+    pipe.run()
+    tdir = pipe._triples_path()
+    assert (
+        cli.main(
+            ["graph", "reach", "--triples", tdir,
+             "--pred", "contains", "--hops", "2", "--limit", "5"]
+        )
+        == 0
+    )
+    txt = capsys.readouterr().out
+    assert "2-hop reach" in txt

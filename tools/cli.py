@@ -187,6 +187,11 @@ CORPUS_OPS = {
     "dsir": "docs_dsir_weights",
     "semdedup": "docs_semantic_dedup",
     "kmeans": "embeddings_kmeans",
+    "span-quarantine": "docs_incremental_spans",
+    "cross-source-dedup": "docs_cross_source_dedup",
+    "novelty": "docs_ngram_novelty",
+    "pq-encode": "embeddings_pq",
+    "ann-ivfpq": "ann_ivfpq_topk",
 }
 
 
@@ -256,6 +261,7 @@ def cmd_graph(args) -> int:
         duplicate_clusters,
         neighbors,
         pagerank,
+        reach_k,
         two_hop,
     )
 
@@ -310,6 +316,28 @@ def cmd_graph(args) -> int:
               + (f" over pred={args.pred}" if args.pred else "") + ":")
         for r in rows:
             print(f"  {r.rank:.6f}  {r.node}")
+    elif args.op == "reach":
+        # bounded k-hop reachability over the (optionally pred-filtered)
+        # triples graph; --direction in reverses edges first
+        pf = (
+            triples.where(F.col("pred") == args.pred) if args.pred else triples
+        )
+        if args.direction == "in":
+            e = pf.select(F.col("obj").alias("src"),
+                          F.col("subj").alias("dst"))
+        else:
+            e = pf.select(F.col("subj").alias("src"),
+                          F.col("obj").alias("dst"))
+        rows = (
+            reach_k(e, k=args.hops)
+            .orderBy(F.desc("n_reach"), F.asc("node"))
+            .limit(args.limit)
+            .collect()
+        )
+        print(f"top {len(rows)} nodes by {args.hops}-hop reach"
+              + (f" over pred={args.pred}" if args.pred else "") + ":")
+        for r in rows:
+            print(f"  {r.n_reach:<6d} (ring {r.n_ring_k})  {r.node}")
     elif args.op == "two-hop":
         if not (args.pred and args.pred2):
             print("graph two-hop requires --pred and --pred2", file=sys.stderr)
@@ -389,13 +417,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("graph", help="query a materialized kg_triples dir")
     p.add_argument(
         "op",
-        choices=["stats", "clusters", "neighbors", "two-hop", "pagerank"],
+        choices=["stats", "clusters", "neighbors", "two-hop", "pagerank",
+                 "reach"],
     )
     p.add_argument("--triples", required=True)
     p.add_argument("--node", default="")
     p.add_argument("--pred", default="")
     p.add_argument("--pred2", default="")
     p.add_argument("--direction", default="out", choices=["out", "in", "both"])
+    p.add_argument("--hops", type=int, default=4)
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(fn=cmd_graph)
     return ap

@@ -63,6 +63,13 @@ STRESS_QUERIES = [
     # output inflation would show
     "docs_span_dedup",
     "docs_span_scrub",
+    # round-3 wave 2: the incremental span quarantine (batch spans
+    # broadcast into a 50k-doc corpus span stream), the one-shuffle
+    # cross-source policy dedup, and the two-agg novelty census — all
+    # linear-shaped; the dup-heavy corpus maximizes their matched rows
+    "docs_incremental_spans",
+    "docs_cross_source_dedup",
+    "docs_ngram_novelty",
 ]
 
 
@@ -215,6 +222,39 @@ def main() -> None:
         }
         log(f"incremental_semdedup_stress: "
             f"{result['incremental_semdedup_stress']}")
+
+        # PQ encode + IVF-PQ ADC search at 100x: codebook fits are
+        # k-row broadcasts regardless of corpus size; the search's
+        # probe set is minted deterministically (the registry query's
+        # `vec_id < 50` predicate assumes the testdata id domain, so
+        # the stress row picks ~1/1000 of the hashed ids instead).
+        from deja_view_spark.operators.kmeans import pq_assignments
+        from deja_view_spark.operators.ann import ivfpq_topk_det
+
+        t0 = time.time()
+        n = pq_assignments(emb, m=4, subdim=16, k=8, rounds=1).count()
+        result["pq_stress"] = {
+            "sec": round(time.time() - t0, 1), "rows": n,
+        }
+        log(f"pq_stress: {result['pq_stress']}")
+
+        probes = emb.where("vec_id % 1000 = 0").select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        n_probes = probes.count()
+        t0 = time.time()
+        n = ivfpq_topk_det(
+            emb, probes, k=3,
+            n_centroids=max(16, args.docs_rows // 200), nprobe=6,
+        ).count()
+        result["ivfpq_stress"] = {
+            "n_probes": n_probes,
+            "n_centroids": max(16, args.docs_rows // 200),
+            "sec": round(time.time() - t0, 1),
+            "rows": n,
+        }
+        log(f"ivfpq_stress: {result['ivfpq_stress']}")
 
         if not args.skip_kg:
             out = subprocess.run(
