@@ -227,23 +227,24 @@ def duplicate_clusters(triples: DataFrame, min_size: int = 2) -> DataFrame:
     )
 
 
-def reach_k(edges: DataFrame, k: int = 4, dedup: bool = True) -> DataFrame:
-    """Bounded reachability census over an arbitrary (src, dst) edge
-    table: per source node, the count of DISTINCT nodes first reached
-    within <= k directed hops, plus the exact-distance-k ring. The
-    generic core behind the registry query `events_reach_k` (see
-    queries_graph.py for the scale discussion: semi-naive frontiers,
-    anti-join against the reached set, localCheckpoint per round so
-    lineage stays linear in k; doubling-trick for full closure).
-    Pass ``dedup=False`` when the edge table is already distinct to
-    skip the safety-dedup shuffle."""
+def reach_pairs(
+    edges: DataFrame, k: int = 4, dedup: bool = True
+) -> DataFrame:
+    """Min-distance pair table (src, dst, d) for all pairs first
+    reached within <= k directed hops — the semi-naive BFS core shared
+    by `reach_k` and the harmonic-centrality query (see
+    queries_graph.py for the scale discussion: each round's frontier
+    holds only NEWLY discovered pairs via an anti-join against the
+    reached set, localCheckpoint per round keeps lineage linear in k;
+    doubling-trick for full closure). Pass ``dedup=False`` when the
+    edge table is already distinct to skip the safety-dedup shuffle."""
     edges = edges.select("src", "dst")
     if dedup:
         edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
-    reached = edges
+    reached = edges.withColumn("d", F.lit(1))
     frontier = edges
-    for _ in range(2, k + 1):
+    for i in range(2, k + 1):
         step = (
             frontier.withColumnRenamed("dst", "mid")
             .join(edges.withColumnRenamed("src", "mid"), "mid")
@@ -251,20 +252,27 @@ def reach_k(edges: DataFrame, k: int = 4, dedup: bool = True) -> DataFrame:
             .distinct()
         )
         frontier = step.join(
-            reached, ["src", "dst"], "left_anti"
+            reached.select("src", "dst"), ["src", "dst"], "left_anti"
         ).localCheckpoint(eager=True)
-        reached = reached.unionByName(frontier)
-    ring = frontier.where(F.col("src") != F.col("dst")).groupBy("src").agg(
-        F.count("*").alias("n_ring_k")
-    )
+        reached = reached.unionByName(frontier.withColumn("d", F.lit(i)))
+    return reached
+
+
+def reach_k(edges: DataFrame, k: int = 4, dedup: bool = True) -> DataFrame:
+    """Bounded reachability census over an arbitrary (src, dst) edge
+    table: per source node, the count of DISTINCT nodes first reached
+    within <= k directed hops, plus the exact-distance-k ring. Built
+    on `reach_pairs`; the generic core behind the registry query
+    `events_reach_k` and the CLI triples-graph `reach` verb."""
+    pairs = reach_pairs(edges, k=k, dedup=dedup)
     return (
-        reached.where(F.col("src") != F.col("dst"))
+        pairs.where(F.col("src") != F.col("dst"))
         .groupBy("src")
-        .agg(F.count("*").alias("n_reach"))
-        .join(ring, "src", "left")
-        .select(
-            F.col("src").alias("node"),
-            "n_reach",
-            F.coalesce("n_ring_k", F.lit(0)).alias("n_ring_k"),
+        .agg(
+            F.count("*").alias("n_reach"),
+            F.sum(F.when(F.col("d") == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ring_k"),
         )
+        .select(F.col("src").alias("node"), "n_reach", "n_ring_k")
     )

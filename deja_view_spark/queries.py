@@ -878,6 +878,8 @@ _ROUND3_FIRST = [
     "docs_ngram_novelty",
     "embeddings_pq",
     "ann_ivfpq_topk",
+    "events_harmonic_k",
+    "docs_containment_pairs",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

@@ -424,15 +424,89 @@ FROM md GROUP BY src ORDER BY node
 """
 
 
+# ----------------------------------------------- harmonic centrality
+def q_events_harmonic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality (Boldi & Vigna, "Axioms for
+    Centrality"): per node, sum of 1/d over every node first reached
+    within <= REACH_K hops — the centrality that handles disconnected
+    graphs where closeness degenerates. Shares the semi-naive BFS pair
+    table with `events_reach_k` (operators/graphquery.reach_pairs).
+
+    Cross-engine determinism: summing 1/d floats directly is
+    shuffle-order-dependent (1/3 is inexact), so both engines first
+    count pairs PER DISTANCE (integers — order-independent) and then
+    evaluate the fixed-order expression n1/1 + n2/2 + ... + nK/K,
+    rounded to 4dp. Output carries the per-distance counts too (the
+    reach profile a crawl-frontier planner actually reads)."""
+    from deja_view_spark.operators.graphquery import reach_pairs
+
+    pairs = reach_pairs(
+        _chain_edges(spark, sf_dir), k=REACH_K, dedup=False
+    ).where(F.col("src") != F.col("dst"))
+    counts = pairs.groupBy("src").agg(
+        *[
+            F.sum(F.when(F.col("d") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_d{i}")
+            for i in range(1, REACH_K + 1)
+        ]
+    )
+    harmonic = F.col("n_d1") / F.lit(1.0)
+    for i in range(2, REACH_K + 1):
+        harmonic = harmonic + F.col(f"n_d{i}") / F.lit(float(i))
+    return (
+        counts.select(
+            F.col("src").alias("node"),
+            *[f"n_d{i}" for i in range(1, REACH_K + 1)],
+            F.round(harmonic, 4).alias("harmonic"),
+        )
+        .orderBy("node")
+    )
+
+
+def _oracle_harmonic() -> str:
+    counts = ",\n       ".join(
+        f"count(*) FILTER (WHERE md = {i}) AS n_d{i}"
+        for i in range(1, REACH_K + 1)
+    )
+    expr = " + ".join(
+        f"n_d{i} / {float(i)}" for i in range(1, REACH_K + 1)
+    )
+    return f"""
+WITH RECURSIVE {SQL_CHAIN_EDGES_CTES},
+walk(src, dst, d) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.src, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON w.dst = e.src
+  WHERE w.d < {REACH_K}),
+md AS (
+  SELECT src, dst, min(d) AS md FROM walk
+  WHERE src <> dst GROUP BY src, dst),
+counts AS (
+  SELECT src AS node,
+       {counts}
+  FROM md GROUP BY src)
+SELECT node, {", ".join(f"n_d{i}" for i in range(1, REACH_K + 1))},
+       round({expr}, 4) AS harmonic
+FROM counts ORDER BY node
+"""
+
+
+ORACLE_EVENTS_HARMONIC_K = _oracle_harmonic()
+
+
 QUERIES = {
     "events_pagerank": q_events_pagerank,
     "events_triangles": q_events_triangles,
     "docs_duplicate_clusters": q_docs_duplicate_clusters,
     "events_reach_k": q_events_reach_k,
+    "events_harmonic_k": q_events_harmonic_k,
 }
 ORACLES = {
     "events_pagerank": ORACLE_EVENTS_PAGERANK,
     "events_triangles": ORACLE_EVENTS_TRIANGLES,
     "docs_duplicate_clusters": ORACLE_DOCS_DUPLICATE_CLUSTERS,
     "events_reach_k": ORACLE_EVENTS_REACH_K,
+    "events_harmonic_k": ORACLE_EVENTS_HARMONIC_K,
 }

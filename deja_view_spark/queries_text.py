@@ -292,6 +292,122 @@ ORDER BY src_doc, dst_doc
 """
 
 
+# ---------------------------------------------- asymmetric containment
+# Containment C(A in B) = |A ∩ B| / |A| — the DIRECTED overlap that
+# catches quote/excerpt/subset relationships symmetric Jaccard misses:
+# a 40-token excerpt inside a 400-token original has J ~= 0.1 (below
+# any dedup threshold) but containment 1.0. The corpus has no planted
+# excerpts, so every 31st doc is re-ingested as its own first-40-token
+# excerpt (doc_id + 40M) — the press-quote / LLM-training "document
+# contains another document" shape. Same xxhash64 df-cutoff inverted
+# index as docs_jaccard_pairs; the emitted score is containment of the
+# SMALLER side in the larger (max of the two directions), with the
+# Jaccard alongside to show what the symmetric score would have said.
+CONTAIN_MIN = 0.8
+CONTAIN_EXCERPT_TOKENS = 40
+
+
+def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    excerpts = (
+        docs.where(F.col("doc_id") % 31 == 0)
+        .select(
+            (F.col("doc_id") + 40_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, CONTAIN_EXCERPT_TOKENS)
+            ).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    sh = corpus.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh"),
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    postings = sh.groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    ).where(F.size("ids") <= JACCARD_DF_CUTOFF)
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "src_doc"), F.col("ids"))
+        .select(
+            "src_doc",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("dst_doc"),
+        )
+    )
+    common = pairs.groupBy("src_doc", "dst_doc").agg(F.count("*").alias("c"))
+    return (
+        common.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "src_doc")
+                .withColumnRenamed("n", "na")
+            ),
+            "src_doc",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "dst_doc")
+                .withColumnRenamed("n", "nb")
+            ),
+            "dst_doc",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("c") / F.least("na", "nb"), 4),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4),
+        )
+        .where(F.col("containment") >= CONTAIN_MIN)
+        .select("src_doc", "dst_doc", "containment", "jaccard")
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+ORACLE_DOCS_CONTAINMENT = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                      1, {CONTAIN_EXCERPT_TOKENS}), ' ') AS text
+  FROM documents WHERE doc_id % 31 = 0),
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM base),
+s AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3),
+kept AS (
+  SELECT doc_id, sh
+  FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM s)
+  WHERE df <= {JACCARD_DF_CUTOFF}),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS c
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT src_doc, dst_doc,
+       round(c * 1.0 / least(x.n, y.n), 4) AS containment,
+       round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+FROM common
+JOIN sz x ON src_doc = x.doc_id
+JOIN sz y ON dst_doc = y.doc_id
+WHERE round(c * 1.0 / least(x.n, y.n), 4) >= {CONTAIN_MIN}
+ORDER BY src_doc, dst_doc
+"""
+
 # -------------------------------------------------- edit-distance verify
 # Candidate generation is the SAME df-cutoff inverted index as
 # docs_jaccard_pairs; the verify stage replaces set-overlap Jaccard
@@ -478,6 +594,8 @@ ORDER BY 1
 
 QUERIES["similarity_bands"] = q_similarity_bands
 ORACLES["similarity_bands"] = ORACLE_SIMILARITY_BANDS
+QUERIES["docs_containment_pairs"] = q_docs_containment_pairs
+ORACLES["docs_containment_pairs"] = ORACLE_DOCS_CONTAINMENT
 
 
 # ------------------------------------------------------------ language ID

@@ -129,3 +129,67 @@ def test_reach_k_matches_python_bfs(spark):
         n_reach, n_ring = bfs(u)
         assert out[u].n_reach == n_reach, u
         assert out[u].n_ring_k == n_ring, u
+
+
+def test_harmonic_matches_python_bfs(spark):
+    """Truncated harmonic centrality equals the python BFS distance
+    histogram folded through n1/1 + ... + nK/K."""
+    from deja_view_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select("props", "user_id").toPandas()
+    ev["item"] = ev["props"].map(lambda s: json.loads(s)["k"])
+    edges = set()
+    for _, grp in ev.groupby("item"):
+        us = sorted(set(grp["user_id"]))
+        for a, b in zip(us, us[1:]):
+            if a != b:
+                edges.add((a, b))
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    out = {r.node: r for r in QG.q_events_harmonic_k(spark, SF).collect()}
+    srcs = {a for a, _ in edges}
+    assert set(out) == srcs
+    for u in srcs:
+        dist = {u: 0}
+        frontier = [u]
+        for d in range(1, QG.REACH_K + 1):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, []):
+                    if y not in dist:
+                        dist[y] = d
+                        nxt.append(y)
+            frontier = nxt
+        hist = [0] * (QG.REACH_K + 1)
+        for v, d in dist.items():
+            if v != u:
+                hist[d] += 1
+        want = sum(hist[d] / d for d in range(1, QG.REACH_K + 1))
+        got = out[u]
+        for d in range(1, QG.REACH_K + 1):
+            assert getattr(got, f"n_d{d}") == hist[d], (u, d)
+        assert abs(got.harmonic - round(want, 4)) < 1e-9, u
+
+
+# ------------------------------------------------ containment pairs
+def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
+    """A 40-token excerpt planted from a 100-token original (doc 0 ->
+    40,000,000) scores containment 1.0 while its Jaccard stays far
+    below the dedup threshold — the asymmetric-overlap case."""
+    from deja_view_spark.queries_text import q_docs_containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {0: long_text, 1: " ".join(f"z{i}" for i in range(50))},
+    )
+    out = q_docs_containment_pairs(spark, sf).collect()
+    pairs = {(r.src_doc, r.dst_doc): r for r in out}
+    assert set(pairs) == {(0, 40_000_000)}
+    r = pairs[(0, 40_000_000)]
+    assert r.containment == 1.0
+    # 38 excerpt shingles vs 98 original: J = 38/98
+    assert r.jaccard < 0.5

@@ -327,6 +327,21 @@ CHECKS = [
         [r"BroadcastHashJoin", r"partial_min"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # harmonic centrality: same semi-naive BFS as reach + one
+    # per-distance conditional agg
+    (
+        "events_harmonic_k",
+        [PARTIAL_AGG],
+        [r"CartesianProduct|BroadcastNestedLoopJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # containment: same hashed df-cutoff inverted index as jaccard —
+    # bucket-local codegen pair generation, no self-join of the corpus
+    (
+        "docs_containment_pairs",
+        [r"xxhash64", r"Generate", PARTIAL_AGG],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
