@@ -880,6 +880,7 @@ _ROUND3_FIRST = [
     "ann_ivfpq_topk",
     "events_harmonic_k",
     "docs_containment_pairs",
+    "events_cm_sketch",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

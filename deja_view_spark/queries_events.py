@@ -840,3 +840,128 @@ ORDER BY user_id
 
 QUERIES["events_funnel"] = q_events_funnel
 ORACLES["events_funnel"] = ORACLE_EVENTS_FUNNEL
+
+
+# ------------------------------------------------- count-min sketch
+# Frequency-estimation sibling of the KMV distinct sketch
+# (docs_kmv_distinct): a d x w count-min table (Cormode &
+# Muthukrishnan 2005) answers "how often did key X occur" in
+# fixed memory when the key cardinality is too large to count
+# exactly. The registry query builds the sketch AND audits it against
+# the exact counts of the top items — surfacing the one-sided
+# overestimate the sketch guarantees (est >= exact always; the oracle
+# hash-check therefore certifies collision behavior bit-for-bit, which
+# is why the bucket hash is the cross-engine md5-prefix, not
+# engine-local xxhash).
+CM_DEPTH = 4     # hash rows
+CM_WIDTH = 64    # buckets per row
+CM_TOP = 20      # audited heavy keys
+
+
+def _cm_bucket(item, r: int):
+    """Cross-engine bucket hash: first-8-hex-digit integer of
+    md5(item || ':' || r), mod CM_WIDTH (same md5-prefix trick as the
+    deterministic corpus splits)."""
+    h = F.md5(
+        F.concat(item.cast("string"), F.lit(f":{r}")).cast("binary")
+    )
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CM_WIDTH
+    )
+
+
+def q_events_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-CM_TOP items by exact frequency, each with its count-min
+    estimate and the overestimate the sketch's collisions introduced.
+
+    Scale shape: the sketch build explodes each occurrence into
+    CM_DEPTH (row, bucket) cells and aggregates — map-side combine
+    collapses every partition to <= d*w rows, so the shuffle carries
+    sketch-sized, not corpus-sized, data. The d*w-row sketch table
+    BROADCASTS to the audit side, where each candidate key's estimate
+    is the fixed-order least() of its d looked-up cells. The exact
+    top-k (one groupBy + TakeOrdered) exists to audit the sketch at
+    registry scale; at 100 TB only the sketch and the candidate keys
+    survive."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    occ = ev.select(item.alias("item"))
+    cells = occ.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col("item"), r).alias("b"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch = cells.groupBy("c.r", "c.b").agg(F.count("*").alias("cnt"))
+    exact = (
+        occ.groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("item"))
+        .limit(CM_TOP)
+    )
+    est = exact
+    for r in range(CM_DEPTH):
+        lut = sketch.where(F.col("r") == r).select(
+            F.col("b").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
+        )
+        est = est.withColumn(f"_b{r}", _cm_bucket(F.col("item"), r)).join(
+            F.broadcast(lut), f"_b{r}"
+        )
+    cm = F.least(*[F.col(f"_c{r}") for r in range(CM_DEPTH)])
+    return (
+        est.select(
+            "item",
+            "exact_count",
+            cm.alias("cm_estimate"),
+            (cm - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("item"))
+    )
+
+
+def _oracle_cm_sketch() -> str:
+    from deja_view_spark.functions.embedding import duckdb_hex_int_sql
+
+    def bucket(item_expr: str, r: int) -> str:
+        h = f"md5({item_expr} || ':{r}')"
+        return f"(({duckdb_hex_int_sql(h, 8)}) % {CM_WIDTH})"
+
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket('CAST(item AS VARCHAR)', r)} AS b "
+        f"FROM occ"
+        for r in range(CM_DEPTH)
+    )
+    ests = ", ".join(
+        f"(SELECT cnt FROM sketch s WHERE s.r = {r} "
+        f"AND s.b = {bucket('CAST(e.item AS VARCHAR)', r)}) "
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+WITH occ AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events),
+cells AS ({cells}),
+sketch AS (
+  SELECT r, b, count(*) AS cnt FROM cells GROUP BY r, b),
+exact AS (
+  SELECT item, count(*) AS exact_count FROM occ GROUP BY item
+  ORDER BY exact_count DESC, item ASC LIMIT {CM_TOP})
+SELECT e.item, e.exact_count,
+       least({ests}) AS cm_estimate,
+       least({ests}) - e.exact_count AS overestimate
+FROM exact e
+ORDER BY e.exact_count DESC, e.item ASC
+"""
+
+
+ORACLE_EVENTS_CM_SKETCH = _oracle_cm_sketch()
+
+QUERIES["events_cm_sketch"] = q_events_cm_sketch
+ORACLES["events_cm_sketch"] = ORACLE_EVENTS_CM_SKETCH

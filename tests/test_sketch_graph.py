@@ -218,3 +218,43 @@ def test_triangles_each_emitted_once_total(spark, tmp_path):
         for r in q_events_triangles(spark, d).collect()
     }
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+# ------------------------------------------------- count-min sketch
+def test_cm_sketch_matches_python_twin(spark):
+    """events_cm_sketch == a pure-python count-min with the same
+    md5-prefix bucket hash; and the one-sided guarantee est >= exact
+    holds for every audited key."""
+    import hashlib
+    import json as _json
+
+    from deja_view_spark.queries_events import (
+        CM_DEPTH,
+        CM_TOP,
+        CM_WIDTH,
+        q_events_cm_sketch,
+    )
+    from deja_view_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select("props").toPandas()
+    items = [int(_json.loads(p)["k"]) for p in ev["props"]]
+
+    def bucket(item: int, r: int) -> int:
+        h = hashlib.md5(f"{item}:{r}".encode()).hexdigest()
+        return int(h[:8], 16) % CM_WIDTH
+
+    sketch = [[0] * CM_WIDTH for _ in range(CM_DEPTH)]
+    exact: dict[int, int] = {}
+    for it in items:
+        exact[it] = exact.get(it, 0) + 1
+        for r in range(CM_DEPTH):
+            sketch[r][bucket(it, r)] += 1
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CM_TOP]
+
+    out = q_events_cm_sketch(spark, SF).collect()
+    assert [(r.item, r.exact_count) for r in out] == top
+    for r in out:
+        want = min(sketch[d][bucket(r.item, d)] for d in range(CM_DEPTH))
+        assert r.cm_estimate == want, r.item
+        assert r.overestimate >= 0
+        assert r.cm_estimate >= r.exact_count

@@ -342,6 +342,13 @@ CHECKS = [
         [r"xxhash64", r"Generate", PARTIAL_AGG],
         [r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # count-min: sketch build is a partial-agg shuffle of <= d*w rows
+    # per partition; the sketch LUTs broadcast to the audit side
+    (
+        "events_cm_sketch",
+        [r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
