@@ -881,6 +881,7 @@ _ROUND3_FIRST = [
     "events_harmonic_k",
     "docs_containment_pairs",
     "events_cm_sketch",
+    "events_kcore",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

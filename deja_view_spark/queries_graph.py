@@ -496,12 +496,100 @@ FROM counts ORDER BY node
 ORACLE_EVENTS_HARMONIC_K = _oracle_harmonic()
 
 
+# ------------------------------------------------------------ k-core
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def q_events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core of the undirected co-engagement graph (k=KCORE_K):
+    the maximal subgraph where every vertex keeps degree >= k after
+    repeatedly peeling lower-degree vertices — the standard
+    dense-community pruning primitive (spam-ring/bot-cluster
+    detection, graph sparsification before expensive analytics).
+
+    Scale shape: ITERATIVE PEELING — each round is one degree
+    aggregation (explode both endpoints, partial-agg count) plus two
+    semi-joins filtering surviving edges; the edge set shrinks
+    monotonically and is localCheckpoint'ed per round (linear
+    lineage). Rounds are FIXED at KCORE_ROUNDS so both engines run the
+    identical computation (the peeling converges in <= 3 rounds on
+    this corpus — asserted by test — and a non-converged prefix is
+    still bit-identical cross-engine); production would loop until an
+    empty frontier with the same per-round plan. Output: each
+    surviving node with its within-core degree."""
+    und = (
+        _chain_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = und
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionByName(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_deg"))
+        .orderBy("node")
+    )
+
+
+def _oracle_kcore() -> str:
+    # every e{r+1} references e{r} three times (degree union + two IN
+    # filters): without MATERIALIZED DuckDB inlines the chain 3^rounds
+    # times and exhausts file handles re-opening the base parquet —
+    # the same inlining trap the duplicate_clusters oracle documents
+    ctes = []
+    prev = "e0"
+    for r in range(KCORE_ROUNDS):
+        ctes.append(f"""d{r} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY node),
+k{r} AS (SELECT node FROM d{r} WHERE d >= {KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM k{r}) AND b IN (SELECT node FROM k{r}))""")
+        prev = f"e{r + 1}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges),
+{chain}
+SELECT node, count(*) AS core_deg FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+GROUP BY node ORDER BY node
+"""
+
+
+ORACLE_EVENTS_KCORE = _oracle_kcore()
+
+
 QUERIES = {
     "events_pagerank": q_events_pagerank,
     "events_triangles": q_events_triangles,
     "docs_duplicate_clusters": q_docs_duplicate_clusters,
     "events_reach_k": q_events_reach_k,
     "events_harmonic_k": q_events_harmonic_k,
+    "events_kcore": q_events_kcore,
 }
 ORACLES = {
     "events_pagerank": ORACLE_EVENTS_PAGERANK,
@@ -509,4 +597,5 @@ ORACLES = {
     "docs_duplicate_clusters": ORACLE_DOCS_DUPLICATE_CLUSTERS,
     "events_reach_k": ORACLE_EVENTS_REACH_K,
     "events_harmonic_k": ORACLE_EVENTS_HARMONIC_K,
+    "events_kcore": ORACLE_EVENTS_KCORE,
 }

@@ -193,3 +193,44 @@ def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
     assert r.containment == 1.0
     # 38 excerpt shingles vs 98 original: J = 38/98
     assert r.jaccard < 0.5
+
+
+# ------------------------------------------------------------ k-core
+def test_kcore_matches_python_peeling(spark):
+    """events_kcore == python peel-to-fixpoint, and the fixed
+    KCORE_ROUNDS budget is enough: the python peel converges in fewer
+    rounds on this corpus (asserted), so the engine's fixed-round
+    output IS the true k-core."""
+    from deja_view_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select("props", "user_id").toPandas()
+    ev["item"] = ev["props"].map(lambda s: json.loads(s)["k"])
+    und = set()
+    for _, grp in ev.groupby("item"):
+        us = sorted(set(grp["user_id"]))
+        for a, b in zip(us, us[1:]):
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+
+    edges = set(und)
+    rounds_used = 0
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= QG.KCORE_K}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+        rounds_used += 1
+    assert rounds_used <= QG.KCORE_ROUNDS, rounds_used
+    want: dict[int, int] = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+
+    out = {r.node: r.core_deg for r in QG.q_events_kcore(spark, SF).collect()}
+    assert out == want
+    assert all(d >= QG.KCORE_K for d in out.values())

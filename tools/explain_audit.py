@@ -349,6 +349,14 @@ CHECKS = [
         [r"BroadcastHashJoin", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # k-core peeling: per-round degree partial-agg + semi-joins over a
+    # monotonically shrinking checkpointed edge set
+    (
+        "events_kcore",
+        [PARTIAL_AGG],
+        [r"CartesianProduct|BroadcastNestedLoopJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
