@@ -356,6 +356,7 @@ def ivfpq_topk_det(
     pq_k: int = 8,
     pq_rounds: int = 1,
     decimals: int = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN with asymmetric distance computation (ADC) — the
     index layout a billion-vector deployment actually serves from:
@@ -365,11 +366,13 @@ def ivfpq_topk_det(
     probe's sub-vectors to every block centroid (m*pq_k rows —
     metadata) is broadcast, and a candidate's ADC distance is the
     in-row sum of m LUT hits; the original vectors are never touched
-    after encode time. This variant quantizes raw vectors (not coarse
+    after encode time. The default quantizes raw vectors (not coarse
     residuals) so every arithmetic step reproduces bit-for-bit in the
-    DuckDB oracle; residual encoding is the one-line refinement
-    (subtract the coarse centroid before `pq_encode`) when recall at
-    tight budgets matters more than oracle exactness.
+    DuckDB oracle; ``residual=True`` switches to classic IVF-PQ
+    residual encoding (quantize v - coarse_centroid, probe LUTs keyed
+    per (probe, probed coarse bucket)) — the recall refinement for
+    tight code budgets, measured in tests/test_ann.py against the
+    exact-L2 ground truth.
 
     Scale shape: codebooks and LUTs broadcast (k-row / m*pq_k-row);
     the candidate fan-out is the same bucket equi-join as ivf_topk_det
@@ -399,22 +402,50 @@ def ivfpq_topk_det(
 
         return dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)
 
+    agg_struct = (
+        F.struct("_d2", "bucket", "cvec") if residual
+        else F.struct("_d2", "bucket")
+    )
     assigned = (
         emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
         .crossJoin(F.broadcast(cents))
         .withColumn("_d2", d2(F.col("nvec"), F.col("cvec")))
         .groupBy("neighbor_id")
-        .agg(F.min(F.struct("_d2", "bucket")).alias("_m"))
-        .select("neighbor_id", F.col("_m.bucket").alias("_bucket"))
+        .agg(
+            F.min(agg_struct).alias("_m"),
+            F.any_value("nvec").alias("nvec"),
+        )
+        .select(
+            "neighbor_id",
+            "nvec",
+            F.col("_m.bucket").alias("_bucket"),
+            *([F.col("_m.cvec").alias("_ccvec")] if residual else []),
+        )
     )
 
-    codes, codebooks = pq_encode(
-        emb, vec_col, id_col, m=m, subdim=subdim, k=pq_k,
-        rounds=pq_rounds, decimals=decimals,
-    )
-    cand_codes = assigned.join(
-        codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
-    )
+    if residual:
+        # classic IVF-PQ: quantize v - coarse_centroid[bucket]; the
+        # codebooks see centered, lower-spread vectors, so the same
+        # code budget reconstructs tighter (the recall refinement the
+        # raw variant's docstring promises). Probe LUTs become
+        # per-(probe, PROBED coarse bucket) — still metadata-sized
+        # (nprobe * m * pq_k rows per probe).
+        res_src = assigned.select(
+            F.col("neighbor_id").alias(id_col),
+            F.zip_with("nvec", "_ccvec", lambda x, c: x - c).alias("rv"),
+        )
+        codes, codebooks = pq_encode(
+            res_src, "rv", id_col, m=m, subdim=subdim, k=pq_k,
+            rounds=pq_rounds, decimals=decimals,
+        )
+    else:
+        codes, codebooks = pq_encode(
+            emb, vec_col, id_col, m=m, subdim=subdim, k=pq_k,
+            rounds=pq_rounds, decimals=decimals,
+        )
+    cand_codes = assigned.select(
+        "neighbor_id", "_bucket"
+    ).join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
 
     pw = Window.partitionBy("probe_id").orderBy(F.asc("_d2"), F.asc("bucket"))
     probe_buckets = (
@@ -422,29 +453,68 @@ def ivfpq_topk_det(
         .withColumn("_d2", d2(F.col("probe_vec"), F.col("cvec")))
         .withColumn("_r", F.row_number().over(pw))
         .where(F.col("_r") <= nprobe)
-        .select("probe_id", F.col("bucket").alias("_bucket"))
+        .select(
+            "probe_id",
+            F.col("bucket").alias("_bucket"),
+            *([F.col("cvec").alias("_pcvec")] if residual else []),
+        )
     )
 
     scored = cand_codes.join(
         F.broadcast(probe_buckets),
         (cand_codes._bucket == probe_buckets._bucket)
         & (F.col("neighbor_id") != F.col("probe_id")),
-    ).select("probe_id", "neighbor_id", *[f"c{b}" for b in range(m)])
+    ).select(
+        "probe_id", "neighbor_id",
+        *([cand_codes["_bucket"]] if residual else []),
+        *[f"c{b}" for b in range(m)],
+    )
 
-    for b in range(m):
-        qsub = F.slice(F.col("probe_vec"), b * subdim + 1, subdim)
-        lut = (
-            probes.crossJoin(F.broadcast(codebooks[b]))
+    if residual:
+        # LUT keyed by (probe, coarse bucket, code): distance from the
+        # probe's RESIDUAL against that coarse bucket to each block
+        # centroid
+        pb_vec = (
+            probes.join(F.broadcast(probe_buckets), "probe_id")
             .select(
-                F.col("probe_id").alias("_lp"),
-                F.col("bucket").alias(f"_lc{b}"),
-                d2(qsub, F.col("cvec")).alias(f"_d2p{b}"),
+                "probe_id", "_bucket",
+                F.zip_with("probe_vec", "_pcvec", lambda x, c: x - c)
+                .alias("_qres"),
             )
         )
-        scored = scored.join(
-            F.broadcast(lut),
-            (scored.probe_id == lut._lp) & (scored[f"c{b}"] == lut[f"_lc{b}"]),
-        ).drop("_lp", f"_lc{b}")
+        for b in range(m):
+            qsub = F.slice(F.col("_qres"), b * subdim + 1, subdim)
+            lut = (
+                pb_vec.crossJoin(F.broadcast(codebooks[b]))
+                .select(
+                    F.col("probe_id").alias("_lp"),
+                    F.col("_bucket").alias(f"_lb{b}"),
+                    F.col("bucket").alias(f"_lc{b}"),
+                    d2(qsub, F.col("cvec")).alias(f"_d2p{b}"),
+                )
+            )
+            scored = scored.join(
+                F.broadcast(lut),
+                (scored.probe_id == lut._lp)
+                & (scored["_bucket"] == lut[f"_lb{b}"])
+                & (scored[f"c{b}"] == lut[f"_lc{b}"]),
+            ).drop("_lp", f"_lb{b}", f"_lc{b}")
+    else:
+        for b in range(m):
+            qsub = F.slice(F.col("probe_vec"), b * subdim + 1, subdim)
+            lut = (
+                probes.crossJoin(F.broadcast(codebooks[b]))
+                .select(
+                    F.col("probe_id").alias("_lp"),
+                    F.col("bucket").alias(f"_lc{b}"),
+                    d2(qsub, F.col("cvec")).alias(f"_d2p{b}"),
+                )
+            )
+            scored = scored.join(
+                F.broadcast(lut),
+                (scored.probe_id == lut._lp)
+                & (scored[f"c{b}"] == lut[f"_lc{b}"]),
+            ).drop("_lp", f"_lc{b}")
 
     total = F.col("_d2p0")
     for b in range(1, m):  # explicit left-to-right sum, oracle-identical
