@@ -882,6 +882,7 @@ _ROUND3_FIRST = [
     "docs_containment_pairs",
     "events_cm_sketch",
     "events_kcore",
+    "sales_opportunity",
 ]
 assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
     set(_ROUND3_FIRST) - set(QUERIES)

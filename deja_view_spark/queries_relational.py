@@ -798,3 +798,70 @@ ORACLE_DOCS_HIST_QUANTILES = _oracle_hist_quantiles()
 
 QUERIES["docs_length_hist_quantiles"] = q_docs_length_hist_quantiles
 ORACLES["docs_length_hist_quantiles"] = ORACLE_DOCS_HIST_QUANTILES
+
+
+# ----------------------------------------------- Q22 shape (TPC-H)
+SALES_OPP_CUTOFF = "2000-01-01"
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on this schema: per nation, the count and total
+    balance of well-funded customers (acctbal above the average
+    POSITIVE balance — a scalar subquery kept inside the plan as a
+    broadcast one-row cross join, never a driver collect) with no
+    order since SALES_OPP_CUTOFF (anti join with the date predicate
+    pushed into the orders scan; Q22 proper uses a 7-year dormancy
+    window the same way). The classic 'dormant high-value accounts'
+    report combining a scalar aggregate filter, an anti join, and a
+    dimension rollup.
+
+    Scale shape: the scalar average is a full-agg one-row table
+    (map-side partial agg) broadcast into the customer scan; the anti
+    join shuffles only the distinct custkey projection of orders; the
+    nation dimension broadcasts. One wide shuffle total (the anti
+    join's), then a nation-sized aggregation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            orders.where(F.col("o_orderdate") >= SALES_OPP_CUTOFF)
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_SALES_OPPORTUNITY = """
+SELECT n.n_name AS nation,
+       count(*) AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+QUERIES["sales_opportunity"] = q_sales_opportunity
+ORACLES["sales_opportunity"] = ORACLE_SALES_OPPORTUNITY

@@ -357,6 +357,14 @@ CHECKS = [
         [r"CartesianProduct|BroadcastNestedLoopJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Q22 shape: scalar avg broadcast into the scan, anti join with the
+    # dormancy date pushed to the orders scan, nation dim broadcast
+    (
+        "sales_opportunity",
+        [r"LeftAnti", r"BroadcastHashJoin", PARTIAL_AGG,
+         r"PushedFilters: \[IsNotNull\(o_orderdate\), GreaterThanOrEqual\(o_orderdate"],
+        [r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
