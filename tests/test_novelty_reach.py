@@ -234,3 +234,36 @@ def test_kcore_matches_python_peeling(spark):
     out = {r.node: r.core_deg for r in QG.q_events_kcore(spark, SF).collect()}
     assert out == want
     assert all(d >= QG.KCORE_K for d in out.values())
+
+
+def test_novelty_conservation_invariant(spark):
+    """Every distinct corpus n-gram has exactly one first-occurrence
+    doc, so sum(n_novel) over docs == the corpus's distinct-ngram
+    count (computed independently in python)."""
+    import re
+
+    from deja_view_spark.queries_corpus import NOVELTY_N
+    from deja_view_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    tok = re.compile(r"[a-z0-9_]+")
+    grams = set()
+    for t in docs["text"]:
+        toks = tok.findall(t.lower())
+        for i in range(len(toks) - NOVELTY_N + 1):
+            grams.add(" ".join(toks[i : i + NOVELTY_N]))
+    out = q_docs_ngram_novelty(spark, SF).toPandas()
+    assert int(out["n_novel"].sum()) == len(grams)
+
+
+def test_containment_dominates_jaccard(spark):
+    """C(A,B) = c/min >= c/union = J on every emitted pair (min side
+    is never larger than the union)."""
+    from deja_view_spark.queries_text import q_docs_containment_pairs
+
+    out = q_docs_containment_pairs(spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.containment >= r.jaccard

@@ -70,6 +70,9 @@ STRESS_QUERIES = [
     "docs_incremental_spans",
     "docs_cross_source_dedup",
     "docs_ngram_novelty",
+    # asymmetric containment shares the jaccard df-cutoff inverted
+    # index — same candidate-pair safety question at 50k docs
+    "docs_containment_pairs",
 ]
 
 
