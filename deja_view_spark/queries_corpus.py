@@ -576,6 +576,256 @@ ORDER BY lang
 """
 
 
+# --------------------------------------- HyperLogLog distinct (dense)
+# Flajolet-Fusy-Gandouet-Meunier 2007 dense HLL over the same 3-gram
+# shingle stream the KMV sketch estimates — the two sketches audit
+# each other on one surface. Same md5 shared hash: the first 15 hex
+# digits give a 60-bit integer; the low HLL_P bits pick a register and
+# the remaining HLL_W bits feed the leading-zero rank. Everything
+# cross-engine-exact by construction:
+#   * rho is an integer CASE chain over power-of-two thresholds — no
+#     log2() float (whose last-ulp could differ between engines);
+#   * the harmonic register sum is kept as a *scaled integer*
+#     sum(2^(W+1-mr)) (+ 2^(W+1) per empty register), so both engines
+#     produce the identical BIGINT and one identical IEEE division
+#     yields the raw estimate;
+#   * the linear-counting branch (the only transcendental, ln) only
+#     fires for tiny cardinalities and the output is rounded to 4dp.
+# Scale shape: two cascaded groupBys with full map-side combine — the
+# shuffle carries at most (#groups x HLL_M) register rows, never the
+# shingle stream; the exact countDistinct exists to audit the sketch
+# at registry scale and is dropped at 100 TB, where the register table
+# (256 longs per group) IS the mergeable state.
+HLL_P = 8
+HLL_M = 1 << HLL_P   # 256 registers
+HLL_W = 60 - HLL_P   # 52 value bits per hash
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2, pre-scaled by 2^(W+1) to cancel the integer sum's scale
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1))
+_HLL_LC_CUT = 2.5 * HLL_M  # raw-estimate cutoff for linear counting
+
+
+def _hll_rho(v):
+    """1 + leading-zero count of ``v`` within a HLL_W-bit field, as a
+    first-match-wins threshold chain (integer-exact in both engines)."""
+    cond = F.when(v >= (1 << (HLL_W - 1)), 1)
+    for k in range(HLL_W - 2, -1, -1):
+        cond = cond.when(v >= (1 << k), HLL_W - k)
+    return cond.otherwise(HLL_W + 1)
+
+
+def q_docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-shingle cardinality via dense HLL
+    (m={HLL_M}), audited against the exact count. Compare with
+    ``docs_kmv_distinct``: same input stream, different sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang", F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh")
+    )
+    h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    hv = sh.select(
+        "lang",
+        (h % HLL_M).alias("reg"),
+        _hll_rho(F.shiftright(h, HLL_P)).alias("rho"),
+    )
+    regs = hv.groupBy("lang", "reg").agg(F.max("rho").alias("mr"))
+    agg = regs.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - mr)")).alias("s_hit"),
+    )
+    exact = sh.groupBy("lang").agg(
+        F.countDistinct("sh").alias("exact_distinct")
+    )
+    zero = HLL_M - F.col("cnt")
+    s_int = F.col("s_hit") + zero.cast("long") * F.lit(1 << (HLL_W + 1))
+    raw = F.lit(_HLL_NUM) / s_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LC_CUT)) & (zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
+    ).otherwise(raw)
+    return (
+        agg.join(F.broadcast(exact), "lang")
+        .select(
+            "lang",
+            F.col("cnt").cast("int").alias("registers_hit"),
+            zero.cast("int").alias("zero_registers"),
+            F.round(est, 4).alias("hll_est"),
+            "exact_distinct",
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct") * 100,
+                4,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _oracle_hll_distinct() -> str:
+    whens = " ".join(
+        f"WHEN v >= {1 << k} THEN {HLL_W - k}"
+        for k in range(HLL_W - 1, -1, -1)
+    )
+    return f"""
+WITH s AS (
+  SELECT DISTINCT lang,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3),
+hx AS (SELECT lang, {_sql_hex60('md5(sh)')} AS h FROM s),
+rv AS (SELECT lang, h % {HLL_M} AS reg, h // {HLL_M} AS v FROM hx),
+rr AS (SELECT lang, reg, CASE {whens} ELSE {HLL_W + 1} END AS rho FROM rv),
+regs AS (SELECT lang, reg, max(rho) AS mr FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT lang, count(*) AS cnt,
+         sum(1::BIGINT << ({HLL_W + 1} - mr)) AS s_hit
+  FROM regs GROUP BY 1),
+ex AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM s GROUP BY 1),
+fin AS (
+  SELECT lang, cnt, {HLL_M} - cnt AS vz,
+         {_HLL_NUM!r} / CAST(s_hit + ({HLL_M} - cnt)
+                             * (1::BIGINT << {HLL_W + 1}) AS DOUBLE) AS raw
+  FROM agg),
+est AS (
+  SELECT lang, cnt, vz,
+         CASE WHEN raw <= {_HLL_LC_CUT!r} AND vz > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(vz AS DOUBLE))
+              ELSE raw END AS e
+  FROM fin)
+SELECT e.lang, CAST(cnt AS INT) AS registers_hit,
+       CAST(vz AS INT) AS zero_registers,
+       round(e.e, 4) AS hll_est, ex.exact_distinct,
+       round((e.e - ex.exact_distinct) / ex.exact_distinct * 100, 4)
+         AS rel_err_pct
+FROM est e JOIN ex USING (lang)
+ORDER BY e.lang
+"""
+
+
+ORACLE_HLL_DISTINCT = _oracle_hll_distinct()
+
+
+# ---------------------------------- multi-pass sorted-neighborhood dedup
+# Hernandez-Stolfo 1995 (the merge/purge problem): sort records by a
+# discriminating key and compare only records within a fixed window of
+# the sorted order — candidate generation is O(n·w) instead of the
+# inverted index's posting-size blowup, and it catches near-dups that
+# share a PREFIX even when token-set overlap is too diluted for a
+# df-cutoff index. One sort key misses records that disagree early, so
+# the classic fix is MULTI-PASS: run again under an independent key
+# (here: the token-REVERSED prefix) and union the candidates.
+# Candidate pairs are then verified with exact token-set Jaccard.
+SN_W = 3            # compare each record to its next SN_W sort-neighbors
+SN_KEY_TOKENS = 6   # sort key = first SN_KEY_TOKENS tokens
+SN_SIM_MIN = 0.5    # verified token-set Jaccard to emit
+
+
+def _sn_pass_pairs(t: DataFrame, blk, key) -> DataFrame:
+    """One SNM pass: rank within blocks by key, emit (doc, next-i)
+    neighbor pairs via lead() — a single per-block window, NO
+    self-join and NO global sort (ranks are per-block, so the window
+    partitions by the block key and stays distributed)."""
+    w = Window.partitionBy("_blk").orderBy("_key", "doc_id")
+    ranked = t.select(
+        "doc_id", blk.alias("_blk"), key.alias("_key")
+    ).select(
+        "doc_id",
+        F.array(
+            *[F.lead("doc_id", i).over(w) for i in range(1, SN_W + 1)]
+        ).alias("_nbrs"),
+    )
+    return ranked.select(
+        "doc_id", F.explode("_nbrs").alias("other")
+    ).where(F.col("other").isNotNull())
+
+
+def q_docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sorted-neighborhood near-dup pairs (forward + reversed
+    token-prefix keys), verified by exact token-set Jaccard >=
+    SN_SIM_MIN.
+
+    Scale shape: each pass is ONE distributed window (partitioned by
+    the block token — never a SinglePartition global sort) feeding a
+    lead() neighbor explode; the union of candidate pairs dedups on
+    fixed-width (long, long) keys; only verified candidates ever touch
+    the token arrays again (two hash joins back to the token table).
+    O(n·w) candidates by construction — no posting-list blowup on hot
+    shingles, which is the regime where this beats the inverted
+    index at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    t = docs.select("doc_id", toks.alias("tk")).where(F.size("tk") >= 1)
+    fwd_blk = F.element_at("tk", 1)
+    fwd_key = F.concat_ws(" ", F.slice("tk", 1, SN_KEY_TOKENS))
+    rev = F.reverse(F.col("tk"))
+    rev_blk = F.element_at(rev, 1)
+    rev_key = F.concat_ws(" ", F.slice(rev, 1, SN_KEY_TOKENS))
+    cands = (
+        _sn_pass_pairs(t, fwd_blk, fwd_key)
+        .unionByName(_sn_pass_pairs(t, rev_blk, rev_key))
+        .select(
+            F.least("doc_id", "other").alias("src_doc"),
+            F.greatest("doc_id", "other").alias("dst_doc"),
+        )
+        .distinct()
+    )
+    sets = t.select("doc_id", F.array_distinct("tk").alias("ts"))
+    a = sets.select(F.col("doc_id").alias("src_doc"), F.col("ts").alias("_ta"))
+    b = sets.select(F.col("doc_id").alias("dst_doc"), F.col("ts").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    uni = F.size(F.array_union("_ta", "_tb"))
+    return (
+        cands.join(a, "src_doc")
+        .join(b, "dst_doc")
+        .withColumn("jaccard", F.round(inter / uni, 4))
+        .where(F.col("jaccard") >= SN_SIM_MIN)
+        .select("src_doc", "dst_doc", "jaccard")
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+  WHERE len({_SQL_TOKS}) >= 1),
+fwd AS (
+  SELECT doc_id, toks[1] AS blk,
+         array_to_string(toks[1:{SN_KEY_TOKENS}], ' ') AS key,
+         row_number() OVER (
+           PARTITION BY toks[1]
+           ORDER BY array_to_string(toks[1:{SN_KEY_TOKENS}], ' '), doc_id
+         ) AS rn
+  FROM t),
+rev AS (
+  SELECT doc_id, list_reverse(toks)[1] AS blk,
+         array_to_string(list_reverse(toks)[1:{SN_KEY_TOKENS}], ' ') AS key,
+         row_number() OVER (
+           PARTITION BY list_reverse(toks)[1]
+           ORDER BY array_to_string(list_reverse(toks)[1:{SN_KEY_TOKENS}], ' '),
+                    doc_id
+         ) AS rn
+  FROM t),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS src_doc,
+                  greatest(a.doc_id, b.doc_id) AS dst_doc
+  FROM fwd a JOIN fwd b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SN_W}
+  UNION
+  SELECT DISTINCT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+  FROM rev a JOIN rev b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SN_W}),
+sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t),
+scored AS (
+  SELECT src_doc, dst_doc,
+         round(len(list_intersect(x.ts, y.ts)) * 1.0
+               / len(list_distinct(x.ts || y.ts)), 4) AS jaccard
+  FROM cand
+  JOIN sets x ON src_doc = x.doc_id
+  JOIN sets y ON dst_doc = y.doc_id)
+SELECT src_doc, dst_doc, jaccard FROM scored
+WHERE jaccard >= {SN_SIM_MIN}
+ORDER BY src_doc, dst_doc
+"""
 
 
 # ------------------------------------- weighted reservoir sampling (A-ES)
@@ -1273,6 +1523,8 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "docs_line_dedup": q_docs_line_dedup,
     "docs_kmv_distinct": q_docs_kmv_distinct,
+    "docs_hll_distinct": q_docs_hll_distinct,
+    "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_span_dedup": q_docs_span_dedup,
@@ -1290,6 +1542,8 @@ ORACLES = {
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "docs_line_dedup": ORACLE_LINE_DEDUP,
     "docs_kmv_distinct": ORACLE_KMV_DISTINCT,
+    "docs_hll_distinct": ORACLE_HLL_DISTINCT,
+    "docs_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "docs_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "docs_lang_temperature_sample": ORACLE_LANG_TEMPERATURE_SAMPLE,
     "docs_span_dedup": ORACLE_SPAN_DEDUP,

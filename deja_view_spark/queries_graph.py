@@ -583,6 +583,105 @@ GROUP BY node ORDER BY node
 ORACLE_EVENTS_KCORE = _oracle_kcore()
 
 
+# ------------------------------------------- label propagation (LPA)
+LPA_ROUNDS = 4
+
+
+def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan-
+    Albert-Kumara 2007) over the undirected co-engagement graph:
+    every node starts as its own label and, each round, adopts the
+    most frequent label among its neighbors. Near-linear-time
+    community structure — the cheap first cut before anything
+    modularity-based, and the canonicalization fallback when the
+    similarity graph is too dense for exact connected components.
+
+    Determinism: vanilla LPA random-breaks ties; here ties go to the
+    SMALLEST label (min of a (-count, label) struct — an integer
+    argmin, shuffle-order-independent), and rounds are FIXED at
+    LPA_ROUNDS so both engines run the identical computation (a
+    non-converged prefix is still bit-identical cross-engine).
+
+    Scale shape: each round is ONE equi-join (messages along mirrored
+    edges) + two partial aggregations over fixed-width (long, long)
+    rows — the canonical Pregel step as DataFrames. The mirrored edge
+    set is localCheckpoint'ed once and every round's label table is
+    checkpointed too (linear lineage; on a cluster: cached/bucketed
+    tables). Label tables are node-sized, never edge-sized."""
+    half = (
+        _chain_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    und = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    for _ in range(LPA_ROUNDS):
+        msgs = und.join(labels.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), "lab"
+        )
+        counts = msgs.groupBy("node", "lab").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lab").alias("lab")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("comm_size"))
+    return (
+        labels.join(F.broadcast(sizes), "lab")
+        .select("node", F.col("lab").alias("community"), "comm_size")
+        .orderBy("node")
+    )
+
+
+def _oracle_label_prop() -> str:
+    ctes = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""c{r} AS (
+  SELECT u.b AS node, l.lab, count(*) AS c
+  FROM und u JOIN {prev} l ON u.a = l.node GROUP BY 1, 2),
+l{r} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{r}) WHERE rn = 1)""")
+        prev = f"l{r}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+half AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges),
+und AS MATERIALIZED (
+  SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
+l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
+{chain}
+SELECT l.node, l.lab AS community, s.comm_size
+FROM {prev} l
+JOIN (SELECT lab, count(*) AS comm_size FROM {prev} GROUP BY lab) s
+  USING (lab)
+ORDER BY l.node
+"""
+
+
+ORACLE_EVENTS_LABEL_PROP = _oracle_label_prop()
+
+
 QUERIES = {
     "events_pagerank": q_events_pagerank,
     "events_triangles": q_events_triangles,
@@ -590,6 +689,7 @@ QUERIES = {
     "events_reach_k": q_events_reach_k,
     "events_harmonic_k": q_events_harmonic_k,
     "events_kcore": q_events_kcore,
+    "events_label_prop": q_events_label_prop,
 }
 ORACLES = {
     "events_pagerank": ORACLE_EVENTS_PAGERANK,
@@ -598,4 +698,5 @@ ORACLES = {
     "events_reach_k": ORACLE_EVENTS_REACH_K,
     "events_harmonic_k": ORACLE_EVENTS_HARMONIC_K,
     "events_kcore": ORACLE_EVENTS_KCORE,
+    "events_label_prop": ORACLE_EVENTS_LABEL_PROP,
 }

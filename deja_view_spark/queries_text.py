@@ -514,6 +514,153 @@ ORDER BY src_vec, dst_vec
 """
 
 
+# --------------------------------------------- winnowing fingerprints
+# Schleimer-Wilkerson-Aiken 2003 (MOSS): slide a window of WINNOW_W
+# consecutive k-gram hashes over each document and keep each window's
+# minimum — a locality-sensitive *selection* that guarantees any match
+# of length >= W+K-1 tokens shares at least one selected fingerprint,
+# while storing only ~2/(W+1) of the hashes. The selected-hash sets
+# then feed the same df-cutoff inverted index as docs_jaccard_pairs,
+# so pair generation is bucket-local — but over the winnowed ~25%
+# subset, which is the point at 100 TB: the index is 4x smaller for
+# the same guaranteed-match length. Fingerprint identity is the hash
+# VALUE (sets are deduped), so the window min needs no positional
+# tie-break — both engines take a plain min per window.
+#
+# The hash must agree across engines bit-for-bit because it decides
+# WHICH shingles survive: md5-prefix 60-bit (the KMV/HLL shared hash),
+# not xxhash64 (absent in DuckDB).
+WINNOW_W = 4          # window length in shingles
+WINNOW_MIN_SHARED = 3  # emit pairs sharing >= this many fingerprints
+WINNOW_DF_CUTOFF = 100  # drop fingerprints hitting more docs (boilerplate)
+
+
+def _sql_hex60(col: str) -> str:
+    """DuckDB: numeric value of the first 15 hex digits of ``col``
+    (md5 hex string) — digit-positional sum, BIGINT-safe (< 2^60).
+    Twin of Spark's ``conv(substr(md5(..), 1, 15), 16, 10)``."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}::BIGINT"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def q_docs_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint overlap pairs: docs sharing >=
+    WINNOW_MIN_SHARED selected hashes, scored by containment of the
+    smaller fingerprint set.
+
+    Scale shape: the whole select-the-window-minima pass is in-row
+    (nested higher-order functions over the shingle-hash array — one
+    projection, whole-stage codegen, no explode until the fingerprint
+    set is already winnowed to ~2/(W+1) of the shingles); ONE shuffle
+    builds the per-fingerprint posting arrays; the df cutoff bounds
+    posting size; pairs generate bucket-locally via posexplode+slice
+    exactly like docs_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    # token-count guard BEFORE building shingles: sequence(1, n-2)
+    # silently descends for n < 3 (Spark picks step -1), so short docs
+    # must never reach _shingles_from_toks
+    tk = docs.select("doc_id", toks.alias("tk")).where(
+        F.size("tk") >= WINNOW_W + 2
+    )
+    h_arr = F.transform(
+        _shingles_from_toks(F.col("tk"), 3),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    with_h = tk.select("doc_id", h_arr.alias("hs"))
+    starts = F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1))
+    fps = F.array_distinct(
+        F.transform(
+            starts, lambda st: F.array_min(F.slice("hs", st, WINNOW_W))
+        )
+    )
+    fp = with_h.select("doc_id", F.explode(fps).alias("h"))
+    postings = (
+        fp.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= WINNOW_DF_CUTOFF)
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "src_doc"), F.col("ids"))
+        .select(
+            "src_doc",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("dst_doc"),
+        )
+    )
+    common = pairs.groupBy("src_doc", "dst_doc").agg(
+        F.count("*").alias("n_shared")
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("src_doc"), F.col("n").alias("_na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("dst_doc"), F.col("n").alias("_nb")
+    )
+    return (
+        common.where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .join(F.broadcast(na), "src_doc")
+        .join(F.broadcast(nb), "dst_doc")
+        .select(
+            "src_doc",
+            "dst_doc",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_na", "_nb"), 4
+            ).alias("fp_containment"),
+        )
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+ORACLE_DOCS_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+hx AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+           s -> {_sql_hex60('md5(s)')}) AS hs
+  FROM t WHERE len(toks) - 2 >= {WINNOW_W}),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(hs) - {WINNOW_W - 1}),
+           st -> list_aggregate(hs[st:st + {WINNOW_W - 1}], 'min'))) AS fps
+  FROM hx),
+fp AS (SELECT doc_id, unnest(fps) AS h FROM sel),
+kept AS (
+  SELECT doc_id, h
+  FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM fp)
+  WHERE df <= {WINNOW_DF_CUTOFF}),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT src_doc, dst_doc, n_shared,
+       round(n_shared * 1.0 / least(x.n, y.n), 4) AS fp_containment
+FROM common
+JOIN sz x ON src_doc = x.doc_id
+JOIN sz y ON dst_doc = y.doc_id
+WHERE n_shared >= {WINNOW_MIN_SHARED}
+ORDER BY src_doc, dst_doc
+"""
+
+
 # ----------------------------------------------------------------- registry
 QUERIES = {
     "docs_discussion_scores": q_docs_discussion_scores,
@@ -1278,3 +1425,5 @@ ORACLE_DOCS_INCREMENTAL_SEMDEDUP = _oracle_incremental_semdedup()
 
 QUERIES["docs_incremental_semdedup"] = q_docs_incremental_semdedup
 ORACLES["docs_incremental_semdedup"] = ORACLE_DOCS_INCREMENTAL_SEMDEDUP
+QUERIES["docs_winnow_pairs"] = q_docs_winnow_pairs
+ORACLES["docs_winnow_pairs"] = ORACLE_DOCS_WINNOW

@@ -145,3 +145,146 @@ def test_incremental_dedup_matches_full_pairs_subset(spark):
             expect.add((src, dst, r.jaccard))
     assert inc == expect
     assert expect, "split should cross at least one near-dup pair"
+
+
+# ------------------------------------------------------------ winnowing
+def test_winnow_guarantee_and_disjoint_control(spark, tmp_path):
+    """SWA 2003 guarantee: a shared token run of >= W+K-1 produces at
+    least one shared fingerprint — a 30-token shared run comfortably
+    clears WINNOW_MIN_SHARED and the pair must surface. Docs with
+    disjoint vocabularies share no shingle, hence no fingerprint, and
+    must NOT pair."""
+    from deja_view_spark.queries_text import (
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        q_docs_winnow_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    ua = " ".join(f"a{i}" for i in range(25))
+    ub = " ".join(f"b{i}" for i in range(25))
+    uc = " ".join(f"c{i}" for i in range(60))
+    rows = [
+        (1, ua + " " + shared, "en", "x", 0),
+        (2, shared + " " + ub, "en", "x", 0),
+        (3, uc, "en", "x", 0),  # disjoint vocabulary control
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "winnow")
+    df.write.parquet(d + "/documents.parquet")
+    out = q_docs_winnow_pairs(spark, d).collect()
+    got = {(r.src_doc, r.dst_doc): r.n_shared for r in out}
+    assert (1, 2) in got and got[(1, 2)] >= WINNOW_MIN_SHARED
+    assert all(3 not in p for p in got)
+    assert WINNOW_W == 4  # the run length the plant assumes
+
+
+def test_winnow_matches_python_twin(spark):
+    """docs_winnow_pairs == a pure-python winnower with the same
+    md5-prefix 60-bit hash, window min, df cutoff and containment
+    score, on the sf0.001 corpus."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from deja_view_spark.queries_text import (
+        WINNOW_DF_CUTOFF,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        q_docs_winnow_pairs,
+    )
+    from deja_view_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    tok = re.compile(r"[a-z0-9_]+")
+    fps: dict[int, set] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = tok.findall(text.lower())
+        if len(toks) < WINNOW_W + 2:
+            continue
+        hs = [
+            int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        ]
+        fps[int(doc_id)] = {
+            min(hs[s : s + WINNOW_W]) for s in range(len(hs) - WINNOW_W + 1)
+        }
+    df_count = defaultdict(int)
+    for s in fps.values():
+        for h in s:
+            df_count[h] += 1
+    kept = {
+        d: {h for h in s if df_count[h] <= WINNOW_DF_CUTOFF}
+        for d, s in fps.items()
+    }
+    want = {}
+    ids = sorted(kept)
+    inv = defaultdict(list)
+    for d in ids:
+        for h in kept[d]:
+            inv[h].append(d)
+    pair_c = defaultdict(int)
+    for h, ds in inv.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_c[(ds[i], ds[j])] += 1
+    for (a, b), c in pair_c.items():
+        if c >= WINNOW_MIN_SHARED:
+            want[(a, b)] = (c, round(c / min(len(kept[a]), len(kept[b])), 4))
+    out = q_docs_winnow_pairs(spark, "/root/testdata/sf0.001").collect()
+    got = {
+        (r.src_doc, r.dst_doc): (r.n_shared, r.fp_containment) for r in out
+    }
+    assert got == want
+
+
+# ------------------------------------------------- sorted neighborhood
+def test_sorted_neighborhood_reverse_pass_rescue(spark, tmp_path):
+    """Two near-identical docs that DISAGREE on their first token land
+    in different forward blocks (pass 1 blind) but share the reversed
+    prefix — only the second pass can pair them. A vocabulary-disjoint
+    control must stay unpaired."""
+    from deja_view_spark.queries_corpus import q_docs_sorted_neighborhood
+
+    body = " ".join(f"tail{i}" for i in range(20))
+    rows = [
+        (1, "zebra " + body, "en", "x", 0),
+        (2, "apple " + body, "en", "x", 0),
+        (3, " ".join(f"other{i}" for i in range(21)), "en", "x", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "snm")
+    df.write.parquet(d + "/documents.parquet")
+    out = {(r.src_doc, r.dst_doc): r.jaccard for r in q_docs_sorted_neighborhood(spark, d).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 0.9  # 20/22 distinct-token overlap
+    assert all(3 not in p for p in out)
+
+
+def test_sorted_neighborhood_candidates_linear(spark):
+    """O(n·w) guarantee: the candidate count (pre-verification) is at
+    most 2 passes x SN_W x n — the property that makes SNM safe where
+    posting lists blow up."""
+    from deja_view_spark.queries_corpus import SN_W, _sn_pass_pairs
+    from deja_view_spark.queries_text import TOKEN_RE
+    from deja_view_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    t = docs.select("doc_id", toks.alias("tk")).where(F.size("tk") >= 1)
+    n = t.count()
+    fwd = _sn_pass_pairs(
+        t, F.element_at("tk", 1), F.concat_ws(" ", F.slice("tk", 1, 6))
+    ).count()
+    assert fwd <= SN_W * n

@@ -267,3 +267,73 @@ def test_containment_dominates_jaccard(spark):
     assert len(out) > 0
     for r in out:
         assert r.containment >= r.jaccard
+
+
+# ----------------------------------------------------- label propagation
+def _lpa_python(und_edges, rounds):
+    """Synchronous LPA twin: mode of neighbor labels, min-label ties."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in und_edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = defaultdict(int)
+            for u in ns:
+                cnt[lab[u]] += 1
+            new[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = new
+    return lab
+
+
+def _events_from_edges(spark, tmp_path, name, edges):
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        for u in (a, b):
+            rows.append((u, "touch", f'{{"k": {i}}}', "2024-01-01T00:00:00"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, props string, ts string"
+    ).selectExpr("user_id", "event_type", "props", "CAST(ts AS timestamp) AS ts")
+    d = str(tmp_path / name)
+    ev.write.parquet(d + "/events.parquet")
+    return d
+
+
+def test_label_prop_two_cliques(spark, tmp_path):
+    """Barbell: two K5s joined by a single bridge edge must resolve to
+    two communities (labels 0 and 5 — each clique floods to its min
+    node), with the bridge unable to merge them in LPA_ROUNDS."""
+    from deja_view_spark.queries_graph import LPA_ROUNDS, q_events_label_prop
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a + 5, b + 5) for a, b in k5a]
+    edges = k5a + k5b + [(4, 5)]
+    d = _events_from_edges(spark, tmp_path, "barbell", edges)
+    out = {r.node: (r.community, r.comm_size) for r in q_events_label_prop(spark, d).collect()}
+    want = _lpa_python(edges, LPA_ROUNDS)
+    sizes = {}
+    for v, c in want.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert out == {v: (c, sizes[c]) for v, c in want.items()}
+    assert len(sizes) == 2  # the plant's intent: two communities
+
+
+def test_label_prop_matches_python_twin_testdata(spark):
+    """Full python-twin parity on the sf0.001 co-engagement graph."""
+    from deja_view_spark.queries_graph import (
+        LPA_ROUNDS,
+        _chain_edges,
+        q_events_label_prop,
+    )
+
+    half = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in _chain_edges(spark, SF).collect()
+    }
+    want = _lpa_python(sorted(half), LPA_ROUNDS)
+    out = {r.node: r.community for r in q_events_label_prop(spark, SF).collect()}
+    assert out == want

@@ -100,6 +100,84 @@ def test_kmv_estimate_accuracy(spark):
             assert e == n_seen * 4
 
 
+# ------------------------------------------------------------ HLL sketch
+def test_hll_matches_python_twin(spark):
+    """docs_hll_distinct == a pure-python dense HLL with the same
+    md5-derived 60-bit hash, register split and scaled-integer
+    harmonic sum — register table AND estimate must agree."""
+    import hashlib
+    import re
+
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+        q_docs_hll_distinct,
+    )
+    from deja_view_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("lang", "text").toPandas()
+    tok = re.compile(r"[a-z0-9_]+")
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = tok.findall(text.lower())
+        for i in range(len(toks) - 2):
+            sh = " ".join(toks[i : i + 3])
+            exact.setdefault(lang, set()).add(sh)
+            h = int(hashlib.md5(sh.encode()).hexdigest()[:15], 16)
+            reg, v = h % HLL_M, h >> HLL_P
+            rho = (HLL_W + 1) - v.bit_length() if v else HLL_W + 1
+            r = regs.setdefault(lang, {})
+            r[reg] = max(r.get(reg, 0), rho)
+    out = {r.lang: r for r in q_docs_hll_distinct(spark, SF).collect()}
+    assert set(out) == set(regs)
+    for lang, r in regs.items():
+        s_int = sum(1 << (HLL_W + 1 - mr) for mr in r.values())
+        zeros = HLL_M - len(r)
+        s_int += zeros << (HLL_W + 1)
+        est = _HLL_NUM / s_int
+        if est <= _HLL_LC_CUT and zeros > 0:
+            import math
+
+            est = HLL_M * math.log(HLL_M / zeros)
+        got = out[lang]
+        assert got.registers_hit == len(r)
+        assert got.zero_registers == zeros
+        assert abs(got.hll_est - est) < 1e-3, (lang, got.hll_est, est)
+        assert got.exact_distinct == len(exact[lang])
+
+
+def test_hll_small_set_linear_counting(spark, tmp_path):
+    """A tiny vocabulary (fewer distinct shingles than registers) must
+    take the linear-counting branch and come out near-exact — dense
+    HLL alone would be badly biased here."""
+    # 30 docs sharing a 40-token rotating vocabulary -> few hundred
+    # distinct shingles << 2.5 * HLL_M raw-estimate cutoff
+    rows = [
+        (
+            i,
+            " ".join(f"w{(i * 7 + j) % 40}" for j in range(25)),
+            "en",
+            "a",
+            0,
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "tiny")
+    df.write.parquet(d + "/documents.parquet")
+    from deja_view_spark.queries_corpus import q_docs_hll_distinct
+
+    row = q_docs_hll_distinct(spark, d).collect()[0]
+    assert row.zero_registers > 0
+    assert abs(row.hll_est - row.exact_distinct) / row.exact_distinct < 0.25
+
+
 # -------------------------------------------- histogram-quantile sketch
 def test_hist_quantiles_within_bin_of_exact(spark):
     """The histogram estimate must land within one bin width of the

@@ -182,6 +182,43 @@ CHECKS = [
     # distinct, so the shuffle only carries the filtered slice; the
     # per-group top-K window runs over that slice
     ("docs_kmv_distinct", [r"md5", r"Window", PARTIAL_AGG], []),
+    # sorted-neighborhood: the sort windows partition by the BLOCK key
+    # (hashpartitioning on _blk) — never a SinglePartition global sort
+    # — and candidates come from lead() + explode, not a self-join
+    (
+        "docs_sorted_neighborhood",
+        [r"Window", r"hashpartitioning\(_blk", r"Generate"],
+        [r"SinglePartition[\s\S]{0,200}Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # label propagation: per-round lineage is CUT by localCheckpoint
+    # (the final plan reads the checkpointed label table, not a
+    # 2^rounds join tree), community sizes broadcast back, the argmin
+    # is a partial agg — and nothing falls to Python or a cartesian
+    (
+        "events_label_prop",
+        [r"Scan ExistingRDD", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # winnowing: window-min selection is in-row (no explode before the
+    # fingerprint set is winnowed), pairs generate bucket-locally via
+    # posexplode+slice (Generate), df cutoff is a groupBy filter (no
+    # corpus window), size LUTs broadcast — all JVM-side
+    (
+        "docs_winnow_pairs",
+        [r"md5", r"Generate", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # HLL sketch: two cascaded partial aggs carry only register rows;
+    # unlike KMV there is NO per-group window, the exact audit joins
+    # back via broadcast, and rho is an integer CASE chain (no Python)
+    (
+        "docs_hll_distinct",
+        [r"md5", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"Window", r"SortMergeJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # histogram quantiles: fixed (lang, bin) key space partial-aggs
     # map-side; windows run over bins, never over documents
     ("docs_length_hist_quantiles", [r"Window", PARTIAL_AGG], []),
