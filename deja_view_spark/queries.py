@@ -829,7 +829,13 @@ ORACLES.update(_QL.ORACLES)
 # graph families — plus the two formerly rows-only entries without an
 # official green row. Rotate those 24 to the front so CORRECTNESS_r03
 # attests them; the rest keep their old relative order (all already
-# green in r02), so r02 ∪ r03 covers every registered query.
+# green in r02), so r02 ∪ r03 covers every registered query. The list
+# now holds 53 names (everything never driver-attested plus the two
+# oracle upgrades) for a 50-entry window: the final three
+# (events_cm_sketch, events_kcore, sales_opportunity — each with
+# python-twin/local-oracle tests) overflow past position 50 and rotate
+# forward in round 4, together with any operator added after this
+# list was frozen (they append past the window).
 _ROUND3_FIRST = [
     # the 22 entries past position 50 of the round-2 order
     "shipping_priority",
@@ -858,6 +864,10 @@ _ROUND3_FIRST = [
     "ann_ivf_topk",
     "incremental_probe",
     # new in round 3 — needs its first attestation
+    "docs_hll_distinct",
+    "docs_sorted_neighborhood",
+    "docs_winnow_pairs",
+    "events_label_prop",
     "docs_incremental_dedup",
     "docs_bm25_topk",
     "docs_hybrid_rrf",

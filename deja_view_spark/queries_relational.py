@@ -865,3 +865,175 @@ ORDER BY nation
 
 QUERIES["sales_opportunity"] = q_sales_opportunity
 ORACLES["sales_opportunity"] = ORACLE_SALES_OPPORTUNITY
+
+
+# ---------------------------------------- Bloom-filter semi-join
+# The runtime-filter pattern Spark's own optimizer applies under
+# spark.sql.optimizer.runtime.bloomFilter.enabled (InjectRuntimeFilter
+# builds a BloomFilterAggregate on the creation side and stitches a
+# might_contain onto the application side): pre-filter the BIG probe
+# side with a compact summary of the SMALL build side BEFORE the
+# shuffle join, then let the real join remove the false positives —
+# exact semantics, shuffle volume cut to (true matches + fp_rate).
+# Re-expressed engine-portably so DuckDB reproduces it bit-for-bit:
+# k seeded md5-60 hashes per key mod BLOOM_M give the set-bit
+# positions; the distinct-position table (<= BLOOM_M rows = the bitset
+# cardinality bound, here << that) broadcasts; a probe key passes iff
+# ALL its positions hit. The query reports the filter's measured
+# behavior — pass/true/false-positive counts and the lineitem volume
+# the filter would admit vs the exact semi-join — so the fp rate is
+# an asserted output, not a hope.
+BLOOM_M = 1 << 14   # bits
+BLOOM_K = 3         # hash functions
+BLOOM_PRICE_MIN = 450_000.0  # build side: high-value orders
+
+
+def _bloom_positions(key, engine: str):
+    """The k seeded hash positions of ``key`` (string form), as a
+    Spark Column array or a DuckDB list-literal SQL fragment. Shared
+    construction: md5-prefix 60-bit of 'seed:key', mod BLOOM_M."""
+    if engine == "spark":
+        return F.array_distinct(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"{i}:"), key.cast("string")
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % BLOOM_M
+                    )
+                    for i in range(BLOOM_K)
+                ]
+            )
+        )
+    from deja_view_spark.queries_text import _sql_hex60
+
+    elems = ", ".join(
+        "({h}) % {m}".format(
+            h=_sql_hex60("md5('{i}:' || CAST({k} AS VARCHAR))".format(i=i, k=key)),
+            m=BLOOM_M,
+        )
+        for i in range(BLOOM_K)
+    )
+    return f"list_distinct([{elems}])"
+
+
+def q_orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join audit: lineitem keys probed against a
+    Bloom filter built from high-value orders (o_totalprice >=
+    BLOOM_PRICE_MIN). One summary row: build/probe/pass/true/fp key
+    counts, the measured false-positive rate, and the lineitem row
+    volume the filter admits vs the exact semi-join.
+
+    Scale shape: the filter is build-side-sized and BROADCAST (the
+    positions table is bounded by BLOOM_M regardless of build
+    cardinality — that bound is the whole point of a Bloom filter);
+    probing is a broadcast hash join over the probe side's exploded
+    (key, position) pairs followed by an all-positions-hit partial
+    agg, i.e. the probe side never shuffles on the join key until
+    AFTER it has been thinned to (true + fp); the exact semi-join
+    runs only over bloom survivors, which is precisely where the real
+    join would run. No corpus-wide window, no cartesian, no Python."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build = orders.where(F.col("o_totalprice") >= BLOOM_PRICE_MIN).select(
+        F.col("o_orderkey").alias("k")
+    )
+    filt = (
+        build.select(
+            F.explode(_bloom_positions(F.col("k"), "spark")).alias("p")
+        )
+        .distinct()
+    )
+    probe_keys = lineitem.select(F.col("l_orderkey").alias("k")).distinct()
+    probed = probe_keys.select(
+        "k", _bloom_positions(F.col("k"), "spark").alias("ps")
+    ).select("k", F.size("ps").alias("np"), F.explode("ps").alias("p"))
+    passed = (
+        probed.join(F.broadcast(filt), "p")
+        .groupBy("k", "np")
+        .agg(F.count("*").alias("hits"))
+        .where(F.col("hits") == F.col("np"))
+        .select("k")
+    )
+    truth = probe_keys.join(build.distinct(), "k", "left_semi")
+    li_keyed = lineitem.select(F.col("l_orderkey").alias("k"))
+    stats = (
+        probe_keys.agg(F.count("*").alias("n_probe_keys"))
+        .crossJoin(build.agg(F.count("*").alias("n_build_keys")))
+        .crossJoin(passed.agg(F.count("*").alias("n_bloom_pass")))
+        .crossJoin(truth.agg(F.count("*").alias("n_true_match")))
+        .crossJoin(
+            li_keyed.join(F.broadcast(passed), "k", "left_semi").agg(
+                F.count("*").alias("lineitems_admitted")
+            )
+        )
+        .crossJoin(
+            li_keyed.join(F.broadcast(truth), "k", "left_semi").agg(
+                F.count("*").alias("lineitems_true")
+            )
+        )
+    )
+    fp = F.col("n_bloom_pass") - F.col("n_true_match")
+    return stats.select(
+        "n_build_keys",
+        "n_probe_keys",
+        "n_bloom_pass",
+        "n_true_match",
+        fp.alias("n_false_pos"),
+        F.round(
+            fp / (F.col("n_probe_keys") - F.col("n_true_match")), 6
+        ).alias("fp_rate"),
+        "lineitems_admitted",
+        "lineitems_true",
+    )
+
+
+def _oracle_bloom_semijoin() -> str:
+    pos = _bloom_positions("k", "duckdb")
+    return f"""
+WITH build AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE o_totalprice >= {BLOOM_PRICE_MIN}),
+filt AS (
+  SELECT DISTINCT unnest({pos}) AS p FROM build),
+probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+probed AS (
+  SELECT k, len({pos}) AS np, unnest({pos}) AS p FROM probe),
+passed AS (
+  SELECT k FROM probed JOIN filt USING (p)
+  GROUP BY k, np HAVING count(*) = any_value(np)),
+truth AS (SELECT k FROM probe WHERE k IN (SELECT k FROM build)),
+li AS (SELECT l_orderkey AS k FROM lineitem)
+SELECT
+  (SELECT count(*) FROM build) AS n_build_keys,
+  (SELECT count(*) FROM probe) AS n_probe_keys,
+  (SELECT count(*) FROM passed) AS n_bloom_pass,
+  (SELECT count(*) FROM truth) AS n_true_match,
+  (SELECT count(*) FROM passed) - (SELECT count(*) FROM truth)
+    AS n_false_pos,
+  round(((SELECT count(*) FROM passed)
+         - (SELECT count(*) FROM truth)) * 1.0
+        / ((SELECT count(*) FROM probe)
+           - (SELECT count(*) FROM truth)), 6) AS fp_rate,
+  (SELECT count(*) FROM li WHERE k IN (SELECT k FROM passed))
+    AS lineitems_admitted,
+  (SELECT count(*) FROM li WHERE k IN (SELECT k FROM truth))
+    AS lineitems_true
+"""
+
+
+ORACLE_ORDERS_BLOOM = _oracle_bloom_semijoin()
+
+QUERIES["orders_bloom_semijoin"] = q_orders_bloom_semijoin
+ORACLES["orders_bloom_semijoin"] = ORACLE_ORDERS_BLOOM

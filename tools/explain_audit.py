@@ -219,6 +219,18 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # bloom semi-join: the positions filter and every key set reach
+    # the probe via BROADCAST hash joins (the filter is BLOOM_M-bounded
+    # by construction); the all-positions-hit check is a partial agg;
+    # no sort-merge, no cartesian, no Python — the one-row stat
+    # assembly may use BroadcastNestedLoop (single-row inputs), which
+    # is why only CartesianProduct is forbidden
+    (
+        "orders_bloom_semijoin",
+        [r"md5", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # histogram quantiles: fixed (lang, bin) key space partial-aggs
     # map-side; windows run over bins, never over documents
     ("docs_length_hist_quantiles", [r"Window", PARTIAL_AGG], []),
