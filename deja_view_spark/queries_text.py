@@ -1427,3 +1427,145 @@ QUERIES["docs_incremental_semdedup"] = q_docs_incremental_semdedup
 ORACLES["docs_incremental_semdedup"] = ORACLE_DOCS_INCREMENTAL_SEMDEDUP
 QUERIES["docs_winnow_pairs"] = q_docs_winnow_pairs
 ORACLES["docs_winnow_pairs"] = ORACLE_DOCS_WINNOW
+
+
+# ------------------------------------- prefix-filter similarity join
+# Xiao-Wang-Lin-Yu 2008 (PPJoin's prefix filter): order every record's
+# element set by GLOBAL rarity (df asc, element asc) and index only
+# each set's first n - ceil(t*n) + 1 elements — if two sets have
+# Jaccard >= t they MUST share a prefix element under the same global
+# order (pigeonhole on the (1-t)*n elements a match may miss), so
+# candidate generation from the prefix index alone is provably
+# COMPLETE for the exact join at threshold t. Rare-first ordering is
+# what bounds the postings: hot boilerplate elements land in suffixes
+# and never generate candidates — the opposite trade from
+# docs_jaccard_pairs' df CUTOFF, which silently loses pairs whose
+# overlap lives in hot shingles. This is the exact-join machinery for
+# the 100-TB regime where recall must be provably 1.0 and a MinHash
+# or cutoff miss is not acceptable. Elements are the same 3-gram
+# shingles as the LSH/cutoff paths, hashed to the shared md5-60 longs
+# so the global order is engine-exact and shuffle keys stay 8 bytes.
+PP_T = 0.7  # shingle-set Jaccard threshold
+
+
+def q_docs_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set similarity join at Jaccard >= PP_T via the
+    prefix filter: complete by construction, verified by exact
+    intersection sizes — the provably-lossless twin of
+    docs_jaccard_pairs' df-cutoff index.
+
+    Scale shape: df ranks come from ONE (doc, shingle-hash) distinct
+    stream agg; per-doc canonical order is a sort_array over in-row
+    structs (codegen, no window); the prefix index is the only posting
+    table built — ~(1-t) of the full index — and pairs generate
+    bucket-locally (posexplode+slice, no self-join); verification
+    re-joins the two candidates' hash sets by doc_id (hash joins) and
+    computes exact Jaccard in-row. No corpus-wide window, no
+    cartesian, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    h_arr = F.array_distinct(
+        F.transform(
+            _shingle_col(F.col("text")),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    # the hashed set table feeds THREE consumers (the df stream and
+    # both verify sides); checkpoint it once so the md5 pass over the
+    # corpus runs once, not three times (CollapseProject would inline
+    # the transform() per consumer otherwise) — at 100 TB this is the
+    # materialized shingle-set table every dedup path shares
+    sets = (
+        docs.select("doc_id", h_arr.alias("ts"))
+        .where(F.size("ts") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    stream = sets.select("doc_id", F.explode("ts").alias("h"))
+    dfreq = stream.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        stream.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("h")))
+            ).alias("ord")
+        )
+    )
+    n = F.size("ord")
+    plen = (n - F.ceil(F.lit(PP_T) * n) + 1).cast("int")
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["h"])
+        ).alias("h"),
+    )
+    postings = prefix.groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    cands = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "src_doc"), F.col("ids"))
+        .select(
+            "src_doc",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("dst_doc"),
+        )
+        .distinct()
+    )
+    a = sets.select(F.col("doc_id").alias("src_doc"), F.col("ts").alias("_ta"))
+    b = sets.select(F.col("doc_id").alias("dst_doc"), F.col("ts").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    uni = F.size("_ta") + F.size("_tb") - inter
+    return (
+        cands.join(a, "src_doc")
+        .join(b, "dst_doc")
+        .withColumn("jaccard", F.round(inter / uni, 4))
+        .where(F.col("jaccard") >= PP_T)
+        .select("src_doc", "dst_doc", "jaccard")
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+ORACLE_DOCS_PREFIX_JOIN = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+           s -> {_sql_hex60('md5(s)')})) AS ts
+  FROM t WHERE len(toks) >= 3),
+stream AS (SELECT doc_id, unnest(ts) AS h FROM sets),
+dfreq AS (SELECT h, count(*) AS df FROM stream GROUP BY h),
+ranked AS (
+  SELECT s.doc_id, array_agg(s.h ORDER BY d.df, s.h) AS ord
+  FROM stream s JOIN dfreq d USING (h) GROUP BY s.doc_id),
+prefix AS (
+  SELECT doc_id,
+         unnest(ord[1:(len(ord) - CAST(ceil({PP_T} * len(ord)) AS INT)
+                      + 1)]) AS h
+  FROM ranked),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src_doc, b.doc_id AS dst_doc
+  FROM prefix a JOIN prefix b
+    ON a.h = b.h AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT src_doc, dst_doc,
+         round(len(list_intersect(x.ts, y.ts)) * 1.0
+               / (len(x.ts) + len(y.ts)
+                  - len(list_intersect(x.ts, y.ts))), 4) AS jaccard
+  FROM cand
+  JOIN sets x ON src_doc = x.doc_id
+  JOIN sets y ON dst_doc = y.doc_id)
+SELECT src_doc, dst_doc, jaccard FROM scored
+WHERE jaccard >= {PP_T}
+ORDER BY src_doc, dst_doc
+"""
+
+
+QUERIES["docs_prefix_join"] = q_docs_prefix_join
+ORACLES["docs_prefix_join"] = ORACLE_DOCS_PREFIX_JOIN

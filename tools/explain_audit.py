@@ -219,6 +219,19 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # prefix-filter join (PPJoin): the hashed shingle-set table is
+    # checkpointed once (Scan ExistingRDD — one md5 pass for three
+    # consumers), pair generation is bucket-local posexplode+slice
+    # (Generate), aggs are partial — and there is NO corpus-wide
+    # window, no cartesian, no Python (join strategy for the df-rank
+    # join is left to AQE: broadcast at registry scale, shuffle at 100
+    # TB)
+    (
+        "docs_prefix_join",
+        [r"Generate", r"Scan ExistingRDD", PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # bloom semi-join: the positions filter and every key set reach
     # the probe via BROADCAST hash joins (the filter is BLOOM_M-bounded
     # by construction); the all-positions-hit check is a partial agg;
