@@ -76,6 +76,10 @@ STRESS_QUERIES = [
 ]
 
 
+class _StressDone(Exception):
+    """Early exit for --queries runs (control flow, not an error)."""
+
+
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
@@ -151,7 +155,17 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--skip-kg", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry names to stress instead of the "
+        "built-in STRESS_QUERIES list (documents/embeddings-backed "
+        "queries only — the stress corpus has no relational tables)",
+    )
     args = ap.parse_args()
+    stress_queries = (
+        args.queries.split(",") if args.queries else STRESS_QUERIES
+    )
 
     from deja_view_spark.session import get_spark
     import __spark_entry__ as E
@@ -176,13 +190,19 @@ def main() -> None:
 
         qs = E.queries()
         timings: dict[str, dict] = {}
-        for name in STRESS_QUERIES:
+        for name in stress_queries:
             t0 = time.time()
             df = qs[name](spark, out_dir)
             n = df.count()
             timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
             log(f"{name}: {timings[name]}")
         result["queries"] = timings
+
+        if args.queries:
+            # explicit --queries run: the operator-family extras below
+            # are already banked in earlier stress artifacts — skip
+            # straight to cleanup
+            raise _StressDone
 
         # SemDeDup at the scale-correct configuration: the paper grows
         # the cluster count with the corpus (50k clusters for 600M
@@ -281,6 +301,8 @@ def main() -> None:
                 log(f"kg: {result['kg']}")
             else:
                 result["kg"] = {"error": out.stdout[-500:] + out.stderr[-500:]}
+    except _StressDone:
+        pass
     finally:
         if not args.out:
             shutil.rmtree(out_dir, ignore_errors=True)
