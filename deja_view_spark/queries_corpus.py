@@ -1552,3 +1552,206 @@ ORACLES = {
     "docs_cross_source_dedup": ORACLE_CROSS_SOURCE_DEDUP,
     "docs_ngram_novelty": ORACLE_NGRAM_NOVELTY,
 }
+
+
+# ------------------------------------- KMV sketch set algebra
+# Beyer et al. 2007 (SIGMOD, "On synopses for distinct-value
+# estimation"): K-minimum-values sketches COMPOSE — the k smallest
+# hashes of A union B are contained in (k-min of A) union (k-min of
+# B), so union cardinality, intersection cardinality and Jaccard are
+# all estimable from the per-set sketches alone, never re-touching
+# the data. The estimator: with U = k' smallest of the merged
+# sketches (k' = min(K, |merged|)), D_union ~ (k'-1)/u_k' and
+# rho = |{h in U : h in both sketches}| / k' estimates the Jaccard,
+# so D_intersect ~ rho * D_union. Deterministic by the same argument
+# as docs_kmv_distinct (shared md5-60 hash, k-smallest is order-free)
+# — the estimates THEMSELVES carry a full value-hash oracle, and the
+# exact per-pair overlap rides along as the audit columns.
+# This is the sketch-algebra a 100-TB catalog runs instead of pairwise
+# distinct-joins: per-partition sketches merge associatively, and any
+# pair/group overlap question is answered from sketch metadata.
+KMV_OV_K = 256
+# the '4' hex-prefix cutoff of docs_kmv_distinct, as a 60-bit integer
+KMV_OV_CUT = 4 << 56
+
+
+def q_docs_kmv_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language vocabulary overlap (distinct 3-gram shingles)
+    estimated purely from per-language KMV sketches, audited against
+    the exact intersection/union/Jaccard.
+
+    Scale shape: everything is keyed on the 60-bit md5 prefix (8-byte
+    shuffle keys, never shingle or hex strings); the distinct
+    (lang, h) stream is checkpointed ONCE and feeds all four consumers
+    (sketch build, two size aggs, the exact self-join) — one tokenize
+    +hash pass total. Sketch build = map-side range prefilter + one
+    per-language bottom-K window over the filtered slice; the pairwise
+    algebra then runs over 5 sketch rows of {KMV_OV_K} longs each —
+    in-row array functions on broadcast-sized data, NO pairwise data
+    join. The exact audit (the self-join) exists to score the
+    estimates at registry scale and is dropped at 100 TB — the
+    sketches are the product."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang",
+        F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh"),
+    )
+    h60 = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    hashed = (
+        sh.select("lang", h60.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    filt = hashed.where(F.col("h") < KMV_OV_CUT)
+    w = Window.partitionBy("lang").orderBy("h")
+    sketches = (
+        filt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_OV_K)
+        .groupBy("lang")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a = sketches.select(
+        F.col("lang").alias("lang_a"), F.col("sk").alias("ska")
+    )
+    b = sketches.select(
+        F.col("lang").alias("lang_b"), F.col("sk").alias("skb")
+    )
+    merged = F.array_sort(F.array_union("ska", "skb"))
+    kp = F.least(F.lit(KMV_OV_K), F.size(merged))
+    u = F.slice(merged, 1, kp)
+    kth = F.element_at(merged, kp)
+    matches = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains("ska", x)
+            & F.array_contains("skb", x),
+        )
+    )
+    union_est = F.when(
+        F.size(merged) >= KMV_OV_K,
+        F.expr(
+            f"CAST(CAST({(KMV_OV_K - 1) * _HEX60} AS DECIMAL(38,0))"
+            " DIV CAST(_kth AS DECIMAL(38,0)) AS BIGINT)"
+        ),
+    ).otherwise(F.size(merged).cast("long") * KMV_INV_P)
+    pairs = (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .withColumn("_kth", kth)
+        .withColumn("_kp", kp)
+        .withColumn("_m", matches)
+        .withColumn("est_union", union_est)
+        .withColumn(
+            "est_intersection",
+            F.expr(
+                "CAST(CAST(_m AS DECIMAL(38,0)) * CAST(est_union AS"
+                " DECIMAL(38,0)) DIV CAST(_kp AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+        .withColumn("est_jaccard", F.round(F.col("_m") / F.col("_kp"), 4))
+    )
+    # exact audit: one self-join over the checkpointed distinct stream
+    sizes = hashed.groupBy("lang").agg(F.count("*").alias("n"))
+    inter = (
+        hashed.alias("x")
+        .join(hashed.alias("y"), "h")
+        .where(F.col("x.lang") < F.col("y.lang"))
+        .groupBy(
+            F.col("x.lang").alias("lang_a"), F.col("y.lang").alias("lang_b")
+        )
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    na = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(inter), ["lang_a", "lang_b"])
+        .join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .withColumn(
+            "exact_union",
+            F.col("_na") + F.col("_nb") - F.col("exact_intersection"),
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("_kp").cast("int").alias("k_used"),
+            "est_jaccard",
+            "est_intersection",
+            "est_union",
+            "exact_intersection",
+            "exact_union",
+            F.round(
+                F.col("exact_intersection") / F.col("exact_union"), 4
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+def _oracle_kmv_lang_overlap() -> str:
+    return f"""
+WITH t AS (
+  SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT DISTINCT lang,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3),
+hashed AS MATERIALIZED (
+  SELECT DISTINCT lang, {_sql_hex60('md5(sh)')} AS h FROM s),
+filt AS (SELECT lang, h FROM hashed WHERE h < {KMV_OV_CUT}),
+rk AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+  FROM filt),
+sk AS (
+  SELECT lang, array_agg(h ORDER BY h) AS sk
+  FROM rk WHERE rk <= {KMV_OV_K} GROUP BY lang),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         list_sort(list_distinct(a.sk || b.sk)) AS merged,
+         a.sk AS ska, b.sk AS skb
+  FROM sk a JOIN sk b ON a.lang < b.lang),
+calc AS (
+  SELECT lang_a, lang_b,
+         least({KMV_OV_K}, len(merged)) AS kp,
+         merged[least({KMV_OV_K}, len(merged))] AS kth,
+         len(list_filter(merged[1:least({KMV_OV_K}, len(merged))],
+             x -> list_contains(ska, x) AND list_contains(skb, x)))
+           AS m,
+         len(merged) AS n_merged
+  FROM pairs),
+est AS (
+  SELECT lang_a, lang_b, kp, m,
+         CASE WHEN n_merged >= {KMV_OV_K}
+              THEN CAST({(KMV_OV_K - 1) * _HEX60}::HUGEINT
+                   // kth::HUGEINT AS BIGINT)
+              ELSE n_merged::BIGINT * {KMV_INV_P} END AS est_union
+  FROM calc),
+sizes AS (SELECT lang, count(*) AS n FROM hashed GROUP BY lang),
+inter AS (
+  SELECT x.lang AS lang_a, y.lang AS lang_b,
+         count(*) AS exact_intersection
+  FROM hashed x JOIN hashed y ON x.h = y.h AND x.lang < y.lang
+  GROUP BY 1, 2)
+SELECT e.lang_a, e.lang_b,
+       CAST(kp AS INT) AS k_used,
+       round(m * 1.0 / kp, 4) AS est_jaccard,
+       CAST(m::HUGEINT * est_union::HUGEINT
+            // kp::HUGEINT AS BIGINT) AS est_intersection,
+       est_union,
+       i.exact_intersection,
+       na.n + nb.n - i.exact_intersection AS exact_union,
+       round(i.exact_intersection * 1.0
+             / (na.n + nb.n - i.exact_intersection), 4) AS exact_jaccard
+FROM est e
+JOIN inter i USING (lang_a, lang_b)
+JOIN sizes na ON e.lang_a = na.lang
+JOIN sizes nb ON e.lang_b = nb.lang
+ORDER BY e.lang_a, e.lang_b
+"""
+
+
+ORACLE_KMV_LANG_OVERLAP = _oracle_kmv_lang_overlap()
+
+QUERIES["docs_kmv_lang_overlap"] = q_docs_kmv_lang_overlap
+ORACLES["docs_kmv_lang_overlap"] = ORACLE_KMV_LANG_OVERLAP

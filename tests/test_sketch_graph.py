@@ -336,3 +336,86 @@ def test_cm_sketch_matches_python_twin(spark):
         assert r.cm_estimate == want, r.item
         assert r.overestimate >= 0
         assert r.cm_estimate >= r.exact_count
+
+
+# ------------------------------------------------- KMV set algebra
+def test_kmv_overlap_matches_python_twin(spark):
+    """docs_kmv_lang_overlap == a pure-python twin of the same sketch
+    algebra (per-lang k-min md5-60 sketches -> merged k', kth-min
+    union estimate, matched-fraction Jaccard), plus the accuracy
+    property the sketch exists for (est within sampling error of
+    exact)."""
+    import hashlib
+    import re
+
+    from deja_view_spark.queries_corpus import (
+        KMV_INV_P,
+        KMV_OV_CUT,
+        KMV_OV_K,
+        _HEX60,
+        q_docs_kmv_lang_overlap,
+    )
+    from deja_view_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("lang", "text").toPandas()
+    tok = re.compile(r"[a-z0-9_]+")
+    full: dict[str, set] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = tok.findall(text.lower())
+        full.setdefault(lang, set()).update(
+            int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[
+                    :15
+                ],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        )
+    sk = {
+        lang: sorted(h for h in hs if h < KMV_OV_CUT)[:KMV_OV_K]
+        for lang, hs in full.items()
+    }
+    want = {}
+    for la in sorted(sk):
+        for lb in sorted(sk):
+            if la >= lb:
+                continue
+            merged = sorted(set(sk[la]) | set(sk[lb]))
+            kp = min(KMV_OV_K, len(merged))
+            u = merged[:kp]
+            both = set(sk[la]) & set(sk[lb])
+            m = sum(1 for h in u if h in both)
+            if len(merged) >= KMV_OV_K:
+                est_union = (KMV_OV_K - 1) * _HEX60 // merged[kp - 1]
+            else:
+                est_union = len(merged) * KMV_INV_P
+            est_inter = m * est_union // kp
+            exact_i = len(full[la] & full[lb])
+            exact_u = len(full[la] | full[lb])
+            want[(la, lb)] = (
+                kp,
+                round(m / kp, 4),
+                est_inter,
+                est_union,
+                exact_i,
+                exact_u,
+                round(exact_i / exact_u, 4),
+            )
+    out = q_docs_kmv_lang_overlap(spark, SF).collect()
+    got = {
+        (r.lang_a, r.lang_b): (
+            r.k_used,
+            r.est_jaccard,
+            r.est_intersection,
+            r.est_union,
+            r.exact_intersection,
+            r.exact_union,
+            r.exact_jaccard,
+        )
+        for r in out
+    }
+    assert got == want
+    # accuracy: the estimates must be within sampling error of exact
+    for kp, ej, ei, eu, xi, xu, xj in want.values():
+        assert abs(eu - xu) / xu < 0.35  # ~5.6 sigma at K=256
+        assert abs(ej - xj) < 0.15

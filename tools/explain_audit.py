@@ -219,6 +219,19 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # KMV set algebra: the distinct (lang, h60) stream is checkpointed
+    # once (Scan ExistingRDD) and feeds sketch + sizes + exact audit;
+    # the bottom-K window partitions by lang over the prefiltered
+    # slice (hashpartitioning(lang), never SinglePartition); the
+    # 5-row pairwise algebra is a BroadcastNestedLoop over sketch
+    # metadata — no cartesian over data, no Python
+    (
+        "docs_kmv_lang_overlap",
+        [r"Scan ExistingRDD", r"hashpartitioning\(lang", PARTIAL_AGG,
+         r"BroadcastHashJoin"],
+        [r"SinglePartition[\s\S]{0,200}Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # prefix-filter join (PPJoin): the hashed shingle-set table is
     # checkpointed once (Scan ExistingRDD — one md5 pass for three
     # consumers), pair generation is bucket-local posexplode+slice
