@@ -965,3 +965,187 @@ ORACLE_EVENTS_CM_SKETCH = _oracle_cm_sketch()
 
 QUERIES["events_cm_sketch"] = q_events_cm_sketch
 ORACLES["events_cm_sketch"] = ORACLE_EVENTS_CM_SKETCH
+
+
+# ------------------------------------- sliding-window HLL state merge
+# The production reason sketches exist in OLAP: per-PARTITION sketch
+# state is computed once and any window query is answered by MERGING
+# state, never rescanning events. Here: one dense-HLL register table
+# per day over distinct (user, props) activity pairs; a trailing
+# 7-day distinct estimate per day is then register-wise max over the
+# window's days — the merge input is (days x 256) register rows,
+# regardless of event volume. Exact trailing countDistinct rides
+# along as the audit (it re-touches events and is exactly what the
+# sketch DELETES at 100 TB). Shares the HLL construction (md5-60
+# hash, integer rho chain, scaled-integer harmonic sum) with
+# docs_hll_distinct so both engines agree bit-for-bit.
+HLL_SLIDE_DAYS = 7
+
+
+def q_events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {HLL_SLIDE_DAYS}-day distinct-activity estimate per
+    day from merged per-day HLL registers, audited against the exact
+    trailing distinct.
+
+    Scale shape: events are touched ONCE to build per-day registers
+    (two cascaded partial aggs, shuffle carries at most
+    days x {HLL_M} register rows); the sliding merge explodes each
+    day's registers to the {HLL_SLIDE_DAYS} window ends it feeds —
+    register-sized data times a constant — and one more partial agg
+    takes the per-(end-day, register) max. No window function over
+    events, no rescan per window position."""
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+        _hll_rho,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|"), F.col("props"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hv = ev.select(
+        F.to_date("ts").alias("day"),
+        (h % HLL_M).alias("reg"),
+        _hll_rho(F.shiftright(h, HLL_P)).alias("rho"),
+    )
+    regs_day = hv.groupBy("day", "reg").agg(F.max("rho").alias("mr"))
+    days = ev.select(F.to_date("ts").alias("end_day")).distinct()
+    spread = regs_day.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), HLL_SLIDE_DAYS - 1)
+            )
+        ).alias("end_day"),
+        "reg",
+        "mr",
+    ).join(F.broadcast(days), "end_day")
+    merged = spread.groupBy("end_day", "reg").agg(F.max("mr").alias("mr"))
+    agg = merged.groupBy("end_day").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - mr)")).alias("s_hit"),
+    )
+    zero = HLL_M - F.col("cnt")
+    s_int = F.col("s_hit") + zero.cast("long") * F.lit(1 << (HLL_W + 1))
+    raw = F.lit(_HLL_NUM) / s_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LC_CUT)) & (zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
+    ).otherwise(raw)
+    # exact audit: one distinct over (day, pair-hash), exploded to the
+    # window ends it feeds, then a per-end-day distinct count
+    pairs_day = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit("|"), F.col("props")
+                )
+            ).alias("ph"),
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), HLL_SLIDE_DAYS - 1)
+                )
+            ).alias("end_day"),
+            "ph",
+        )
+        .join(F.broadcast(days), "end_day")
+    )
+    exact = pairs_day.groupBy("end_day").agg(
+        F.countDistinct("ph").alias("exact_distinct")
+    )
+    return (
+        agg.join(F.broadcast(exact), "end_day")
+        .select(
+            F.col("end_day").cast("string").alias("end_day"),
+            F.col("cnt").cast("int").alias("registers_hit"),
+            F.round(est, 4).alias("hll_est"),
+            "exact_distinct",
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct") * 100,
+                4,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("end_day")
+    )
+
+
+def _oracle_hll_sliding() -> str:
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+        _sql_hex60,
+    )
+
+    whens = " ".join(
+        f"WHEN v >= {1 << k} THEN {HLL_W - k}"
+        for k in range(HLL_W - 1, -1, -1)
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+         md5(CAST(user_id AS VARCHAR) || '|' || props) AS mh
+  FROM events),
+days AS (SELECT DISTINCT day AS end_day FROM e),
+hx AS (SELECT day, {_sql_hex60('mh')} AS h FROM e),
+rv AS (SELECT day, h % {HLL_M} AS reg, h // {HLL_M} AS v FROM hx),
+rr AS (SELECT day, reg, CASE {whens} ELSE {HLL_W + 1} END AS rho FROM rv),
+regs_day AS (SELECT day, reg, max(rho) AS mr FROM rr GROUP BY 1, 2),
+spread AS (
+  SELECT CAST(unnest(generate_series(day, day + INTERVAL {HLL_SLIDE_DAYS - 1} DAY,
+               INTERVAL 1 DAY)) AS DATE) AS end_day, reg, mr
+  FROM regs_day),
+merged AS (
+  SELECT s.end_day, s.reg, max(s.mr) AS mr
+  FROM spread s JOIN days USING (end_day) GROUP BY 1, 2),
+agg AS (
+  SELECT end_day, count(*) AS cnt,
+         sum(1::BIGINT << ({HLL_W + 1} - mr)) AS s_hit
+  FROM merged GROUP BY 1),
+pd AS (SELECT DISTINCT day, mh FROM e),
+pspread AS (
+  SELECT CAST(unnest(generate_series(day, day + INTERVAL {HLL_SLIDE_DAYS - 1} DAY,
+               INTERVAL 1 DAY)) AS DATE) AS end_day, mh
+  FROM pd),
+ex AS (
+  SELECT p.end_day, count(DISTINCT mh) AS exact_distinct
+  FROM pspread p JOIN days USING (end_day) GROUP BY 1),
+fin AS (
+  SELECT end_day, cnt, {HLL_M} - cnt AS vz,
+         {_HLL_NUM!r} / CAST(s_hit + ({HLL_M} - cnt)
+                             * (1::BIGINT << {HLL_W + 1}) AS DOUBLE) AS raw
+  FROM agg),
+est AS (
+  SELECT end_day, cnt, vz,
+         CASE WHEN raw <= {_HLL_LC_CUT!r} AND vz > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(vz AS DOUBLE))
+              ELSE raw END AS e
+  FROM fin)
+SELECT CAST(e.end_day AS VARCHAR) AS end_day,
+       CAST(cnt AS INT) AS registers_hit,
+       round(e.e, 4) AS hll_est, ex.exact_distinct,
+       round((e.e - ex.exact_distinct) / ex.exact_distinct * 100, 4)
+         AS rel_err_pct
+FROM est e JOIN ex USING (end_day)
+ORDER BY end_day
+"""
+
+
+ORACLE_EVENTS_HLL_SLIDING = _oracle_hll_sliding()
+
+QUERIES["events_hll_sliding"] = q_events_hll_sliding
+ORACLES["events_hll_sliding"] = ORACLE_EVENTS_HLL_SLIDING

@@ -419,3 +419,89 @@ def test_kmv_overlap_matches_python_twin(spark):
     for kp, ej, ei, eu, xi, xu, xj in want.values():
         assert abs(eu - xu) / xu < 0.35  # ~5.6 sigma at K=256
         assert abs(ej - xj) < 0.15
+
+
+# ------------------------------------------- sliding-window HLL merge
+def test_hll_sliding_merge_equals_direct_window_build(spark):
+    """The mergeability invariant the operator relies on: register-max
+    merging per-day HLL state over a trailing window produces the
+    IDENTICAL registers (hence identical estimate) as building one HLL
+    directly over the window's events — asserted via a python twin on
+    sf0.001; the query's rows must match the twin exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+    )
+    from deja_view_spark.queries_events import (
+        HLL_SLIDE_DAYS,
+        q_events_hll_sliding,
+    )
+    from deja_view_spark.sources.catalog import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .selectExpr("CAST(ts AS DATE) AS day", "user_id", "props")
+        .toPandas()
+    )
+    day_regs: dict = defaultdict(dict)
+    day_sets: dict = defaultdict(set)
+    for day, uid, props in zip(ev["day"], ev["user_id"], ev["props"]):
+        key = f"{uid}|{props}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        reg, v = h % HLL_M, h >> HLL_P
+        rho = (HLL_W + 1) - v.bit_length() if v else HLL_W + 1
+        r = day_regs[day]
+        r[reg] = max(r.get(reg, 0), rho)
+        day_sets[day].add(key)
+    days = sorted(day_regs)
+    want = {}
+    for end in days:
+        window = [d for d in days if 0 <= (end - d).days < HLL_SLIDE_DAYS]
+        # merged per-day state
+        merged: dict = {}
+        direct: dict = {}
+        exact = set()
+        for d in window:
+            for reg, mr in day_regs[d].items():
+                merged[reg] = max(merged.get(reg, 0), mr)
+            exact |= day_sets[d]
+        # direct build over the window's raw keys
+        for key in exact:
+            h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+            reg, v = h % HLL_M, h >> HLL_P
+            rho = (HLL_W + 1) - v.bit_length() if v else HLL_W + 1
+            direct[reg] = max(direct.get(reg, 0), rho)
+        assert merged == direct  # the mergeability invariant
+        cnt = len(merged)
+        s_int = sum(1 << (HLL_W + 1 - mr) for mr in merged.values())
+        s_int += (HLL_M - cnt) * (1 << (HLL_W + 1))
+        raw = _HLL_NUM / s_int
+        import math
+
+        if raw <= _HLL_LC_CUT and cnt < HLL_M:
+            est = HLL_M * math.log(HLL_M / (HLL_M - cnt))
+        else:
+            est = raw
+        want[str(end)] = (
+            cnt,
+            round(est, 4),
+            len(exact),
+            round((est - len(exact)) / len(exact) * 100, 4),
+        )
+    out = q_events_hll_sliding(spark, SF).collect()
+    got = {
+        r.end_day: (
+            r.registers_hit,
+            r.hll_est,
+            r.exact_distinct,
+            r.rel_err_pct,
+        )
+        for r in out
+    }
+    assert got == want

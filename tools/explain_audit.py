@@ -219,6 +219,16 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # sliding HLL merge: events touched once into per-day registers
+    # (md5 + cascaded partial aggs); the window merge is an explode of
+    # REGISTER rows (Generate) + one more partial agg — no window
+    # function over events, no per-position rescan, no Python
+    (
+        "events_hll_sliding",
+        [r"md5", r"Generate", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # KMV set algebra: the distinct (lang, h60) stream is checkpointed
     # once (Scan ExistingRDD) and feeds sketch + sizes + exact audit;
     # the bottom-K window partitions by lang over the prefiltered
