@@ -1149,3 +1149,74 @@ ORACLE_EVENTS_HLL_SLIDING = _oracle_hll_sliding()
 
 QUERIES["events_hll_sliding"] = q_events_hll_sliding
 ORACLES["events_hll_sliding"] = ORACLE_EVENTS_HLL_SLIDING
+
+
+# ------------------------------------------- cohort retention matrix
+# The classic product-analytics triangle: users grouped by first-seen
+# week (their cohort), each later week of activity counted at its
+# offset from the cohort week, retention = share of the cohort still
+# active at that offset. Week bucketing is date_trunc('week') in both
+# engines (ISO Monday start in Spark and DuckDB alike), offsets are
+# integer day-diffs DIV 7 — no float, no timezone arithmetic.
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort x offset retention matrix.
+
+    Scale shape: ONE distinct over (user, week) fixed-width rows; the
+    per-user cohort week is a partial-agg min; activity joins its
+    cohort on user_id (the only wide shuffle — at 100 TB, both sides
+    arrive bucketed by user_id); the (cohort, offset) matrix and the
+    cohort-size attach are metadata-sized broadcast joins. No window
+    function, no events rescan per offset."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    acts = weeks.join(cohorts, "user_id").select(
+        "cwk",
+        (F.datediff(F.col("wk"), F.col("cwk")) / 7).cast("int").alias("offset"),
+        "user_id",
+    )
+    matrix = acts.groupBy("cwk", "offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    base = matrix.where(F.col("offset") == 0).select(
+        "cwk", F.col("n_users").alias("_cohort_size")
+    )
+    return (
+        matrix.join(F.broadcast(base), "cwk")
+        .select(
+            F.col("cwk").cast("string").alias("cohort_week"),
+            "offset",
+            "n_users",
+            F.col("_cohort_size").alias("cohort_size"),
+            F.round(F.col("n_users") / F.col("_cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "offset")
+    )
+
+
+ORACLE_EVENTS_COHORT_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events),
+cohorts AS (SELECT user_id, min(wk) AS cwk FROM weeks GROUP BY user_id),
+acts AS (
+  SELECT c.cwk, CAST(datediff('day', c.cwk, w.wk) // 7 AS INT) AS "offset",
+         w.user_id
+  FROM weeks w JOIN cohorts c USING (user_id)),
+matrix AS (
+  SELECT cwk, "offset", count(DISTINCT user_id) AS n_users
+  FROM acts GROUP BY 1, 2),
+base AS (SELECT cwk, n_users AS cohort_size FROM matrix WHERE "offset" = 0)
+SELECT CAST(m.cwk AS VARCHAR) AS cohort_week, m."offset" AS offset,
+       m.n_users, b.cohort_size,
+       round(m.n_users * 1.0 / b.cohort_size, 4) AS retention
+FROM matrix m JOIN base b USING (cwk)
+ORDER BY cohort_week, m."offset"
+"""
+
+QUERIES["events_cohort_retention"] = q_events_cohort_retention
+ORACLES["events_cohort_retention"] = ORACLE_EVENTS_COHORT_RETENTION

@@ -337,3 +337,71 @@ def test_label_prop_matches_python_twin_testdata(spark):
     want = _lpa_python(sorted(half), LPA_ROUNDS)
     out = {r.node: r.community for r in q_events_label_prop(spark, SF).collect()}
     assert out == want
+
+
+# ------------------------------------------------- cohort retention
+def test_cohort_retention_matches_python_twin(spark, tmp_path):
+    """Planted three-cohort corpus: the matrix must show each cohort
+    at its own start week, correct offset counts, and retention 1.0 at
+    offset 0 — plus full python-twin parity on the sf0.001 corpus."""
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    from deja_view_spark.queries_events import q_events_cohort_retention
+    from deja_view_spark.sources.catalog import load_table
+
+    # planted: users 1,2 start wk0 (user 2 churns), user 3 starts wk1
+    rows = []
+    mon = date(2024, 1, 1)  # a Monday
+    for uid, week_offsets in ((1, [0, 1, 2]), (2, [0]), (3, [1, 2])):
+        for wo in week_offsets:
+            d = mon + timedelta(weeks=wo, days=2)
+            rows.append((uid * 10 + wo, f"{d}T10:00:00", uid, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS timestamp) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    d = str(tmp_path / "cohort")
+    ev.write.parquet(d + "/events.parquet")
+    out = {
+        (r.cohort_week, r.offset): (r.n_users, r.cohort_size, r.retention)
+        for r in q_events_cohort_retention(spark, d).collect()
+    }
+    wk0, wk1 = str(mon), str(mon + timedelta(weeks=1))
+    assert out == {
+        (wk0, 0): (2, 2, 1.0),
+        (wk0, 1): (1, 2, 0.5),
+        (wk0, 2): (1, 2, 0.5),
+        (wk1, 0): (1, 1, 1.0),
+        (wk1, 1): (1, 1, 1.0),
+    }
+
+    # python-twin parity on testdata
+    ev2 = (
+        load_table(spark, SF, "events")
+        .selectExpr("user_id", "CAST(date_trunc('week', ts) AS DATE) AS wk")
+        .distinct()
+        .toPandas()
+    )
+    first = {}
+    weeks = defaultdict(set)
+    for uid, wk in zip(ev2["user_id"], ev2["wk"]):
+        weeks[int(uid)].add(wk)
+        first[int(uid)] = min(first.get(int(uid), wk), wk)
+    mat = defaultdict(set)
+    for uid, wks in weeks.items():
+        for wk in wks:
+            mat[(str(first[uid]), (wk - first[uid]).days // 7)].add(uid)
+    want = {}
+    for (cwk, off), users in mat.items():
+        base = len(mat[(cwk, 0)])
+        want[(cwk, off)] = (len(users), base, round(len(users) / base, 4))
+    got = {
+        (r.cohort_week, r.offset): (r.n_users, r.cohort_size, r.retention)
+        for r in q_events_cohort_retention(spark, SF).collect()
+    }
+    assert got == want

@@ -219,6 +219,15 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # cohort retention: one distinct over (user, week), cohort min as
+    # a partial agg, the only wide shuffle is the user_id join, the
+    # matrix/base attaches broadcast — no window, no Python
+    (
+        "events_cohort_retention",
+        [r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # sliding HLL merge: events touched once into per-day registers
     # (md5 + cascaded partial aggs); the window merge is an explode of
     # REGISTER rows (Generate) + one more partial agg — no window
