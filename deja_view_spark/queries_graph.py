@@ -700,3 +700,122 @@ ORACLES = {
     "events_kcore": ORACLE_EVENTS_KCORE,
     "events_label_prop": ORACLE_EVENTS_LABEL_PROP,
 }
+
+
+# --------------------------------------- personalized PageRank (PPR)
+# Teleport-to-seed-set PageRank (Jeh-Widom 2003 scaled to MapReduce):
+# identical fixed-point integer machinery to events_pagerank, but the
+# (1-d) restart mass flows ONLY to a deterministic seed set — the
+# relevance-to-these-entities primitive behind recommendation and
+# entity-linking candidate ranking (rank entities by proximity to the
+# query's seed mentions) rather than global importance. Seeds here:
+# nodes with id % PPR_SEED_MOD == 0 (deterministic, spread across the
+# id domain). Dangling mass drops, as in events_pagerank — the twin
+# convention both engines share.
+PPR_SEED_MOD = 7
+
+
+def q_events_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the co-engagement graph, seeds =
+    nodes with id % {PPR_SEED_MOD} == 0, ITERS fixed rounds in BIGINT
+    micro-units (order-independent sums -> full value-hash parity).
+
+    Scale shape: identical to events_pagerank — edge set
+    localCheckpoint'ed once, ONE join + partial agg per iteration over
+    node-sized rank tables, seed teleport is a map-side expression
+    (no extra join; the seed test is arithmetic on the node id)."""
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    is_seed = F.col("node") % PPR_SEED_MOD == 0
+    ns_df = nodes.where(is_seed).agg(F.count("*").alias("ns"))
+    ranks = nodes.crossJoin(F.broadcast(ns_df)).select(
+        "node",
+        F.when(is_seed, F.expr(f"CAST({SCALE} DIV ns AS BIGINT)"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rank"),
+    )
+    for _ in range(ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST((rank * {DAMP_NUM}) DIV ({DAMP_DEN} * outdeg)"
+                    " AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(ns_df))
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        is_seed,
+                        F.expr(
+                            f"CAST(({DAMP_DEN - DAMP_NUM} * {SCALE})"
+                            f" DIV ({DAMP_DEN} * ns) AS BIGINT)"
+                        ),
+                    ).otherwise(F.lit(0).cast("long"))
+                    + F.coalesce(F.col("s"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node", (F.col("node") % PPR_SEED_MOD == 0).alias("is_seed"), "rank"
+    ).orderBy("node")
+
+
+def _oracle_ppr() -> str:
+    teleport = (
+        f"CASE WHEN nodes.node % {PPR_SEED_MOD} = 0 THEN"
+        f" (({DAMP_DEN - DAMP_NUM} * {SCALE}::BIGINT)"
+        f" // ({DAMP_DEN} * ns)) ELSE 0 END"
+    )
+    iters = []
+    prev = "r0"
+    for i in range(1, ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT nodes.node,
+         CAST({teleport} + coalesce(c.s, 0) AS BIGINT) AS rank
+  FROM nodes CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           sum((r.rank * {DAMP_NUM}) // ({DAMP_DEN} * d.outdeg)) AS s
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON nodes.node = c.node)""")
+        prev = f"r{i}"
+    chain = ",".join(iters)
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ns AS (SELECT count(*) AS ns FROM nodes WHERE node % {PPR_SEED_MOD} = 0),
+r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node % {PPR_SEED_MOD} = 0
+                   THEN {SCALE}::BIGINT // ns ELSE 0 END AS BIGINT) AS rank
+  FROM nodes CROSS JOIN ns),{chain}
+SELECT node, node % {PPR_SEED_MOD} = 0 AS is_seed, rank
+FROM {prev} ORDER BY node
+"""
+
+
+ORACLE_EVENTS_PPR = _oracle_ppr()
+
+QUERIES["events_ppr"] = q_events_ppr
+ORACLES["events_ppr"] = ORACLE_EVENTS_PPR

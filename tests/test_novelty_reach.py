@@ -405,3 +405,68 @@ def test_cohort_retention_matches_python_twin(spark, tmp_path):
         for r in q_events_cohort_retention(spark, SF).collect()
     }
     assert got == want
+
+
+# --------------------------------------------- personalized PageRank
+def test_ppr_python_twin_and_seedless_component_is_zero(spark, tmp_path):
+    """Exact integer-twin parity on the sf0.001 graph, plus the
+    defining PPR property on a planted graph: a connected component
+    containing NO seed receives zero mass (no teleport, no inflow),
+    while the seeded component's mass concentrates near its seeds."""
+    from collections import defaultdict
+
+    from deja_view_spark.queries_graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        ITERS,
+        PPR_SEED_MOD,
+        SCALE,
+        _chain_edges,
+        q_events_ppr,
+    )
+
+    def ppr_python(edges):
+        nodes = sorted({v for e in edges for v in e})
+        out = defaultdict(list)
+        for s, d in edges:
+            out[s].append(d)
+        seeds = [v for v in nodes if v % PPR_SEED_MOD == 0]
+        ns = len(seeds)
+        rank = {
+            v: (SCALE // ns if v % PPR_SEED_MOD == 0 else 0) for v in nodes
+        }
+        for _ in range(ITERS):
+            sums = defaultdict(int)
+            for s, ds in out.items():
+                per = rank[s] * DAMP_NUM // (DAMP_DEN * len(ds))
+                for d in ds:
+                    sums[d] += per
+            rank = {
+                v: (
+                    (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * ns)
+                    if v % PPR_SEED_MOD == 0
+                    else 0
+                )
+                + sums.get(v, 0)
+                for v in nodes
+            }
+        return rank
+
+    # twin parity on the real testdata graph
+    edges = [(r.src, r.dst) for r in _chain_edges(spark, SF).collect()]
+    want = ppr_python(edges)
+    got = {r.node: r.rank for r in q_events_ppr(spark, SF).collect()}
+    assert got == want
+
+    # planted (note: _chain_edges derives ascending-id edges, so the
+    # graph is a DAG and mass only flows to HIGHER ids): component A =
+    # chain 7 -> 8 -> 9 downstream of seed 7; component B = seedless
+    # chain 3 -> 4 -> 5 — zero mass everywhere (no teleport, no
+    # seed upstream)
+    comp_a = [(7, 8), (8, 9)]
+    comp_b = [(3, 4), (4, 5)]
+    d = _events_from_edges(spark, tmp_path, "ppr", comp_a + comp_b)
+    out = {r.node: (r.is_seed, r.rank) for r in q_events_ppr(spark, d).collect()}
+    assert out[7][0] and out[7][1] > 0
+    assert all(out[v][1] > 0 for v in (8, 9))  # downstream of the seed
+    assert all(out[v] == (False, 0) for v in (3, 4, 5))

@@ -219,6 +219,15 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # personalized PageRank: same shape contract as events_pagerank —
+    # checkpointed edge set (Scan ExistingRDD), one join + partial agg
+    # per round, seed teleport is map-side arithmetic (no extra join),
+    # no cartesian, no Python
+    (
+        "events_ppr",
+        [r"Scan ExistingRDD", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # cohort retention: one distinct over (user, week), cohort min as
     # a partial agg, the only wide shuffle is the user_id join, the
     # matrix/base attaches broadcast — no window, no Python
