@@ -289,3 +289,184 @@ ORACLES = {
     "docs_hybrid_rrf": ORACLE_DOCS_HYBRID_RRF,
     "kg_two_hop": ORACLE_KG_TWO_HOP,
 }
+
+
+# --------------------------------------- MMR diversified top-k (ANN+)
+# Carbonell-Goldstein 1998 maximal marginal relevance: greedy-select K
+# results maximizing lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d,s)
+# — the dedup-aware serving layer over ANN (a plain top-k over a
+# near-dup-heavy corpus returns K copies of one document; MMR returns
+# the K most relevant NON-redundant ones). Determinism: cosine is
+# bit-identical cross-engine (list_dot_product DOUBLE == zip_with
+# sequential fold, see functions/similarity.duckdb_cosine_sql), so
+# every greedy argmax (vec_id tiebreak) picks the same row in both
+# engines; the emitted columns are INTEGERS (selection rank, ids).
+MMR_LAMBDA = 0.5
+MMR_POOL = 32
+MMR_K = 8
+MMR_PROBES = 3  # probes = vec_id < MMR_PROBES
+
+
+def q_embeddings_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_K} per probe over a {MMR_POOL}-vector
+    relevance pool.
+
+    Scale shape: the corpus is touched ONCE by the pooled relevance
+    scan (probe side broadcast, per-probe sorted limit); everything
+    after operates on probes x {MMR_POOL} rows — each greedy round is
+    an argmin partial agg + a broadcast join against the one-row-per-
+    probe pick, with the pool localCheckpoint'ed per round (the
+    iterative-lineage rule; state is pool-sized, never corpus-sized).
+    The greedy loop is inherently sequential in K, but K is a serving
+    constant — no driver-side math, no Python, no corpus rescan."""
+    from deja_view_spark.functions.similarity import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    probes = emb.where(F.col("vec_id") < MMR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("nrm").alias("pn"),
+    )
+    scored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "rel",
+            F.expr(
+                "aggregate(zip_with(embedding, pv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (nrm * pn)"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MMR_POOL)
+        .select(
+            "probe_id",
+            "vec_id",
+            "embedding",
+            "nrm",
+            "rel",
+            F.lit(-1.0).cast("double").alias("maxsel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picks = None
+    for step in range(1, MMR_K + 1):
+        score = (
+            F.lit(MMR_LAMBDA) * F.col("rel")
+            - F.lit(1.0 - MMR_LAMBDA) * F.col("maxsel")
+        )
+        best = (
+            pool.withColumn("_s", score)
+            .groupBy("probe_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_s")).alias("ns"),
+                        F.col("vec_id").alias("vec_id"),
+                    )
+                ).alias("m")
+            )
+            .select("probe_id", F.col("m.vec_id").alias("sel_id"))
+        )
+        sel = (
+            pool.join(
+                best.withColumnRenamed("sel_id", "vec_id"),
+                ["probe_id", "vec_id"],
+            )
+            .select(
+                "probe_id",
+                F.col("vec_id").alias("sel_id"),
+                F.col("embedding").alias("sv"),
+                F.col("nrm").alias("sn"),
+            )
+        )
+        step_picks = sel.select(
+            "probe_id", F.lit(step).alias("mmr_rank"), "sel_id"
+        )
+        picks = (
+            step_picks
+            if picks is None
+            else picks.unionByName(step_picks)
+        )
+        pool = (
+            pool.join(F.broadcast(sel), "probe_id")
+            .where(F.col("vec_id") != F.col("sel_id"))
+            .withColumn(
+                "_sim",
+                F.expr(
+                    "aggregate(zip_with(embedding, sv, (x, y) -> x * y),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (nrm * sn)"
+                ),
+            )
+            .select(
+                "probe_id",
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                F.greatest("maxsel", "_sim").alias("maxsel"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return picks.select(
+        "probe_id", "mmr_rank", F.col("sel_id").alias("vec_id")
+    ).orderBy("probe_id", "mmr_rank")
+
+
+def _oracle_mmr() -> str:
+    cos_sel = duckdb_cosine_sql("p.embedding", "s.embedding")
+    rounds = []
+    prev_pool = "pool0"
+    prev_picks = []
+    for step in range(1, MMR_K + 1):
+        rounds.append(f"""
+best{step} AS (
+  SELECT probe_id, vec_id AS sel_id
+  FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (
+             PARTITION BY probe_id
+             ORDER BY {MMR_LAMBDA} * rel - {1.0 - MMR_LAMBDA} * maxsel
+               DESC, vec_id) AS rn
+    FROM {prev_pool}) WHERE rn = 1),
+pool{step} AS MATERIALIZED (
+  SELECT p.probe_id, p.vec_id, p.embedding, p.rel,
+         greatest(p.maxsel, {cos_sel}) AS maxsel
+  FROM {prev_pool} p
+  JOIN best{step} b ON p.probe_id = b.probe_id
+  JOIN emb s ON s.vec_id = b.sel_id
+  WHERE p.vec_id <> b.sel_id)""")
+        prev_picks.append(
+            f"SELECT probe_id, {step} AS mmr_rank, sel_id FROM best{step}"
+        )
+        prev_pool = f"pool{step}"
+    chain = ",".join(rounds)
+    picks = " UNION ALL ".join(prev_picks)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv FROM emb
+  WHERE vec_id < {MMR_PROBES}),
+scored AS (
+  SELECT p.probe_id, e.vec_id, e.embedding,
+         {duckdb_cosine_sql('e.embedding', 'p.pv')} AS rel
+  FROM emb e JOIN probes p ON e.vec_id <> p.probe_id),
+pool0 AS MATERIALIZED (
+  SELECT probe_id, vec_id, embedding, rel, -1.0::DOUBLE AS maxsel
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS rk
+    FROM scored) WHERE rk <= {MMR_POOL}),{chain}
+SELECT probe_id, mmr_rank, sel_id AS vec_id FROM ({picks})
+ORDER BY probe_id, mmr_rank
+"""
+
+
+ORACLE_EMBEDDINGS_MMR = _oracle_mmr()
+
+QUERIES["embeddings_mmr_topk"] = q_embeddings_mmr_topk
+ORACLES["embeddings_mmr_topk"] = ORACLE_EMBEDDINGS_MMR

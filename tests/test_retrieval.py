@@ -118,3 +118,68 @@ def test_two_hop_matches_python_traversal(spark):
         for r in R.q_kg_two_hop(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+# ------------------------------------------------- MMR diversification
+def test_mmr_matches_python_twin(spark):
+    """embeddings_mmr_topk == a pure-python greedy MMR with the exact
+    sequential-fold cosine (mirrors zip_with's accumulation order
+    bit-for-bit); first pick per probe must be the plain relevance
+    argmax."""
+    from deja_view_spark.queries_retrieval import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        MMR_PROBES,
+        q_embeddings_mmr_topk,
+    )
+    from deja_view_spark.sources.catalog import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    vecs = {int(v): list(map(float, e)) for v, e in zip(emb["vec_id"], emb["embedding"])}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    want = []
+    for p in range(MMR_PROBES):
+        pv = vecs[p]
+        rel = {
+            v: cos(vecs[v], pv) for v in vecs if v != p
+        }
+        pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+        maxsel = {v: -1.0 for v in pool}
+        selected = []
+        for step in range(1, MMR_K + 1):
+            best = min(
+                (v for v in pool if v not in selected),
+                key=lambda v: (
+                    -(MMR_LAMBDA * rel[v] - (1.0 - MMR_LAMBDA) * maxsel[v]),
+                    v,
+                ),
+            )
+            selected.append(best)
+            want.append((p, step, best))
+            for v in pool:
+                if v not in selected:
+                    maxsel[v] = max(maxsel[v], cos(vecs[v], vecs[best]))
+        # first pick is the relevance argmax (maxsel uniform at -1)
+        assert selected[0] == min(pool, key=lambda v: (-rel[v], v))
+        assert len(set(selected)) == MMR_K  # no repeats
+    out = [
+        (r.probe_id, r.mmr_rank, r.vec_id)
+        for r in q_embeddings_mmr_topk(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert out == want

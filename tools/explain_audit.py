@@ -219,6 +219,18 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # MMR: corpus touched once (pooled relevance scan, probe broadcast,
+    # per-probe window over the broadcast-joined slice); greedy rounds
+    # run on checkpointed pool-sized state (Scan ExistingRDD) — no
+    # cartesian over data, no Python
+    # (the probe attach is a non-equi self-exclusion join, planned as
+    # BroadcastNestedLoop over the broadcast probe side — fine; only a
+    # true CartesianProduct would mean the corpus pairs with itself)
+    (
+        "embeddings_mmr_topk",
+        [r"Scan ExistingRDD", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # personalized PageRank: same shape contract as events_pagerank —
     # checkpointed edge set (Scan ExistingRDD), one join + partial agg
     # per round, seed teleport is map-side arithmetic (no extra join),
