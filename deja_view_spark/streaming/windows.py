@@ -320,3 +320,50 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll_registers(
+    events: DataFrame,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day dense-HLL register state as a STREAMING aggregation:
+    groupBy(day, reg).max(rho) over the arriving event stream — max is
+    the canonical mergeable streaming aggregate, so the state store
+    holds exactly the (day x HLL_M) register table the batch builder
+    (queries_events.q_events_hll_sliding) materializes, updated
+    incrementally per micro-batch and bounded by the watermark.
+
+    Works identically on a batch frame (watermark ignored) — the
+    batch-equivalence oracle the tests assert. Downstream, the
+    register stream feeds the same scaled-integer estimator and the
+    same sliding register-max merge as the batch path; state is
+    register-sized (days x 256 longs), never event-sized."""
+    from deja_view_spark.queries_corpus import HLL_M, HLL_P, _hll_rho
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit("|"), F.col("props")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.select(
+            F.col(ts_col),
+            F.to_date(ts_col).alias("day"),
+            (h % HLL_M).alias("reg"),
+            _hll_rho(F.shiftright(h, HLL_P)).alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )

@@ -280,3 +280,24 @@ def test_cli_round3_verbs(spark, tmp_path, capsys):
     )
     txt = capsys.readouterr().out
     assert "2-hop reach" in txt
+
+
+def test_cli_wave45_verbs(spark, capsys):
+    """Smoke the wave-4/5 corpus verbs end-to-end through the CLI
+    surface (one sketch, one dedup, one retrieval, one analytics)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    for verb, marker in (
+        ("hll-distinct", "'hll_est'"),
+        ("prefix-join", "'jaccard'"),
+        ("mmr", "'mmr_rank'"),
+        ("cohort", "'retention'"),
+        ("kmv-overlap", "'est_jaccard'"),
+    ):
+        assert (
+            cli.main(["corpus", verb, "--data", SF_DIR, "--limit", "3"]) == 0
+        )
+        assert marker in capsys.readouterr().out

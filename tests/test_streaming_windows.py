@@ -168,3 +168,79 @@ def test_sessionizer_stitches_sessions_across_batches(spark, tmp_path):
     # totals agree with the batch lag+running-sum semantics
     # (q_events_sessions shape, 1h gap): per user (n_sessions, n_events)
     assert len(closed) + len(open_rows) == 4  # sessions total: u1=2, u2=2
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streaming HLL register state, drained incrementally over
+    two availableNow runs sharing a checkpoint, must equal the batch
+    register table over the union — register-for-register (the state
+    store IS the sketch)."""
+    from deja_view_spark.streaming.windows import streaming_hll_registers
+
+    schema = (
+        "user_id long, ts timestamp, event_type string, value double,"
+        " props string"
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [
+                (u, datetime.fromisoformat(t), e, v, p)
+                for (u, t, e, v, p) in rows
+            ],
+            schema,
+        )
+
+    b1 = [
+        (1, "2024-01-01T06:00:00", "click", 1.0, '{"k": 1}'),
+        (2, "2024-01-01T07:00:00", "view", 2.0, '{"k": 2}'),
+        (3, "2024-01-02T06:00:00", "click", 3.0, '{"k": 1}'),
+    ]
+    b2 = [
+        (1, "2024-01-02T08:00:00", "view", 4.0, '{"k": 3}'),
+        (4, "2024-01-03T06:00:00", "click", 5.0, '{"k": 2}'),
+    ]
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            streaming_hll_registers(stream)
+            .writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda df, _: df.write.mode("overwrite").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ev(b1).write.mode("append").parquet(in_dir)
+    drain()
+    got1 = {
+        (str(r.day), r.reg): r.mr
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want1 = {
+        (str(r.day), r.reg): r.mr
+        for r in streaming_hll_registers(ev(b1)).collect()
+    }
+    assert got1 == want1 and want1
+
+    ev(b2).write.mode("append").parquet(in_dir)
+    drain()
+    got = {
+        (str(r.day), r.reg): r.mr
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (str(r.day), r.reg): r.mr
+        for r in streaming_hll_registers(ev(b1 + b2)).collect()
+    }
+    assert got == want
+    assert len(want) > len(want1)  # batch 2 added register state

@@ -192,6 +192,20 @@ CORPUS_OPS = {
     "novelty": "docs_ngram_novelty",
     "pq-encode": "embeddings_pq",
     "ann-ivfpq": "ann_ivfpq_topk",
+    # wave 4/5 (verbs past this line may also need events.parquet /
+    # orders.parquet / lineitem.parquet in --data, the full
+    # driver-testdata layout)
+    "hll-distinct": "docs_hll_distinct",
+    "kmv-overlap": "docs_kmv_lang_overlap",
+    "snm-dedup": "docs_sorted_neighborhood",
+    "winnow": "docs_winnow_pairs",
+    "prefix-join": "docs_prefix_join",
+    "mmr": "embeddings_mmr_topk",
+    "lpa": "events_label_prop",
+    "ppr": "events_ppr",
+    "hll-sliding": "events_hll_sliding",
+    "cohort": "events_cohort_retention",
+    "bloom-semijoin": "orders_bloom_semijoin",
 }
 
 
