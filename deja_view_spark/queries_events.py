@@ -1220,3 +1220,163 @@ ORDER BY cohort_week, m."offset"
 
 QUERIES["events_cohort_retention"] = q_events_cohort_retention
 ORACLES["events_cohort_retention"] = ORACLE_EVENTS_COHORT_RETENTION
+
+
+# ------------------------------------------- sweep-line peak concurrency
+# Interval analytics WITHOUT an interval join: materialize each
+# session as +1/-1 boundary deltas and take a running sum in time
+# order — the sweep line. Max concurrent sessions per day, with the
+# earliest instant the peak is reached. The join-free shape matters at
+# scale: the naive formulation is an interval self-join (quadratic on
+# busy windows); the sweep is two window passes over boundary rows.
+# Sessions are the q_events_sessions 30-min-gap islands; they are
+# CLIPPED to day boundaries so the sweep's running sum partitions by
+# day (distributed, never a SinglePartition global sort) — the
+# documented semantics is per-day concurrency with cross-midnight
+# sessions contributing to both days.
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions (sweep line over session
+    boundary deltas), with the earliest peak instant.
+
+    Scale shape: session assembly is the per-user lag+cumsum window
+    (hashpartitioning(user_id)); boundary deltas explode to at most
+    2 x sessions x days-spanned rows; the sweep's running sum windows
+    partition BY DAY — each day's boundary stream is one partition's
+    sort, bounded by that day's sessions, never a global single
+    sort. Ties: at an equal instant, ends (-1) process before starts
+    (+1), then user_id — the closed-open [start, end) convention."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    # order the session-id cumsum on MICROSECONDS (+ event_id): two
+    # events of one user inside the same truncated second must
+    # accumulate flags in the same order the flags were assigned, or
+    # a tie could split a session differently per engine
+    flagged = ev.select(
+        "user_id",
+        epoch.alias("sec"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("usec"),
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sid = F.sum("new_session").over(
+        Window.partitionBy("user_id")
+        .orderBy("usec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = (
+        flagged.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("sec").alias("s"), (F.max("sec") + 1).alias("e"))
+    )
+    # clip to day boundaries: one output interval per covered day
+    day0 = (F.col("s") - F.col("s") % 86400).alias("d0")
+    days = F.sequence(
+        F.col("s") - F.col("s") % 86400,
+        (F.col("e") - 1) - (F.col("e") - 1) % 86400,
+        F.lit(86400),
+    )
+    clipped = sessions.select(
+        "user_id",
+        F.explode(days).alias("day_sec"),
+        "s",
+        "e",
+    ).select(
+        "user_id",
+        "day_sec",
+        F.greatest("s", "day_sec").alias("cs"),
+        F.least("e", F.col("day_sec") + 86400).alias("ce"),
+    )
+    deltas = clipped.select(
+        "day_sec", F.col("cs").alias("t"), F.lit(1).alias("d"), "user_id"
+    ).unionByName(
+        clipped.select(
+            "day_sec", F.col("ce").alias("t"), F.lit(-1).alias("d"), "user_id"
+        )
+    )
+    sweep = Window.partitionBy("day_sec").orderBy("t", "d", "user_id")
+    run = deltas.withColumn(
+        "conc",
+        F.sum("d").over(sweep.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    run = run.withColumn(
+        "day_max", F.max("conc").over(Window.partitionBy("day_sec"))
+    )
+    return (
+        run.groupBy("day_sec")
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("conc") == F.col("day_max"), F.col("t"))
+            ).alias("peak_sec"),
+            F.count("*").alias("n_boundaries"),
+        )
+        .select(
+            F.from_unixtime("day_sec").cast("date").cast("string").alias("day"),
+            "peak_concurrency",
+            "peak_sec",
+            (F.col("n_boundaries") / 2).cast("long").alias("n_sessions"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_EVENTS_PEAK_CONCURRENCY = """
+WITH g AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS sec,
+         epoch_us(ts) AS usec, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sids AS (
+  SELECT user_id, sec,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY usec, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sessions AS (
+  SELECT user_id, sid, min(sec) AS s, max(sec) + 1 AS e
+  FROM sids GROUP BY user_id, sid),
+clipped AS (
+  SELECT user_id, day_sec,
+         greatest(s, day_sec) AS cs,
+         least(e, day_sec + 86400) AS ce
+  FROM (
+    SELECT user_id, s, e,
+           unnest(generate_series(s - s % 86400,
+                                  (e - 1) - (e - 1) % 86400,
+                                  86400)) AS day_sec
+    FROM sessions)),
+deltas AS (
+  SELECT day_sec, cs AS t, 1 AS d, user_id FROM clipped
+  UNION ALL
+  SELECT day_sec, ce AS t, -1 AS d, user_id FROM clipped),
+run AS (
+  SELECT day_sec, t, d,
+         sum(d) OVER (
+           PARTITION BY day_sec ORDER BY t, d, user_id
+           ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas),
+run2 AS (
+  SELECT *, max(conc) OVER (PARTITION BY day_sec) AS day_max FROM run),
+peaks AS (
+  SELECT day_sec,
+         max(conc) AS peak_concurrency,
+         min(CASE WHEN conc = day_max THEN t END) AS peak_sec,
+         count(*) AS n_boundaries
+  FROM run2 GROUP BY day_sec)
+SELECT CAST(CAST(to_timestamp(day_sec) AS DATE) AS VARCHAR) AS day,
+       CAST(peak_concurrency AS BIGINT) AS peak_concurrency,
+       CAST(peak_sec AS BIGINT) AS peak_sec,
+       CAST(n_boundaries / 2 AS BIGINT) AS n_sessions
+FROM peaks ORDER BY day
+"""
+
+QUERIES["events_peak_concurrency"] = q_events_peak_concurrency
+ORACLES["events_peak_concurrency"] = ORACLE_EVENTS_PEAK_CONCURRENCY

@@ -470,3 +470,107 @@ def test_ppr_python_twin_and_seedless_component_is_zero(spark, tmp_path):
     assert out[7][0] and out[7][1] > 0
     assert all(out[v][1] > 0 for v in (8, 9))  # downstream of the seed
     assert all(out[v] == (False, 0) for v in (3, 4, 5))
+
+
+# ------------------------------------------------ sweep-line concurrency
+def test_peak_concurrency_planted_and_twin(spark, tmp_path):
+    """Planted: three users whose sessions overlap pairwise then
+    triply -> peak 3 at the third session's start; a cross-midnight
+    session must contribute to BOTH days. Plus python sweep twin on
+    the sf0.001 corpus."""
+    from collections import defaultdict
+
+    from deja_view_spark.queries_events import q_events_peak_concurrency
+    from deja_view_spark.sources.catalog import load_table
+
+    rows = []
+    eid = 0
+
+    def ev(uid, iso):
+        nonlocal eid
+        eid += 1
+        return (eid, iso, uid, "click", 1.0, "{}")
+
+    # day 1: u1 session [09:00, 09:25+1s) (25m gap < 30m), u2 session
+    # [09:05, 09:24+1s), u3 instant session at 09:10 -> at 09:10 all
+    # three run: peak 3 at 09:10
+    rows += [ev(1, "2024-03-01T09:00:00"), ev(1, "2024-03-01T09:25:00")]
+    rows += [ev(2, "2024-03-01T09:05:00"), ev(2, "2024-03-01T09:24:00")]
+    rows += [ev(3, "2024-03-01T09:10:00")]
+    # u4: session crossing midnight (23:50 + event 00:10 next day)
+    rows += [ev(4, "2024-03-02T23:50:00"), ev(4, "2024-03-03T00:10:00")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS timestamp) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    d = str(tmp_path / "conc")
+    df.write.parquet(d + "/events.parquet")
+    out = {
+        r.day: (r.peak_concurrency, r.peak_sec, r.n_sessions)
+        for r in q_events_peak_concurrency(spark, d).collect()
+    }
+    import datetime as dt
+
+    t3 = int(dt.datetime(2024, 3, 1, 9, 10, tzinfo=dt.timezone.utc).timestamp())
+    assert out["2024-03-01"][0] == 3 and out["2024-03-01"][1] == t3
+    assert out["2024-03-01"][2] == 3
+    # the cross-midnight session appears on both days
+    assert out["2024-03-02"] == (1, int(dt.datetime(2024, 3, 2, 23, 50, tzinfo=dt.timezone.utc).timestamp()), 1)
+    assert out["2024-03-03"][0] == 1 and out["2024-03-03"][2] == 1
+
+    # python sweep twin on testdata
+    ev2 = (
+        load_table(spark, SF, "events")
+        .selectExpr(
+            "user_id", "event_id",
+            "CAST(CAST(ts AS timestamp) AS long) AS sec",
+            "unix_micros(CAST(ts AS timestamp)) AS usec",
+        )
+        .toPandas()
+    )
+    by_user = defaultdict(list)
+    for uid, eid2, sec, usec in zip(
+        ev2["user_id"], ev2["event_id"], ev2["sec"], ev2["usec"]
+    ):
+        by_user[int(uid)].append((int(usec), int(eid2), int(sec)))
+    sessions = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0][2]]
+        for (pu, pe, ps), (u, e, s) in zip(evs, evs[1:]):
+            if s - ps > 1800:
+                sessions.append((min(cur), max(cur) + 1))
+                cur = [s]
+            else:
+                cur.append(s)
+        sessions.append((min(cur), max(cur) + 1))
+    deltas = defaultdict(list)
+    for s, e in sessions:
+        d0, d1 = s - s % 86400, (e - 1) - (e - 1) % 86400
+        for day in range(d0, d1 + 1, 86400):
+            deltas[day].append((max(s, day), 1))
+            deltas[day].append((min(e, day + 86400), -1))
+    want = {}
+    for day, ds in deltas.items():
+        ds.sort()
+        conc = peak = 0
+        peak_t = None
+        for t, dd in ds:
+            conc += dd
+            if conc > peak:
+                peak, peak_t = conc, t
+        import datetime as dt2
+
+        day_str = str(
+            dt2.datetime.fromtimestamp(day, dt2.timezone.utc).date()
+        )
+        want[day_str] = (peak, peak_t, len(ds) // 2)
+    got = {
+        r.day: (r.peak_concurrency, r.peak_sec, r.n_sessions)
+        for r in q_events_peak_concurrency(spark, SF).collect()
+    }
+    assert got == want

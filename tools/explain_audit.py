@@ -219,6 +219,16 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # sweep-line concurrency: sessionize per user (hashpartitioning on
+    # user_id windows), then the running sum partitions BY DAY — no
+    # SinglePartition global sort, no interval self-join, no Python
+    (
+        "events_peak_concurrency",
+        [r"Window", r"hashpartitioning\(user_id",
+         r"hashpartitioning\(day_sec", PARTIAL_AGG],
+        [r"SinglePartition[\s\S]{0,200}Window", r"CartesianProduct",
+         r"SortMergeJoin", r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # MMR: corpus touched once (pooled relevance scan, probe broadcast,
     # per-probe window over the broadcast-joined slice); greedy rounds
     # run on checkpointed pool-sized state (Scan ExistingRDD) — no
