@@ -1380,3 +1380,104 @@ FROM peaks ORDER BY day
 
 QUERIES["events_peak_concurrency"] = q_events_peak_concurrency
 ORACLES["events_peak_concurrency"] = ORACLE_EVENTS_PEAK_CONCURRENCY
+
+
+# --------------------------------------------- bitmap audience overlap
+# The bitmap-index segmentation pattern (roaring-bitmap OLAP, fixed
+# 32-bit words here): each behavioral segment (event_type) keeps one
+# bitmap over the user-id domain — (word = id DIV 32, bits = OR of
+# 1 << id % 32) — and every audience question (who did A and B? A or
+# B? Jaccard between segments?) is answered by WORD-WISE bitwise ops
+# over segment bitmaps, never by re-touching events or distinct-
+# joining user sets. Exact (not a sketch), mergeable (bit_or is
+# associative), and the state is |users|/32 words per segment.
+def q_events_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event-type segments from
+    word-partitioned user bitmaps: exact distinct users per segment,
+    intersection / union / Jaccard per segment pair.
+
+    Scale shape: events reduce ONCE to (segment, word) bitmap rows
+    (distinct + bit_or partial aggs — map-side combine does the
+    heavy lifting); every overlap then joins bitmap WORDS on the word
+    key (rows = users/32 per segment) and folds bit_count — the
+    canonical audience-segmentation plan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("seg"), "user_id"
+    ).distinct()
+    bm = (
+        base.select(
+            "seg",
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("seg", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = bm.groupBy("seg").agg(
+        F.sum(F.bit_count("bits")).alias("n")
+    )
+    a = bm.select(
+        F.col("seg").alias("seg_a"), "word", F.col("bits").alias("ba")
+    )
+    b = bm.select(
+        F.col("seg").alias("seg_b"), "word", F.col("bits").alias("bb")
+    )
+    both = (
+        a.join(b, "word")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb")))).alias(
+                "n_both"
+            )
+        )
+    )
+    na = sizes.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "seg_a")
+        .join(F.broadcast(nb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_either"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+ORACLE_EVENTS_BITMAP_AUDIENCE = """
+WITH base AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
+bm AS (
+  SELECT seg, user_id // 32 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+  FROM base GROUP BY 1, 2),
+sizes AS (SELECT seg, sum(bit_count(bits)) AS n FROM bm GROUP BY seg),
+ovl AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         sum(bit_count(a.bits & b.bits)) AS n_both
+  FROM bm a JOIN bm b ON a.word = b.word AND a.seg < b.seg
+  GROUP BY 1, 2)
+SELECT seg_a, seg_b,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(na.n + nb.n - n_both AS BIGINT) AS n_either,
+       round(n_both * 1.0 / (na.n + nb.n - n_both), 4) AS jaccard
+FROM ovl
+JOIN sizes na ON seg_a = na.seg
+JOIN sizes nb ON seg_b = nb.seg
+ORDER BY seg_a, seg_b
+"""
+
+QUERIES["events_bitmap_audience"] = q_events_bitmap_audience
+ORACLES["events_bitmap_audience"] = ORACLE_EVENTS_BITMAP_AUDIENCE

@@ -574,3 +574,42 @@ def test_peak_concurrency_planted_and_twin(spark, tmp_path):
         for r in q_events_peak_concurrency(spark, SF).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------- bitmap audience
+def test_bitmap_audience_equals_set_math(spark):
+    """Bitmaps are exact: every pairwise (n_a, n_b, n_both, n_either,
+    jaccard) must equal plain python set arithmetic over the same
+    (event_type, user_id) pairs."""
+    from collections import defaultdict
+
+    from deja_view_spark.queries_events import q_events_bitmap_audience
+    from deja_view_spark.sources.catalog import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .toPandas()
+    )
+    segs = defaultdict(set)
+    for t, u in zip(ev["event_type"], ev["user_id"]):
+        segs[t].add(int(u))
+    want = {}
+    names = sorted(segs)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            nb = len(segs[a] & segs[b])
+            ne = len(segs[a] | segs[b])
+            want[(a, b)] = (
+                len(segs[a]),
+                len(segs[b]),
+                nb,
+                ne,
+                round(nb / ne, 4),
+            )
+    got = {
+        (r.seg_a, r.seg_b): (r.n_a, r.n_b, r.n_both, r.n_either, r.jaccard)
+        for r in q_events_bitmap_audience(spark, SF).collect()
+    }
+    assert got == want

@@ -219,6 +219,16 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # bitmap audience: events reduce once to (segment, word) bitmap
+    # rows (checkpointed — Scan ExistingRDD), overlaps join WORDS and
+    # fold bit_count, sizes broadcast back — no window, no user-row
+    # joins, no Python
+    (
+        "events_bitmap_audience",
+        [r"Scan ExistingRDD", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # sweep-line concurrency: sessionize per user (hashpartitioning on
     # user_id windows), then the running sum partitions BY DAY — no
     # SinglePartition global sort, no interval self-join, no Python
