@@ -1481,3 +1481,79 @@ ORDER BY seg_a, seg_b
 
 QUERIES["events_bitmap_audience"] = q_events_bitmap_audience
 ORACLES["events_bitmap_audience"] = ORACLE_EVENTS_BITMAP_AUDIENCE
+
+
+# ------------------------------------------------- SCD-2 history build
+# The warehouse history table: collapse the immutable event log into
+# per-user STATE VALIDITY INTERVALS (state = event_type; a new
+# interval opens when the state changes), each row carrying
+# valid_from / valid_to / the run length — slowly-changing-dimension
+# type 2 built from a log, the batch shape of every CDC-merge
+# pipeline. Gaps-and-islands: lag() flags changes, a running sum
+# numbers the islands, one agg folds each island to its interval.
+def q_events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SCD-2 state history from the event log.
+
+    Scale shape: both windows partition by user_id (hashpartitioning,
+    never a global sort) and the island fold is one partial agg — the
+    whole build is two window passes + one agg over the log, linear.
+    valid_to is the next interval's open instant (closed-open), NULL
+    on the current interval. Ordering ties broken by event_id so runs
+    are engine-stable at microsecond collisions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    isl = ev.withColumn("chg", changed).withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = isl.groupBy("user_id", "island", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return (
+        hist.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "user_id",
+            F.col("island").cast("int").alias("version"),
+            F.col("event_type").alias("state"),
+            "valid_from",
+            "valid_to",
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+ORACLE_EVENTS_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+              OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+isl AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+hist AS (
+  SELECT user_id, island, event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM isl GROUP BY 1, 2, 3)
+SELECT user_id, CAST(island AS INT) AS version, event_type AS state,
+       valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY island) AS valid_to,
+       n_events
+FROM hist
+ORDER BY user_id, version
+"""
+
+QUERIES["events_scd2_history"] = q_events_scd2_history
+ORACLES["events_scd2_history"] = ORACLE_EVENTS_SCD2

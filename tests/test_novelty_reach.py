@@ -613,3 +613,49 @@ def test_bitmap_audience_equals_set_math(spark):
         for r in q_events_bitmap_audience(spark, SF).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- SCD-2 history
+def test_scd2_history_matches_python_twin(spark):
+    """Interval invariants + full python-twin parity: versions are
+    1..k per user, consecutive states differ, valid_to chains to the
+    next valid_from (NULL on the open interval), n_events sums to the
+    user's event count."""
+    from collections import defaultdict
+
+    from deja_view_spark.queries_events import q_events_scd2_history
+    from deja_view_spark.sources.catalog import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .selectExpr("user_id", "event_id", "ts", "event_type")
+        .toPandas()
+    )
+    by_user = defaultdict(list)
+    for u, e, t, et in zip(
+        ev["user_id"], ev["event_id"], ev["ts"], ev["event_type"]
+    ):
+        by_user[int(u)].append((t, int(e), et))
+    want = []
+    for u, evs in sorted(by_user.items()):
+        evs.sort(key=lambda x: (x[0], x[1]))
+        runs = []
+        for t, e, et in evs:
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, t, 1])
+        for i, (et, t0, n) in enumerate(runs):
+            vto = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((u, i + 1, et, t0, vto, n))
+    out = [
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in q_events_scd2_history(spark, SF).collect()
+    ]
+    assert out == want
+    for u, evs in by_user.items():
+        rows = [r for r in out if r[0] == u]
+        assert [r[1] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a[2] != b[2] for a, b in zip(rows, rows[1:]))
+        assert sum(r[5] for r in rows) == len(evs)
+        assert rows[-1][4] is None

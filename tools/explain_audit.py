@@ -219,6 +219,14 @@ CHECKS = [
         [r"Window", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # SCD-2 history: both windows partition by user_id, island fold is
+    # one partial agg — linear over the log, no global sort, no Python
+    (
+        "events_scd2_history",
+        [r"Window", r"hashpartitioning\(user_id", PARTIAL_AGG],
+        [r"SinglePartition[\s\S]{0,200}Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # bitmap audience: events reduce once to (segment, word) bitmap
     # rows (checkpointed — Scan ExistingRDD), overlaps join WORDS and
     # fold bit_count, sizes broadcast back — no window, no user-row
