@@ -796,6 +796,7 @@ from deja_view_spark import queries_corpus as _QC  # noqa: E402
 from deja_view_spark import queries_discussions as _QD  # noqa: E402
 from deja_view_spark import queries_events as _QE  # noqa: E402
 from deja_view_spark import queries_graph as _QG  # noqa: E402
+from deja_view_spark import queries_linkage as _QLK  # noqa: E402
 from deja_view_spark import queries_lm as _QL  # noqa: E402
 from deja_view_spark import queries_quality as _QQ  # noqa: E402
 from deja_view_spark import queries_relational as _QR  # noqa: E402
@@ -820,6 +821,8 @@ QUERIES.update(_QRT.QUERIES)
 ORACLES.update(_QRT.ORACLES)
 QUERIES.update(_QL.QUERIES)
 ORACLES.update(_QL.ORACLES)
+QUERIES.update(_QLK.QUERIES)
+ORACLES.update(_QLK.ORACLES)
 
 # ------------------------------------------------------------------
 # Driver correctness-window rotation (round 3). The driver attests the

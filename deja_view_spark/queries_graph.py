@@ -608,12 +608,30 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is localCheckpoint'ed once and every round's label table is
     checkpointed too (linear lineage; on a cluster: cached/bucketed
     tables). Label tables are node-sized, never edge-sized."""
+    _half, _und, labels = _lpa_labels(spark, sf_dir)
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("comm_size"))
+    return (
+        labels.join(F.broadcast(sizes), "lab")
+        .select("node", F.col("lab").alias("community"), "comm_size")
+        .orderBy("node")
+    )
+
+
+def _lpa_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared LPA machinery: returns (half, und, labels) where half is
+    the canonical a<b undirected edge set, und its mirror (both
+    localCheckpoint'ed — reused by every round AND by downstream
+    community-metric queries without re-deriving the graph), and
+    labels the node->lab table after LPA_ROUNDS fixed rounds."""
     half = (
         _chain_edges(spark, sf_dir)
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = half.unionByName(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -640,15 +658,13 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("m.lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-    sizes = labels.groupBy("lab").agg(F.count("*").alias("comm_size"))
-    return (
-        labels.join(F.broadcast(sizes), "lab")
-        .select("node", F.col("lab").alias("community"), "comm_size")
-        .orderBy("node")
-    )
+    return half, und, labels
 
 
-def _oracle_label_prop() -> str:
+def _lpa_chain_sql() -> tuple[str, str]:
+    """(CTE prefix computing half/und/l0..lN, final label CTE name) —
+    shared by the LPA oracle and the modularity oracle so both engines'
+    label tables are the same computation by construction."""
     ctes = []
     prev = "l0"
     for r in range(1, LPA_ROUNDS + 1):
@@ -662,15 +678,21 @@ l{r} AS MATERIALIZED (
     FROM c{r}) WHERE rn = 1)""")
         prev = f"l{r}"
     chain = ",\n".join(ctes)
-    return f"""
-WITH {SQL_CHAIN_EDGES_CTES},
+    prefix = f"""{SQL_CHAIN_EDGES_CTES},
 half AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM edges),
 und AS MATERIALIZED (
   SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
 l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
-{chain}
+{chain}"""
+    return prefix, prev
+
+
+def _oracle_label_prop() -> str:
+    prefix, prev = _lpa_chain_sql()
+    return f"""
+WITH {prefix}
 SELECT l.node, l.lab AS community, s.comm_size
 FROM {prev} l
 JOIN (SELECT lab, count(*) AS comm_size FROM {prev} GROUP BY lab) s
@@ -819,3 +841,190 @@ ORACLE_EVENTS_PPR = _oracle_ppr()
 
 QUERIES["events_ppr"] = q_events_ppr
 ORACLES["events_ppr"] = ORACLE_EVENTS_PPR
+
+
+# ------------------------------------------------- community modularity
+# Newman-Girvan modularity of the LPA communities: per community c,
+# Q_c = e_c/m - (d_c/2m)^2 where e_c = intra-community edges, d_c = sum
+# of member degrees, m = |undirected edges|. The quality score that
+# tells you whether a community structure (here: the canonicalized
+# entity clusters a KG build emits) is real signal or partition noise
+# — the acceptance gate before trusting LPA/CC output downstream.
+#
+# Determinism: e_c, d_c, m are INTEGERS (exact in any shuffle order);
+# the only float math is the final per-row expression over those three
+# integers, written token-identically in both engines, rounded to 6dp.
+# The total Q = sum(q_contrib) is left to the READER (summing doubles
+# cross-engine is fold-order-dependent; per-community rows are not).
+def q_events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contributions over the LPA communities.
+
+    Scale shape: reuses the checkpointed LPA label table (node-sized);
+    intra-edge counting is TWO equi-joins of the half-edge set against
+    node-sized label tables + one partial agg keyed by community;
+    degree sums are one agg over the mirrored edges + one node-sized
+    join. m ships as a broadcast 1-row table. Nothing here is wider
+    than the edge list itself."""
+    half, und, labels = _lpa_labels(spark, sf_dir)
+    m_df = half.agg(F.count("*").alias("m"))
+    la = labels.withColumnRenamed("node", "a").withColumnRenamed("lab", "lab_a")
+    lb = labels.withColumnRenamed("node", "b").withColumnRenamed("lab", "lab_b")
+    intra = (
+        half.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("lab"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
+    dsum = (
+        deg.join(labels, "node")
+        .groupBy("lab")
+        .agg(F.sum("d").alias("deg_sum"), F.count("*").alias("n_nodes"))
+    )
+    return (
+        dsum.join(intra, "lab", "left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.col("lab").alias("community"),
+            "n_nodes",
+            "intra_edges",
+            "deg_sum",
+            F.round(
+                F.col("intra_edges") * 1.0 / F.col("m")
+                - (F.col("deg_sum") * 1.0 / (2 * F.col("m")))
+                * (F.col("deg_sum") * 1.0 / (2 * F.col("m"))),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+def _oracle_modularity() -> str:
+    prefix, prev = _lpa_chain_sql()
+    return f"""
+WITH {prefix},
+m AS (SELECT count(*) AS m FROM half),
+intra AS (
+  SELECT la.lab, count(*) AS intra_edges
+  FROM half h
+  JOIN {prev} la ON h.a = la.node
+  JOIN {prev} lb ON h.b = lb.node
+  WHERE la.lab = lb.lab GROUP BY la.lab),
+deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+dsum AS (
+  SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS deg_sum, count(*) AS n_nodes
+  FROM deg d JOIN {prev} l ON d.node = l.node GROUP BY l.lab)
+SELECT s.lab AS community, s.n_nodes,
+       coalesce(i.intra_edges, 0) AS intra_edges, s.deg_sum,
+       round(coalesce(i.intra_edges, 0) * 1.0 / m.m
+             - (s.deg_sum * 1.0 / (2 * m.m))
+             * (s.deg_sum * 1.0 / (2 * m.m)), 6) AS q_contrib
+FROM dsum s LEFT JOIN intra i ON s.lab = i.lab CROSS JOIN m
+ORDER BY community
+"""
+
+
+ORACLE_EVENTS_MODULARITY = _oracle_modularity()
+
+QUERIES["events_modularity"] = q_events_modularity
+ORACLES["events_modularity"] = ORACLE_EVENTS_MODULARITY
+
+
+# --------------------------------------------- degree assortativity
+# Pearson correlation of endpoint degrees over the undirected edge
+# list (Newman 2002, eq. 4 computed over the mirrored edge set so each
+# edge contributes both orientations): r > 0 = hubs link to hubs
+# (social graphs), r < 0 = hubs link to leaves (the fan-out shape KG
+# similarity graphs usually have — a sanity diagnostic before
+# community detection, and the skew early-warning for join planning:
+# strongly negative r means hot hub keys).
+#
+# Determinism: every sum (S_jk, S_j, S_jj, M2) is an exact BIGINT; the
+# correlation is ONE float expression over five integers, identical
+# tokens both engines, rounded to 6dp. NULLIF guards the regular-graph
+# degenerate case (zero variance).
+def q_events_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row degree-assortativity summary of the co-engagement
+    graph.
+
+    Scale shape: one degree agg (node-sized), two equi-joins of the
+    edge list against the node-sized degree table, one global partial
+    agg to five integers — the whole statistic is a map-side-combined
+    reduction; no window, no collect."""
+    _half, und, _labels = _und_edges(spark, sf_dir)
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
+    da = deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da")
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db")
+    s = (
+        und.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.sum(F.col("da") * F.col("db")).alias("s_jk"),
+            F.sum("da").alias("s_j"),
+            F.sum(F.col("da") * F.col("da")).alias("s_jj"),
+            F.count("*").alias("m2"),
+        )
+    )
+    n_df = und.select("a").distinct().agg(F.count("*").alias("n_nodes"))
+    return s.crossJoin(F.broadcast(n_df)).select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        F.round(
+            (
+                F.col("s_jk") * 1.0 / F.col("m2")
+                - (F.col("s_j") * 1.0 / F.col("m2"))
+                * (F.col("s_j") * 1.0 / F.col("m2"))
+            )
+            / F.nullif(
+                F.col("s_jj") * 1.0 / F.col("m2")
+                - (F.col("s_j") * 1.0 / F.col("m2"))
+                * (F.col("s_j") * 1.0 / F.col("m2")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def _und_edges(spark: SparkSession, sf_dir: str):
+    """(half, und, None) — the undirected edge sets without running
+    LPA (assortativity needs no labels; skipping the rounds keeps the
+    single-statistic query cheap)."""
+    half = (
+        _chain_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return half, und, None
+
+
+ORACLE_EVENTS_ASSORTATIVITY = f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+half AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges),
+und AS (SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
+deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+s AS (
+  SELECT sum(da.d * db.d) AS s_jk, sum(da.d) AS s_j,
+         sum(da.d * da.d) AS s_jj, count(*) AS m2
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+n AS (SELECT count(DISTINCT a) AS n_nodes FROM und)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, n_nodes,
+       round((s_jk * 1.0 / m2 - (s_j * 1.0 / m2) * (s_j * 1.0 / m2))
+             / nullif(s_jj * 1.0 / m2 - (s_j * 1.0 / m2) * (s_j * 1.0 / m2),
+                      0.0), 6) AS assortativity
+FROM s CROSS JOIN n
+"""
+
+QUERIES["events_assortativity"] = q_events_assortativity
+ORACLES["events_assortativity"] = ORACLE_EVENTS_ASSORTATIVITY

@@ -1,0 +1,229 @@
+"""Probabilistic record linkage (Fellegi-Sunter) — driver-checkable.
+
+``docs_record_linkage`` — the classic entity-resolution decision model
+(Fellegi & Sunter 1969) over the documents corpus: blocked candidate
+pairs are scored by a PER-FIELD agreement vector (language, length,
+token overlap) weighted by log-likelihood ratios log2(m/u) /
+log2((1-m)/(1-u)), then classified match / possible / non-match by
+two thresholds. This is the weighted multi-evidence entity-linking
+step of a KG build (reference semantics: deja-view links issues by a
+single cosine score — `github_similarity_service.py:370-424`; a
+production KG linker combines several weak field signals exactly this
+way), distinct from the dedup family: those threshold ONE similarity,
+this one fuses a VECTOR of field comparisons under a generative
+match/non-match model.
+
+Determinism contract (full value-hash oracle):
+- every gamma is integer arithmetic (length tolerance via
+  ``abs(da-db)*20 <= greatest(da,db)``, token-set Jaccard via
+  cross-multiplied integers ``10*|A∩B| >= 6*|A∪B|``) — no float
+  compare anywhere;
+- the m/u priors are module constants, so the 8 possible scores (and
+  their decisions) are precomputed IN PYTHON and inlined as one CASE
+  over the packed gamma bits — both engines evaluate literal doubles,
+  zero cross-engine float arithmetic (the same trick the scoring bank
+  uses);
+- the u-probability the model would estimate from data IS estimated
+  from data as an audit column: u_lang_hat = P(two random docs agree
+  on lang) = sum_l n_l*(n_l-1) / (n*(n-1)) — exact integer sums, one
+  final division, 6dp round.
+
+Scale shape: blocking key = first-4-token prefix (one narrow shuffle
+on a short string; production swap-in: any blocking key union —
+sorted-neighborhood windows, LSH bands — without touching the model);
+per-block posting arrays capped at BLOCK_CAP (the df-cutoff discipline
+every pair generator in this repo uses — oversized boilerplate blocks
+are dropped, bounded candidate count, never all-pairs); pair
+generation is bucket-local posexplode+slice in whole-stage codegen;
+the comparison vector and CASE score are pure expressions. The lang
+frequency table for u_lang_hat is a 5-row broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deja_view_spark.queries_text import TOKEN_RE
+from deja_view_spark.sources.catalog import load_table
+
+BLOCK_CAP = 50  # max docs per block before the block is dropped
+TOK_K = 50  # token-overlap field compares the first-K distinct tokens
+
+# m/u priors per field: m = P(field agrees | same entity), u = P(field
+# agrees | different entities). Externally calibrated constants (the
+# EM fit that estimates them in production is driver-side metadata
+# work, like the IVF sample fit); u_lang's data-driven estimate ships
+# alongside as the audit column.
+_MU = {
+    "lang": (0.95, 0.20),
+    "len": (0.90, 0.10),
+    "tok": (0.90, 0.02),
+}
+MATCH_T = 6.0  # score >= MATCH_T  -> 'match'
+POSSIBLE_T = 0.0  # score >= POSSIBLE_T -> 'possible'
+
+
+def _weights() -> dict[str, tuple[float, float]]:
+    """(agree, disagree) log2 likelihood-ratio weights per field."""
+    return {
+        f: (
+            round(math.log2(m / u), 4),
+            round(math.log2((1 - m) / (1 - u)), 4),
+        )
+        for f, (m, u) in _MU.items()
+    }
+
+
+def _score_case_sql() -> tuple[str, str]:
+    """Two CASE expressions over the packed gamma bits — score and
+    decision — with every branch a Python-computed literal. The SAME
+    string is used as a Spark expression and inside the DuckDB oracle,
+    so both engines evaluate identical double literals."""
+    w = _weights()
+    score_arms, dec_arms = [], []
+    for bits in range(8):
+        g = {
+            "lang": (bits >> 2) & 1,
+            "len": (bits >> 1) & 1,
+            "tok": bits & 1,
+        }
+        score = round(
+            sum(w[f][0] if g[f] else w[f][1] for f in ("lang", "len", "tok")),
+            4,
+        )
+        dec = (
+            "match"
+            if score >= MATCH_T
+            else ("possible" if score >= POSSIBLE_T else "non-match")
+        )
+        score_arms.append(f"WHEN {bits} THEN CAST({score!r} AS DOUBLE)")
+        dec_arms.append(f"WHEN {bits} THEN '{dec}'")
+    packed = "g_lang * 4 + g_len * 2 + g_tok"
+    return (
+        f"CASE {packed} {' '.join(score_arms)} END",
+        f"CASE {packed} {' '.join(dec_arms)} END",
+    )
+
+
+def q_docs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score_sql, dec_sql = _score_case_sql()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    rec = (
+        docs.select("doc_id", "lang", "n_chars", toks.alias("toks"))
+        .where(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.array_distinct(F.slice("toks", 1, TOK_K)).alias("t50"),
+            F.concat_ws(
+                " ",
+                F.element_at("toks", 1),
+                F.element_at("toks", 2),
+                F.element_at("toks", 3),
+                F.element_at("toks", 4),
+            ).alias("bk"),
+        )
+    )
+    # one shuffle: per-block posting arrays, sorted so pairs come out
+    # (a.doc_id < b.doc_id); BLOCK_CAP drops boilerplate mega-blocks
+    blocks = (
+        rec.groupBy("bk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "lang", "n_chars", "t50"))
+            ).alias("rs")
+        )
+        .where((F.size("rs") >= 2) & (F.size("rs") <= BLOCK_CAP))
+    )
+    pairs = (
+        blocks.select(F.posexplode("rs").alias("_i", "ra"), F.col("rs"))
+        .select(
+            "ra",
+            F.explode(
+                F.slice(F.col("rs"), F.col("_i") + 2, F.size("rs"))
+            ).alias("rb"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ra.t50"), F.col("rb.t50")))
+    union = F.size("ra.t50") + F.size("rb.t50") - inter
+    gammas = pairs.select(
+        F.col("ra.doc_id").alias("src_doc"),
+        F.col("rb.doc_id").alias("dst_doc"),
+        (F.col("ra.lang") == F.col("rb.lang")).cast("int").alias("g_lang"),
+        (
+            F.abs(F.col("ra.n_chars") - F.col("rb.n_chars")) * 20
+            <= F.greatest(F.col("ra.n_chars"), F.col("rb.n_chars"))
+        )
+        .cast("int")
+        .alias("g_len"),
+        (10 * inter >= 6 * union).cast("int").alias("g_tok"),
+    )
+    # audit column: data-estimated u for the lang field (exact integer
+    # sums over the 5-row lang histogram, one division at the end)
+    u_hat = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("nl"))
+        .agg(
+            F.sum(F.col("nl") * (F.col("nl") - 1)).alias("num"),
+            F.sum("nl").alias("nn"),
+        )
+        .select(
+            F.round(
+                F.col("num") * 1.0 / (F.col("nn") * (F.col("nn") - 1)), 6
+            ).alias("u_lang_hat")
+        )
+    )
+    return (
+        gammas.withColumn("fs_score", F.expr(score_sql))
+        .withColumn("decision", F.expr(dec_sql))
+        .crossJoin(F.broadcast(u_hat))
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+def _oracle_record_linkage() -> str:
+    score_sql, dec_sql = _score_case_sql()
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+k AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(toks[1:{TOK_K}]) AS t50,
+         concat_ws(' ', toks[1], toks[2], toks[3], toks[4]) AS bk
+  FROM t WHERE len(toks) >= 4),
+kept AS (
+  SELECT * FROM k
+  QUALIFY count(*) OVER (PARTITION BY bk) BETWEEN 2 AND {BLOCK_CAP}),
+u AS (
+  SELECT round(sum(nl * (nl - 1)) * 1.0
+               / (sum(nl) * (sum(nl) - 1)), 6) AS u_lang_hat
+  FROM (SELECT count(*) AS nl FROM documents GROUP BY lang)),
+p AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+         CAST(a.lang = b.lang AS INT) AS g_lang,
+         CAST(abs(a.n_chars - b.n_chars) * 20
+              <= greatest(a.n_chars, b.n_chars) AS INT) AS g_len,
+         CAST(10 * len(list_intersect(a.t50, b.t50))
+              >= 6 * (len(a.t50) + len(b.t50)
+                      - len(list_intersect(a.t50, b.t50))) AS INT) AS g_tok
+  FROM kept a JOIN kept b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+SELECT src_doc, dst_doc, g_lang, g_len, g_tok,
+       {score_sql} AS fs_score,
+       {dec_sql} AS decision,
+       u.u_lang_hat
+FROM p CROSS JOIN u
+ORDER BY src_doc, dst_doc
+"""
+
+
+ORACLE_DOCS_RECORD_LINKAGE = _oracle_record_linkage()
+
+QUERIES = {"docs_record_linkage": q_docs_record_linkage}
+ORACLES = {"docs_record_linkage": ORACLE_DOCS_RECORD_LINKAGE}

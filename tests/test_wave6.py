@@ -1,0 +1,195 @@
+"""Community modularity, degree assortativity, and Fellegi-Sunter
+record linkage (queries_graph.py, queries_linkage.py).
+
+Planted-graph oracles: two disjoint triangles have a closed-form
+modularity (0.25 per community) and a zero-variance degree
+distribution (assortativity NULL); a star graph has assortativity
+exactly -1. Linkage is checked against hand-scored planted records
+plus pure-Python model invariants (the registry queries' DuckDB
+value-hash parity is the driver's job)."""
+
+import math
+from datetime import datetime
+
+from deja_view_spark.queries_graph import (
+    q_events_assortativity,
+    q_events_modularity,
+)
+from deja_view_spark.queries_linkage import (
+    MATCH_T,
+    POSSIBLE_T,
+    _score_case_sql,
+    _weights,
+    q_docs_record_linkage,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_from_items(spark, tmp_path, items):
+    """events.parquet where item i is touched by the given user set —
+    chain edges come out as consecutive sorted-user pairs."""
+    rows = []
+    eid = 0
+    for item, users in items:
+        for u in users:
+            rows.append(
+                (eid, datetime(2024, 1, 1), u, "view", 1.0, '{"k": %d}' % item)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ev")
+    df.write.parquet(d + "/events.parquet")
+    return d
+
+
+# ------------------------------------------------------------ modularity
+def test_modularity_two_triangles(spark, tmp_path):
+    """Two disjoint triangles: LPA converges to one community per
+    triangle; each contributes Q_c = 3/6 - (6/12)^2 = 0.25."""
+    items = [(i, us) for i, us in enumerate(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    )]
+    d = _events_from_items(spark, tmp_path, items)
+    rows = q_events_modularity(spark, d).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_nodes == 3
+        assert r.intra_edges == 3
+        assert r.deg_sum == 6
+        assert r.q_contrib == 0.25
+
+
+def test_modularity_consistent_with_assortativity_graph(spark):
+    """Cross-query graph-identity invariants at sf0.001: community
+    node counts partition the node set and degree sums add to 2m."""
+    mod = q_events_modularity(spark, SF).collect()
+    ast = q_events_assortativity(spark, SF).collect()[0]
+    assert sum(r.n_nodes for r in mod) == ast.n_nodes
+    assert sum(r.deg_sum for r in mod) == 2 * ast.n_edges
+    assert sum(r.intra_edges for r in mod) <= ast.n_edges
+    for r in mod:
+        # e_c/m <= 1 and (d_c/2m)^2 >= 0 bound every contribution
+        assert -0.25 <= r.q_contrib <= 1.0
+
+
+# -------------------------------------------------------- assortativity
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """Star K_{1,4}: every edge joins deg-4 hub to deg-1 leaf — the
+    endpoint-degree correlation is exactly -1."""
+    d = _events_from_items(
+        spark, tmp_path, [(i, (0, i)) for i in (1, 2, 3, 4)]
+    )
+    row = q_events_assortativity(spark, d).collect()[0]
+    assert row.n_edges == 4
+    assert row.n_nodes == 5
+    assert row.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark, tmp_path):
+    """Two triangles = 2-regular graph: zero degree variance, the
+    NULLIF guard yields NULL instead of a division error."""
+    d = _events_from_items(
+        spark, tmp_path,
+        [(i, us) for i, us in enumerate(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+        )],
+    )
+    row = q_events_assortativity(spark, d).collect()[0]
+    assert row.n_edges == 6
+    assert row.assortativity is None
+
+
+# ------------------------------------------------------- record linkage
+def test_fs_weights_sign_and_monotonicity():
+    """Agreement weight positive, disagreement negative, for every
+    field (m > u by construction); flipping any gamma 0->1 raises the
+    packed-CASE score."""
+    w = _weights()
+    for agree, disagree in w.values():
+        assert agree > 0 > disagree
+    score_sql, _ = _score_case_sql()
+    # reconstruct the 8 literals straight from the generator
+    combo = {
+        bits: round(
+            sum(
+                w[f][0] if (bits >> s) & 1 else w[f][1]
+                for f, s in (("lang", 2), ("len", 1), ("tok", 0))
+            ),
+            4,
+        )
+        for bits in range(8)
+    }
+    for bits in range(8):
+        for s in range(3):
+            if not (bits >> s) & 1:
+                assert combo[bits | (1 << s)] > combo[bits]
+        assert repr(combo[bits]) in score_sql
+
+
+def test_record_linkage_planted_decisions(spark, tmp_path):
+    """Hand-scored planted pairs: full agreement -> match; same block
+    but different lang/length/tokens -> non-match; different block ->
+    no candidate pair at all."""
+    common = "alpha beta gamma delta"
+    near = common + " " + " ".join(f"tok{i}" for i in range(30))
+    far = common + " " + " ".join(f"zzz{i}" for i in range(300))
+    other = "omega psi chi phi " + " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, near, "en", "a", len(near)),
+        (2, near + " tail", "en", "a", len(near) + 5),
+        (3, far, "de", "a", len(far)),
+        (4, other, "en", "a", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    got = {
+        (r.src_doc, r.dst_doc): r
+        for r in q_docs_record_linkage(spark, d).collect()
+    }
+    # docs 1,2,3 share the block; 4 does not pair with anyone
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    full = got[(1, 2)]
+    assert (full.g_lang, full.g_len, full.g_tok) == (1, 1, 1)
+    assert full.decision == "match" and full.fs_score >= MATCH_T
+    cold = got[(1, 3)]
+    assert (cold.g_lang, cold.g_len, cold.g_tok) == (0, 0, 0)
+    assert cold.decision == "non-match" and cold.fs_score < POSSIBLE_T
+    # the audit estimate is a probability
+    assert 0.0 <= full.u_lang_hat <= 1.0
+
+
+def test_record_linkage_registry_shape(spark):
+    """sf0.001 smoke: ordered canonical pairs, binary gammas, every
+    score consistent with its decision thresholds."""
+    w = _weights()
+    rows = q_docs_record_linkage(spark, SF).collect()
+    for r in rows:
+        assert r.src_doc < r.dst_doc
+        assert r.g_lang in (0, 1) and r.g_len in (0, 1) and r.g_tok in (0, 1)
+        expect = round(
+            sum(
+                w[f][0] if g else w[f][1]
+                for f, g in (
+                    ("lang", r.g_lang),
+                    ("len", r.g_len),
+                    ("tok", r.g_tok),
+                )
+            ),
+            4,
+        )
+        assert math.isclose(r.fs_score, expect)
+        if r.fs_score >= MATCH_T:
+            assert r.decision == "match"
+        elif r.fs_score >= POSSIBLE_T:
+            assert r.decision == "possible"
+        else:
+            assert r.decision == "non-match"

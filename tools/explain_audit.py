@@ -508,6 +508,30 @@ CHECKS = [
          r"PushedFilters: \[IsNotNull\(o_orderdate\), GreaterThanOrEqual\(o_orderdate"],
         [r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # modularity: label/degree tables are node-sized equi-joins over
+    # the checkpointed edge set; intra/degree sums are partial aggs;
+    # the only nested-loop is the broadcast 1-row m table (crossJoin)
+    (
+        "events_modularity",
+        [PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # assortativity: one degree agg + two edge-degree equi-joins fold
+    # to five integers map-side; nothing Python, nothing cartesian
+    (
+        "events_assortativity",
+        [PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # record linkage: ONE shuffle builds per-block posting arrays, the
+    # candidate pairs come from bucket-local posexplode+slice
+    # (Generate), never a self-join; gammas + CASE score are codegen
+    (
+        "docs_record_linkage",
+        [r"Generate", PARTIAL_AGG],
+        [r"CartesianProduct", r"SortMergeJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
