@@ -1028,3 +1028,138 @@ FROM s CROSS JOIN n
 
 QUERIES["events_assortativity"] = q_events_assortativity
 ORACLES["events_assortativity"] = ORACLE_EVENTS_ASSORTATIVITY
+
+
+# --------------------------------------- time-respecting reachability
+# Temporal K-hop reachability (Holme-Saramäki temporal-network
+# semantics): a path is valid only if edge times are NON-DECREASING
+# along it — "who could information from the seeds have reached,
+# given when each interaction actually happened". The static reach
+# census (events_reach_k) overcounts: an edge that fired BEFORE the
+# infection arrived cannot forward it. Temporal edges: per item, the
+# first-touch sequence ordered by (first_ts, user_id); consecutive
+# touchers u_i -> u_{i+1} with edge time = u_{i+1}'s first touch
+# (micros). Seeds = user_id % 13 == 0, active from t=0.
+#
+# Determinism: arrival times are INTEGER microseconds and each round
+# takes a per-node min — order-independent; rounds fixed at
+# TEMPORAL_HOPS so both engines run the identical computation.
+#
+# Scale shape: the frontier relaxation is one equi-join (edges x
+# node-sized arrival table, time predicate in the join condition) +
+# one min partial agg per round, over a localCheckpoint'ed edge set —
+# the Bellman-Ford round shape, linear lineage, arrival table
+# node-sized.
+TEMPORAL_HOPS = 3
+TEMPORAL_SEED_MOD = 13
+
+
+def _temporal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    touched = (
+        ev.select(
+            item.alias("item"),
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .groupBy("item", "user_id")
+        .agg(F.min("us").alias("t"))
+    )
+    chains = touched.groupBy("item").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("user_id")))
+        ).alias("us")
+    )
+    pair_idx = F.when(
+        F.size("us") > 1, F.sequence(F.lit(1), F.size("us") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        chains.select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("us", i)["user_id"].alias("src"),
+                        F.element_at("us", i + 1)["user_id"].alias("dst"),
+                        F.element_at("us", i + 1)["t"].alias("t"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.t")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_events_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _temporal_edges(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % TEMPORAL_SEED_MOD == 0)
+        .select("node", F.lit(0).cast("long").alias("arr"))
+    )
+    arrival = seeds
+    for _ in range(TEMPORAL_HOPS):
+        relax = (
+            edges.join(arrival.withColumnRenamed("node", "src"), "src")
+            .where(F.col("t") >= F.col("arr"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arr"))
+        )
+        arrival = (
+            arrival.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=True)
+        )
+    return arrival.select(
+        "node",
+        (F.col("node") % TEMPORAL_SEED_MOD == 0).alias("is_seed"),
+        F.col("arr").alias("first_reach_us"),
+    ).orderBy("node")
+
+
+def _oracle_temporal_reach() -> str:
+    ctes = []
+    prev = "a0"
+    for r in range(1, TEMPORAL_HOPS + 1):
+        ctes.append(f"""a{r} AS MATERIALIZED (
+  SELECT node, min(arr) AS arr FROM (
+    SELECT node, arr FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM tedges e JOIN {prev} p ON e.src = p.node AND e.t >= p.arr)
+  GROUP BY node)""")
+        prev = f"a{r}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH touched AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         user_id, min(epoch_us(ts)) AS t
+  FROM events GROUP BY 1, 2),
+ord AS (
+  SELECT item, user_id, t,
+         row_number() OVER (PARTITION BY item ORDER BY t, user_id) AS rn
+  FROM touched),
+tedges AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst, b.t AS t
+  FROM ord a JOIN ord b ON a.item = b.item AND b.rn = a.rn + 1
+  WHERE a.user_id <> b.user_id),
+nodes AS (SELECT src AS node FROM tedges UNION SELECT dst FROM tedges),
+a0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS arr FROM nodes
+  WHERE node % {TEMPORAL_SEED_MOD} = 0),
+{chain}
+SELECT node, node % {TEMPORAL_SEED_MOD} = 0 AS is_seed,
+       arr AS first_reach_us
+FROM {prev} ORDER BY node
+"""
+
+
+ORACLE_EVENTS_TEMPORAL_REACH = _oracle_temporal_reach()
+
+QUERIES["events_temporal_reach"] = q_events_temporal_reach
+ORACLES["events_temporal_reach"] = ORACLE_EVENTS_TEMPORAL_REACH

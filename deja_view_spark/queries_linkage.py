@@ -225,5 +225,150 @@ ORDER BY src_doc, dst_doc
 
 ORACLE_DOCS_RECORD_LINKAGE = _oracle_record_linkage()
 
-QUERIES = {"docs_record_linkage": q_docs_record_linkage}
-ORACLES = {"docs_record_linkage": ORACLE_DOCS_RECORD_LINKAGE}
+
+# ---------------------------------------------------- blocking quality
+# The two numbers every ER/dedup blocking scheme is judged by
+# (Christen 2012): pair completeness PC = fraction of TRUE near-dup
+# pairs the blocking co-blocks (recall of the candidate generator) and
+# reduction ratio RR = 1 - candidates / all-pairs (how much of the
+# quadratic it avoids). Ground truth here = the exact 3-gram-Jaccard
+# near-dup pairs (docs_jaccard_pairs — itself oracle-checked), so the
+# metric measures the FS prefix blocking against a content-similarity
+# truth it does not see. On boilerplate-headed corpora (the sf1 stress
+# generator) this query is the machine-readable form of the blocking
+# degeneracy: PC collapses because BLOCK_CAP drops the mega-blocks —
+# the measured argument for unioning a content-aware pass (SNM / LSH
+# bands, both in this repo) into the candidate set.
+#
+# Determinism: every count is an exact integer; PC and RR are one
+# token-identical division each, 6dp round, NULLIF-guarded.
+#
+# Scale shape: block sizes are ONE narrow shuffle; the truth table is
+# the already-bucketed jaccard pair set (never all-pairs); the final
+# row is a crossJoin of broadcast 1-row aggregates.
+def q_docs_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.queries_text import q_docs_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    rec = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("toks", 1),
+                F.element_at("toks", 2),
+                F.element_at("toks", 3),
+                F.element_at("toks", 4),
+            ).alias("bk"),
+        )
+    )
+    bsz = rec.groupBy("bk").agg(F.count("*").alias("s"))
+    kept = bsz.where((F.col("s") >= 2) & (F.col("s") <= BLOCK_CAP))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_cand = kept.agg(
+        F.expr(
+            "CAST(coalesce(sum(s * (s - 1)), 0) DIV 2 AS BIGINT)"
+        ).alias("n_cand_pairs")
+    )
+    n_drop = bsz.where(F.col("s") > BLOCK_CAP).agg(
+        F.count("*").alias("n_blocks_dropped")
+    )
+    truth = q_docs_jaccard_pairs(spark, sf_dir).select("src_doc", "dst_doc")
+    bka = rec.select(F.col("doc_id").alias("src_doc"), F.col("bk").alias("bk_a"))
+    bkb = rec.select(F.col("doc_id").alias("dst_doc"), F.col("bk").alias("bk_b"))
+    kflag = kept.select(F.col("bk").alias("bk_a"), F.lit(1).alias("kept_flag"))
+    tc = (
+        truth.join(bka, "src_doc", "left")
+        .join(bkb, "dst_doc", "left")
+        .join(kflag, "bk_a", "left")
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("bk_a") == F.col("bk_b"))
+                        & (F.col("kept_flag") == 1),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_caught"),
+        )
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_drop))
+        .select(
+            "n_docs",
+            "n_true_pairs",
+            "n_cand_pairs",
+            "n_caught",
+            "n_blocks_dropped",
+            F.round(
+                F.col("n_caught") * 1.0 / F.nullif(F.col("n_true_pairs"), F.lit(0)),
+                6,
+            ).alias("pair_completeness"),
+            F.round(
+                1
+                - F.col("n_cand_pairs")
+                * 2.0
+                / (F.col("n_docs") * (F.col("n_docs") - 1)),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def _oracle_blocking_quality() -> str:
+    from deja_view_spark.queries_text import _JACCARD_CAND_SQL
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+k AS (
+  SELECT doc_id,
+         concat_ws(' ', toks[1], toks[2], toks[3], toks[4]) AS bk
+  FROM t WHERE len(toks) >= 4),
+bsz AS (SELECT bk, count(*) AS s FROM k GROUP BY bk),
+kept AS (SELECT bk, s FROM bsz WHERE s BETWEEN 2 AND {BLOCK_CAP}),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+cand AS (
+  SELECT CAST(coalesce(sum(s * (s - 1)), 0) // 2 AS BIGINT) AS n_cand_pairs
+  FROM kept),
+drp AS (
+  SELECT count(*) AS n_blocks_dropped FROM bsz WHERE s > {BLOCK_CAP}),
+truth AS (SELECT src_doc, dst_doc FROM ({_JACCARD_CAND_SQL})),
+tc AS (
+  SELECT count(*) AS n_true_pairs,
+         CAST(coalesce(sum(CASE WHEN ka.bk = kb.bk AND kk.bk IS NOT NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+  FROM truth tr
+  LEFT JOIN k ka ON tr.src_doc = ka.doc_id
+  LEFT JOIN k kb ON tr.dst_doc = kb.doc_id
+  LEFT JOIN kept kk ON ka.bk = kk.bk)
+SELECT n_docs, n_true_pairs, n_cand_pairs, n_caught, n_blocks_dropped,
+       round(n_caught * 1.0 / nullif(n_true_pairs, 0), 6)
+         AS pair_completeness,
+       round(1 - n_cand_pairs * 2.0 / (n_docs * (n_docs - 1)), 6)
+         AS reduction_ratio
+FROM nd CROSS JOIN tc CROSS JOIN cand CROSS JOIN drp
+"""
+
+
+ORACLE_DOCS_BLOCKING_QUALITY = _oracle_blocking_quality()
+
+QUERIES = {
+    "docs_record_linkage": q_docs_record_linkage,
+    "docs_blocking_quality": q_docs_blocking_quality,
+}
+ORACLES = {
+    "docs_record_linkage": ORACLE_DOCS_RECORD_LINKAGE,
+    "docs_blocking_quality": ORACLE_DOCS_BLOCKING_QUALITY,
+}

@@ -14,12 +14,14 @@ from datetime import datetime
 from deja_view_spark.queries_graph import (
     q_events_assortativity,
     q_events_modularity,
+    q_events_temporal_reach,
 )
 from deja_view_spark.queries_linkage import (
     MATCH_T,
     POSSIBLE_T,
     _score_case_sql,
     _weights,
+    q_docs_blocking_quality,
     q_docs_record_linkage,
 )
 
@@ -165,6 +167,67 @@ def test_record_linkage_planted_decisions(spark, tmp_path):
     assert cold.decision == "non-match" and cold.fs_score < POSSIBLE_T
     # the audit estimate is a probability
     assert 0.0 <= full.u_lang_hat <= 1.0
+
+
+def test_blocking_quality_planted(spark, tmp_path):
+    """On the linkage planted corpus the numbers are closed-form AND
+    demonstrate the metric catching a blocking miss: the Jaccard truth
+    has 3 pairs — (1,2) plus (1,4)/(2,4) via the shared tok0..29 body —
+    but doc 4 opens with a different prefix, so blocking co-blocks only
+    (1,2): PC = 1/3. One kept 3-doc block -> 3 candidates of 6 possible
+    (RR = 0.5); nothing over the cap."""
+    common = "alpha beta gamma delta"
+    near = common + " " + " ".join(f"tok{i}" for i in range(30))
+    far = common + " " + " ".join(f"zzz{i}" for i in range(300))
+    other = "omega psi chi phi " + " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, near, "en", "a", len(near)),
+        (2, near + " tail", "en", "a", len(near) + 5),
+        (3, far, "de", "a", len(far)),
+        (4, other, "en", "a", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    row = q_docs_blocking_quality(spark, d).collect()[0]
+    assert row.n_docs == 4
+    assert row.n_true_pairs == 3 and row.n_caught == 1
+    assert row.pair_completeness == round(1 / 3, 6)
+    assert row.n_cand_pairs == 3 and row.n_blocks_dropped == 0
+    assert row.reduction_ratio == 0.5
+
+
+def test_temporal_reach_respects_edge_times(spark, tmp_path):
+    """Time-respecting semantics: an edge that fired BEFORE the seed's
+    influence arrived cannot forward it, and edges INTO a seed do not
+    make their source reachable. Seeds 13 and 26; edge 13->5 fires at
+    t=20; edge 5->11 fired at t=15 (< 20, blocked); edge 9->26 points
+    at the seed (9 stays unreached)."""
+    def ev(eid, sec, user, item):
+        return (
+            eid, datetime(2024, 1, 1, 0, 0, sec), user, "view", 1.0,
+            '{"k": %d}' % item,
+        )
+    rows = [
+        ev(0, 10, 13, 1), ev(1, 20, 5, 1),   # 13 -> 5 @20
+        ev(2, 5, 5, 4), ev(3, 15, 11, 4),    # 5 -> 11 @15 (stale)
+        ev(4, 1, 9, 3), ev(5, 30, 26, 3),    # 9 -> 26 @30 (into seed)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ev")
+    df.write.parquet(d + "/events.parquet")
+    got = {r.node: r for r in q_events_temporal_reach(spark, d).collect()}
+    assert set(got) == {5, 13, 26}
+    assert got[13].is_seed and got[13].first_reach_us == 0
+    assert got[26].is_seed and got[26].first_reach_us == 0
+    assert not got[5].is_seed and got[5].first_reach_us > 0
 
 
 def test_record_linkage_registry_shape(spark):

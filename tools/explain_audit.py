@@ -532,6 +532,24 @@ CHECKS = [
         [r"CartesianProduct", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # blocking quality: block sizes one narrow shuffle, the truth set
+    # is the bucketed jaccard pair table (Generate), final row is
+    # broadcast 1-row aggregates — nothing cartesian, nothing Python
+    (
+        "docs_blocking_quality",
+        [r"Generate", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # temporal reach: the K relaxation rounds run behind per-round
+    # localCheckpoints (linear lineage), so the final plan is a sort
+    # over the node-sized checkpointed arrival table — no join, no
+    # aggregate, no Python should survive into it
+    (
+        "events_temporal_reach",
+        [r"Sort"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
