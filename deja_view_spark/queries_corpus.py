@@ -739,6 +739,26 @@ def _sn_pass_pairs(t: DataFrame, blk, key) -> DataFrame:
     ).where(F.col("other").isNotNull())
 
 
+def sn_candidate_pairs(t: DataFrame) -> DataFrame:
+    """Canonical (src_doc < dst_doc) two-pass SNM candidate pairs over
+    a (doc_id, tk) token table — shared by the SNM dedup query and the
+    multi-pass record linkage (queries_linkage)."""
+    fwd_blk = F.element_at("tk", 1)
+    fwd_key = F.concat_ws(" ", F.slice("tk", 1, SN_KEY_TOKENS))
+    rev = F.reverse(F.col("tk"))
+    rev_blk = F.element_at(rev, 1)
+    rev_key = F.concat_ws(" ", F.slice(rev, 1, SN_KEY_TOKENS))
+    return (
+        _sn_pass_pairs(t, fwd_blk, fwd_key)
+        .unionByName(_sn_pass_pairs(t, rev_blk, rev_key))
+        .select(
+            F.least("doc_id", "other").alias("src_doc"),
+            F.greatest("doc_id", "other").alias("dst_doc"),
+        )
+        .distinct()
+    )
+
+
 def q_docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass sorted-neighborhood near-dup pairs (forward + reversed
     token-prefix keys), verified by exact token-set Jaccard >=
@@ -755,20 +775,7 @@ def q_docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
     t = docs.select("doc_id", toks.alias("tk")).where(F.size("tk") >= 1)
-    fwd_blk = F.element_at("tk", 1)
-    fwd_key = F.concat_ws(" ", F.slice("tk", 1, SN_KEY_TOKENS))
-    rev = F.reverse(F.col("tk"))
-    rev_blk = F.element_at(rev, 1)
-    rev_key = F.concat_ws(" ", F.slice(rev, 1, SN_KEY_TOKENS))
-    cands = (
-        _sn_pass_pairs(t, fwd_blk, fwd_key)
-        .unionByName(_sn_pass_pairs(t, rev_blk, rev_key))
-        .select(
-            F.least("doc_id", "other").alias("src_doc"),
-            F.greatest("doc_id", "other").alias("dst_doc"),
-        )
-        .distinct()
-    )
+    cands = sn_candidate_pairs(t)
     sets = t.select("doc_id", F.array_distinct("tk").alias("ts"))
     a = sets.select(F.col("doc_id").alias("src_doc"), F.col("ts").alias("_ta"))
     b = sets.select(F.col("doc_id").alias("dst_doc"), F.col("ts").alias("_tb"))
@@ -784,8 +791,10 @@ def q_docs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SORTED_NEIGHBORHOOD = f"""
-WITH t AS (
+# the SNM candidate CTE chain (t/fwd/rev/cand) is shared verbatim with
+# the multi-pass record-linkage oracle (queries_linkage) so both
+# engines' candidate sets are the same computation by construction
+SN_CAND_SQL = f"""t AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
   WHERE len({_SQL_TOKS}) >= 1),
 fwd AS (
@@ -813,7 +822,10 @@ cand AS (
   UNION
   SELECT DISTINCT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
   FROM rev a JOIN rev b
-    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SN_W}),
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SN_W})"""
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH {SN_CAND_SQL},
 sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t),
 scored AS (
   SELECT src_doc, dst_doc,

@@ -364,11 +364,180 @@ FROM nd CROSS JOIN tc CROSS JOIN cand CROSS JOIN drp
 
 ORACLE_DOCS_BLOCKING_QUALITY = _oracle_blocking_quality()
 
+
+# ------------------------------------------------- multi-pass linkage
+# The production answer to the blocking degeneracy docs_blocking_quality
+# measures: UNION two independent blocking passes — the prefix key and
+# the two-pass sorted-neighborhood windows (Hernandez-Stolfo multi-pass
+# merge/purge, exactly as the original paper prescribes) — then score
+# every candidate once with the same FS model. Per-pair provenance
+# flags (via_prefix / via_snm) make the union auditable: on the oracle
+# corpus most pairs carry both flags; on boilerplate-headed corpora
+# (the sf1 stress generator) the prefix flag vanishes and SNM carries
+# the recall.
+#
+# Scale shape: each pass keeps its own bound (capped posting arrays /
+# O(n·w) windows); the union dedups on fixed-width (long, long) keys;
+# gammas need two hash joins back to the node-sized field table; score
+# is the same literal CASE.
+def q_docs_record_linkage_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deja_view_spark.queries_corpus import sn_candidate_pairs
+
+    score_sql, dec_sql = _score_case_sql()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    base = docs.select(
+        "doc_id", "lang", "n_chars", toks.alias("toks")
+    ).where(F.size("toks") >= 1)
+    # pass 1: capped prefix blocks (docs with >= 4 tokens)
+    rec4 = base.where(F.size("toks") >= 4).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", 1),
+            F.element_at("toks", 2),
+            F.element_at("toks", 3),
+            F.element_at("toks", 4),
+        ).alias("bk"),
+    )
+    blocks = (
+        rec4.groupBy("bk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= BLOCK_CAP))
+    )
+    pp = (
+        blocks.select(F.posexplode("ids").alias("_i", "src_doc"), F.col("ids"))
+        .select(
+            "src_doc",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("dst_doc"),
+        )
+        .select(
+            "src_doc",
+            "dst_doc",
+            F.lit(1).alias("vp"),
+            F.lit(0).alias("vs"),
+        )
+    )
+    # pass 2: sorted-neighborhood windows (any token count)
+    snm = sn_candidate_pairs(
+        base.select("doc_id", F.col("toks").alias("tk"))
+    ).select(
+        "src_doc", "dst_doc", F.lit(0).alias("vp"), F.lit(1).alias("vs")
+    )
+    u = (
+        pp.unionByName(snm)
+        .groupBy("src_doc", "dst_doc")
+        .agg(
+            F.max("vp").cast("int").alias("via_prefix"),
+            F.max("vs").cast("int").alias("via_snm"),
+        )
+    )
+    fields = base.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(F.slice("toks", 1, TOK_K)).alias("t50"),
+    )
+    fa = fields.select(
+        F.col("doc_id").alias("src_doc"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("t50").alias("t50_a"),
+    )
+    fb = fields.select(
+        F.col("doc_id").alias("dst_doc"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("t50").alias("t50_b"),
+    )
+    inter = F.size(F.array_intersect("t50_a", "t50_b"))
+    union = F.size("t50_a") + F.size("t50_b") - inter
+    gammas = (
+        u.join(fa, "src_doc")
+        .join(fb, "dst_doc")
+        .select(
+            "src_doc",
+            "dst_doc",
+            "via_prefix",
+            "via_snm",
+            (F.col("lang_a") == F.col("lang_b")).cast("int").alias("g_lang"),
+            (
+                F.abs(F.col("nc_a") - F.col("nc_b")) * 20
+                <= F.greatest(F.col("nc_a"), F.col("nc_b"))
+            )
+            .cast("int")
+            .alias("g_len"),
+            (10 * inter >= 6 * union).cast("int").alias("g_tok"),
+        )
+    )
+    return (
+        gammas.withColumn("fs_score", F.expr(score_sql))
+        .withColumn("decision", F.expr(dec_sql))
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+def _oracle_record_linkage_multi() -> str:
+    from deja_view_spark.queries_corpus import SN_CAND_SQL
+
+    score_sql, dec_sql = _score_case_sql()
+    return f"""
+WITH {SN_CAND_SQL},
+k AS (
+  SELECT doc_id,
+         concat_ws(' ', toks[1], toks[2], toks[3], toks[4]) AS bk
+  FROM t WHERE len(toks) >= 4),
+kb AS (
+  SELECT * FROM k
+  QUALIFY count(*) OVER (PARTITION BY bk) BETWEEN 2 AND {BLOCK_CAP}),
+pp AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc
+  FROM kb a JOIN kb b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+u AS (
+  SELECT src_doc, dst_doc,
+         CAST(max(vp) AS INT) AS via_prefix,
+         CAST(max(vs) AS INT) AS via_snm
+  FROM (
+    SELECT src_doc, dst_doc, 1 AS vp, 0 AS vs FROM pp
+    UNION ALL
+    SELECT src_doc, dst_doc, 0 AS vp, 1 AS vs FROM cand)
+  GROUP BY 1, 2),
+f AS (
+  SELECT t.doc_id, d.lang, d.n_chars,
+         list_distinct(toks[1:{TOK_K}]) AS t50
+  FROM t JOIN documents d USING (doc_id)),
+p AS (
+  SELECT u.src_doc, u.dst_doc, u.via_prefix, u.via_snm,
+         CAST(a.lang = b.lang AS INT) AS g_lang,
+         CAST(abs(a.n_chars - b.n_chars) * 20
+              <= greatest(a.n_chars, b.n_chars) AS INT) AS g_len,
+         CAST(10 * len(list_intersect(a.t50, b.t50))
+              >= 6 * (len(a.t50) + len(b.t50)
+                      - len(list_intersect(a.t50, b.t50))) AS INT) AS g_tok
+  FROM u
+  JOIN f a ON u.src_doc = a.doc_id
+  JOIN f b ON u.dst_doc = b.doc_id)
+SELECT src_doc, dst_doc, via_prefix, via_snm, g_lang, g_len, g_tok,
+       {score_sql} AS fs_score,
+       {dec_sql} AS decision
+FROM p
+ORDER BY src_doc, dst_doc
+"""
+
+
+ORACLE_DOCS_RECORD_LINKAGE_MULTI = _oracle_record_linkage_multi()
+
 QUERIES = {
     "docs_record_linkage": q_docs_record_linkage,
     "docs_blocking_quality": q_docs_blocking_quality,
+    "docs_record_linkage_multi": q_docs_record_linkage_multi,
 }
 ORACLES = {
     "docs_record_linkage": ORACLE_DOCS_RECORD_LINKAGE,
     "docs_blocking_quality": ORACLE_DOCS_BLOCKING_QUALITY,
+    "docs_record_linkage_multi": ORACLE_DOCS_RECORD_LINKAGE_MULTI,
 }

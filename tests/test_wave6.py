@@ -23,6 +23,7 @@ from deja_view_spark.queries_linkage import (
     _weights,
     q_docs_blocking_quality,
     q_docs_record_linkage,
+    q_docs_record_linkage_multi,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -228,6 +229,46 @@ def test_temporal_reach_respects_edge_times(spark, tmp_path):
     assert got[13].is_seed and got[13].first_reach_us == 0
     assert got[26].is_seed and got[26].first_reach_us == 0
     assert not got[5].is_seed and got[5].first_reach_us > 0
+
+
+def test_record_linkage_multi_pass_union(spark, tmp_path):
+    """The SNM pass rescues a pair the prefix key misses: doc 4 shares
+    doc 1's token body (reversed-key block) but not its opening, so
+    (1,4) arrives with via_snm=1, via_prefix=0 and full field
+    agreement -> match. The prefix-caught pair (1,2) carries both
+    provenance flags (same opening AND adjacent in the forward sort)."""
+    common = "alpha beta gamma delta"
+    near = common + " " + " ".join(f"tok{i}" for i in range(30))
+    far = common + " " + " ".join(f"zzz{i}" for i in range(300))
+    other = "omega psi chi phi " + " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, near, "en", "a", len(near)),
+        (2, near + " tail", "en", "a", len(near) + 5),
+        (3, far, "de", "a", len(far)),
+        (4, other, "en", "a", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    got = {
+        (r.src_doc, r.dst_doc): r
+        for r in q_docs_record_linkage_multi(spark, d).collect()
+    }
+    rescued = got[(1, 4)]
+    assert rescued.via_prefix == 0 and rescued.via_snm == 1
+    assert rescued.decision == "match"
+    both = got[(1, 2)]
+    assert both.via_prefix == 1 and both.via_snm == 1
+    assert both.decision == "match"
+    # single-pass candidates are a subset of the union
+    single = {
+        (r.src_doc, r.dst_doc)
+        for r in q_docs_record_linkage(spark, d).collect()
+    }
+    assert single <= set(got)
 
 
 def test_record_linkage_registry_shape(spark):

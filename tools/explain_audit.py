@@ -540,6 +540,16 @@ CHECKS = [
         [r"Generate", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # multi-pass linkage: prefix pass = capped posting arrays
+    # (Generate), SNM pass = block-partitioned lead() windows (never
+    # SinglePartition), union dedups via partial aggs; no cartesian,
+    # no Python
+    (
+        "docs_record_linkage_multi",
+        [r"Generate", r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"SinglePartition",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
     # temporal reach: the K relaxation rounds run behind per-round
     # localCheckpoints (linear lineage), so the final plan is a sort
     # over the node-sized checkpointed arrival table — no join, no
