@@ -1163,3 +1163,91 @@ ORACLE_EVENTS_TEMPORAL_REACH = _oracle_temporal_reach()
 
 QUERIES["events_temporal_reach"] = q_events_temporal_reach
 ORACLES["events_temporal_reach"] = ORACLE_EVENTS_TEMPORAL_REACH
+
+
+# ------------------------------------------------------ link prediction
+# Resource-allocation link prediction (Zhou-Lü-Zhang 2009): for every
+# non-adjacent pair (u, v) sharing >= 2 common neighbors, score
+# RA(u,v) = sum over common neighbors z of 1/deg(z). RA is chosen over
+# Adamic-Adar deliberately: AA's 1/ln(deg) would put a libm log() on
+# the cross-engine comparison path (JVM Math.log and DuckDB's C log
+# may disagree in the last ulp), while RA's 1/deg stays in EXACT
+# fixed-point integer arithmetic (RA_SCALE DIV deg, order-independent
+# BIGINT sums) — the same determinism discipline as pagerank.
+#
+# Hub suppression: wedge apexes with deg > LP_APEX_CAP are excluded
+# (mirrored in the oracle). Standard practice — a hub's RA weight is
+# ~0 and its deg^2 wedge fan-out is exactly the skew a 100-TB run
+# cannot afford; the cap bounds per-apex pair generation the same way
+# degree orientation bounds the triangle wedge join.
+#
+# Scale shape: one wedge equi-join on the apex (bounded by the cap),
+# one partial-agg sum over fixed-width keys, one anti-join against the
+# (canonical, a<b) edge set, one hash join to attach endpoint degrees.
+RA_SCALE = 10**9
+LP_APEX_CAP = 64
+LP_MIN_CN = 2
+
+
+def q_events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    half, und, _ = _und_edges(spark, sf_dir)
+    deg = und.groupBy("a").agg(F.count("*").alias("d"))
+    # apex view: z adjacent u, with z's degree in [MIN_CN, CAP]
+    apex = (
+        und.join(deg.where(
+            (F.col("d") >= LP_MIN_CN) & (F.col("d") <= LP_APEX_CAP)
+        ), "a")
+        .select(F.col("a").alias("z"), F.col("b").alias("u"), "d")
+    )
+    wedges = apex.join(
+        apex.select("z", F.col("u").alias("v")), "z"
+    ).where(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("common_neighbors"),
+        F.sum(F.expr(f"CAST({RA_SCALE} DIV d AS BIGINT)")).alias("ra_fp"),
+    )
+    nonadj = scored.join(
+        half.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        nonadj.where(F.col("common_neighbors") >= LP_MIN_CN)
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            "common_neighbors",
+            "ra_fp",
+        )
+        .orderBy("src", "dst")
+    )
+
+
+ORACLE_EVENTS_LINK_PREDICTION = f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+half AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges),
+und AS (SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
+deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+apex AS (
+  SELECT u.a AS z, u.b AS u, deg.d
+  FROM und u JOIN deg ON u.a = deg.node
+  WHERE deg.d BETWEEN {LP_MIN_CN} AND {LP_APEX_CAP}),
+wedge AS (
+  SELECT x.u AS u, y.u AS v, x.d
+  FROM apex x JOIN apex y ON x.z = y.z AND x.u < y.u),
+scored AS (
+  SELECT u, v, count(*) AS common_neighbors,
+         CAST(sum({RA_SCALE}::BIGINT // d) AS BIGINT) AS ra_fp
+  FROM wedge GROUP BY u, v)
+SELECT s.u AS src, s.v AS dst, s.common_neighbors, s.ra_fp
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM half h WHERE h.a = s.u AND h.b = s.v)
+  AND s.common_neighbors >= {LP_MIN_CN}
+ORDER BY src, dst
+"""
+
+QUERIES["events_link_prediction"] = q_events_link_prediction
+ORACLES["events_link_prediction"] = ORACLE_EVENTS_LINK_PREDICTION

@@ -1,0 +1,208 @@
+"""Sequence & association mining over the event log (driver-checkable).
+
+``events_transitions`` — first-order Markov transition matrix over
+per-user event-type sequences: the behavioral-model building block
+(next-action prediction, anomaly scoring, funnel simulation). Each
+user's events are ordered by the same deterministic key
+``events_latest_state`` established (timestamp micros, then event_id —
+ties can never flip the sequence across partitionings); adjacent pairs
+are counted per (from_type, to_type); row-conditional probabilities
+are emitted in EXACT parts-per-million integer arithmetic
+(count * 1e6 DIV row_total) so the full value hash matches DuckDB with
+no cross-engine float division on the comparison path.
+
+Scale shape: ONE window (partitioned by user_id — never a global
+sort), one partial-agg count over the tiny (from, to) key space, and a
+broadcast join to attach row totals (|event types|^2 rows, metadata-
+sized). The event scan prunes to 4 columns.
+
+``events_market_basket`` — pairwise frequent-itemset association rules
+(Agrawal-Srikant Apriori, the 2-itemset stage) over user baskets of
+touched items (props $.k): support, directional confidence, and lift,
+all in exact integer / ppm arithmetic. The Apriori pruning IS the
+scale design: items are frequency-filtered (>= MB_MIN_SUPP users)
+BEFORE any pair is generated, baskets wider than MB_BASKET_CAP are
+excluded (mirrored in the oracle — a degenerate power-user basket
+contributes cap^2 pairs and ~no signal, the same hub-suppression
+argument as link prediction's apex cap), and pairs are generated
+bucket-locally from each user's sorted item array (posting-array
+explode, the idiom shared with the linkage blockers) rather than a
+basket self-join.
+
+Output rules are canonical (item_x < item_y) with BOTH directional
+confidences, so no information is lost to the ordering; lift_ppm =
+n_baskets * pair_users * 1e6 DIV (supp_x * supp_y) in BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deja_view_spark.sources.catalog import load_table
+
+PPM = 10**6
+
+# market-basket knobs (mirrored verbatim in the oracle SQL)
+MB_MIN_SUPP = 5  # an item must appear in >= this many baskets
+MB_MIN_PAIR = 3  # a rule must be supported by >= this many baskets
+MB_BASKET_CAP = 256  # baskets wider than this are excluded
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr(f"CAST(n_transitions * {PPM} DIV row_total AS BIGINT)").alias(
+                "prob_ppm"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS to_type
+  FROM events),
+counts AS (
+  SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY 1, 2),
+totals AS (
+  SELECT from_type, sum(n_transitions) AS row_total
+  FROM counts GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(c.n_transitions * {PPM} // t.row_total AS BIGINT) AS prob_ppm
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+def q_events_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    baskets = (
+        ev.select("user_id", item.alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    n_df = baskets.select("user_id").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    supp = baskets.groupBy("item").agg(F.count("*").alias("supp"))
+    freq = supp.where(F.col("supp") >= MB_MIN_SUPP)
+    kept = baskets.join(freq.select("item"), "item", "left_semi")
+    arrays = (
+        kept.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .where((F.size("items") >= 2) & (F.size("items") <= MB_BASKET_CAP))
+    )
+    pairs = (
+        arrays.select(
+            F.posexplode("items").alias("_i", "item_x"), F.col("items")
+        )
+        .select(
+            "item_x",
+            F.explode(
+                F.slice(F.col("items"), F.col("_i") + 2, F.size("items"))
+            ).alias("item_y"),
+        )
+        .groupBy("item_x", "item_y")
+        .agg(F.count("*").alias("pair_users"))
+        .where(F.col("pair_users") >= MB_MIN_PAIR)
+    )
+    sx = freq.select(F.col("item").alias("item_x"), F.col("supp").alias("supp_x"))
+    sy = freq.select(F.col("item").alias("item_y"), F.col("supp").alias("supp_y"))
+    return (
+        pairs.join(sx, "item_x")
+        .join(sy, "item_y")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "item_x",
+            "item_y",
+            "pair_users",
+            "supp_x",
+            "supp_y",
+            F.expr(f"CAST(pair_users * {PPM} DIV supp_x AS BIGINT)").alias(
+                "conf_x_to_y_ppm"
+            ),
+            F.expr(f"CAST(pair_users * {PPM} DIV supp_y AS BIGINT)").alias(
+                "conf_y_to_x_ppm"
+            ),
+            F.expr(
+                f"CAST(n_baskets * pair_users * {PPM}"
+                " DIV (supp_x * supp_y) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("item_x", "item_y")
+    )
+
+
+ORACLE_EVENTS_MARKET_BASKET = f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+n AS (SELECT count(DISTINCT user_id) AS n_baskets FROM baskets),
+supp AS (SELECT item, count(*) AS supp FROM baskets GROUP BY item),
+freq AS (SELECT * FROM supp WHERE supp >= {MB_MIN_SUPP}),
+kept AS (
+  SELECT b.user_id, b.item FROM baskets b
+  JOIN freq f ON b.item = f.item),
+sized AS (
+  SELECT user_id FROM kept GROUP BY user_id
+  HAVING count(*) BETWEEN 2 AND {MB_BASKET_CAP}),
+pairs AS (
+  SELECT a.item AS item_x, b.item AS item_y, count(*) AS pair_users
+  FROM kept a
+  JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+  JOIN sized s ON a.user_id = s.user_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {MB_MIN_PAIR})
+SELECT p.item_x, p.item_y, p.pair_users, fx.supp AS supp_x,
+       fy.supp AS supp_y,
+       CAST(p.pair_users * {PPM} // fx.supp AS BIGINT) AS conf_x_to_y_ppm,
+       CAST(p.pair_users * {PPM} // fy.supp AS BIGINT) AS conf_y_to_x_ppm,
+       CAST(n.n_baskets * p.pair_users * {PPM}
+            // (fx.supp * fy.supp) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN freq fx ON p.item_x = fx.item
+JOIN freq fy ON p.item_y = fy.item
+CROSS JOIN n
+ORDER BY item_x, item_y
+"""
+
+QUERIES = {
+    "events_transitions": q_events_transitions,
+    "events_market_basket": q_events_market_basket,
+}
+ORACLES = {
+    "events_transitions": ORACLE_EVENTS_TRANSITIONS,
+    "events_market_basket": ORACLE_EVENTS_MARKET_BASKET,
+}

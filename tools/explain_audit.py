@@ -560,6 +560,31 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # link prediction: the wedge step must be an EQUI-join on the apex
+    # (cap-bounded fan-out), never a cartesian; RA sums are integer
+    # partial aggs; no Python anywhere
+    (
+        "events_link_prediction",
+        [PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # Markov transitions: ONE user-partitioned window (never a global
+    # sort window), partial-agg counts, totals attached by broadcast
+    (
+        "events_transitions",
+        [r"Window", PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"SinglePartition", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # market basket: pair generation is a bucket-local posting-array
+    # explode (Generate) after Apriori frequency pruning, counts are
+    # partial aggs; the only cross join is the broadcast one-row
+    # basket total; no Python
+    (
+        "events_market_basket",
+        [r"Generate", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
