@@ -181,3 +181,26 @@ def test_wave7_registry_shapes(spark):
     mb = q_events_market_basket(spark, SF).collect()
     assert all(r.item_x < r.item_y for r in mb)
     assert all(r.pair_users >= MB_MIN_PAIR for r in mb)
+
+
+def test_cli_wave7_verbs(tmp_path, capsys):
+    """The wave-6/7 corpus verbs resolve through the registry and run
+    end-to-end on the sf0.001 layout."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    assert cli.main(["corpus", "transitions", "--data", SF, "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "prob_ppm" in out
+    assert (
+        cli.main(["corpus", "link-predict", "--data", SF, "--limit", "3"]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "ra_fp" in out
+    assert (
+        cli.main(["corpus", "market-basket", "--data", SF, "--limit", "3"])
+        == 0
+    )
+    assert "lift_ppm" in capsys.readouterr().out

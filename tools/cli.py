@@ -206,6 +206,17 @@ CORPUS_OPS = {
     "hll-sliding": "events_hll_sliding",
     "cohort": "events_cohort_retention",
     "bloom-semijoin": "orders_bloom_semijoin",
+    # wave 6/7
+    "modularity": "events_modularity",
+    "assortativity": "events_assortativity",
+    "kcore": "events_kcore",
+    "linkage": "docs_record_linkage",
+    "linkage-multi": "docs_record_linkage_multi",
+    "blocking-quality": "docs_blocking_quality",
+    "temporal-reach": "events_temporal_reach",
+    "link-predict": "events_link_prediction",
+    "transitions": "events_transitions",
+    "market-basket": "events_market_basket",
 }
 
 

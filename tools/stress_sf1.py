@@ -118,6 +118,44 @@ def make_documents(spark, n_rows: int, out_dir: str) -> str:
     return out_dir
 
 
+def make_events(spark, n_rows: int, out_dir: str) -> None:
+    """Deterministic skewed event log (sf1 ~ 10x the sf0.1 testdata
+    stream): ~10% of rows concentrate on 100 hot users and ~5% on 50
+    hot items, so the graph/sequence operators' hub-suppression paths
+    (link-prediction apex cap, market-basket basket cap, kcore peel)
+    are actually exercised rather than dodged by a uniform corpus."""
+    n_users = max(1_000, n_rows // 100)
+    n_items = max(2_000, n_rows // 67)
+
+    def h(salt: int):
+        return F.xxhash64(F.col("id"), F.lit(salt))
+
+    user = F.when(
+        F.pmod(h(2), F.lit(10)) == 0, F.pmod(h(3), F.lit(100))
+    ).otherwise(F.pmod(h(1), F.lit(n_users)))
+    item = F.when(
+        F.pmod(h(5), F.lit(20)) == 0, F.pmod(h(6), F.lit(50))
+    ).otherwise(F.pmod(h(4), F.lit(n_items)))
+    types = F.array(
+        *[F.lit(t) for t in
+          ("view", "click", "purchase", "share", "login", "logout")]
+    )
+    spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(h(7), F.lit(90 * 86400))
+        ).alias("ts"),
+        user.cast("long").alias("user_id"),
+        F.element_at(types, (F.pmod(h(8), F.lit(6)) + 1).cast("int")).alias(
+            "event_type"
+        ),
+        (F.pmod(h(9), F.lit(1000)) / 10.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '), item.cast("string"), F.lit("}")
+        ).alias("props"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
 def bucket_histogram(spark, sf_dir: str) -> dict:
     """MinHash band bucket-size tail — the statistic that decides
     whether the bucket-local pair generation stays near-linear (the
@@ -154,6 +192,7 @@ def main() -> None:
     ap.add_argument("--kg-rows", type=int, default=8_000_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--skip-kg", action="store_true")
+    ap.add_argument("--events-rows", type=int, default=1_000_000)
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--queries",
@@ -184,6 +223,14 @@ def main() -> None:
         make_documents(spark, args.docs_rows, out_dir)
         result["gen_sec"] = round(time.time() - t0, 1)
         log(f"generated {args.docs_rows} docs in {result['gen_sec']}s")
+
+        if any(q.startswith("events_") for q in stress_queries):
+            t0 = time.time()
+            make_events(spark, args.events_rows, out_dir)
+            result["events_rows"] = args.events_rows
+            result["events_gen_sec"] = round(time.time() - t0, 1)
+            log(f"generated {args.events_rows} events in "
+                f"{result['events_gen_sec']}s")
 
         result["bucket_histogram"] = bucket_histogram(spark, out_dir)
         log(f"bucket histogram: {result['bucket_histogram']}")
