@@ -1251,3 +1251,267 @@ ORDER BY src, dst
 
 QUERIES["events_link_prediction"] = q_events_link_prediction
 ORACLES["events_link_prediction"] = ORACLE_EVENTS_LINK_PREDICTION
+
+
+# --------------------------------------------------- weighted SSSP
+# Multi-seed weighted shortest paths (Bellman-Ford rounds) over the
+# co-engagement graph with TIE-STRENGTH weights: an edge crossed by
+# cnt co-engagement items has length W_SCALE DIV cnt ("stronger ties
+# are shorter") — the social-distance metric behind influence radii
+# and weighted-closeness features. Distinct from events_reach_k (hop
+# counts) and events_temporal_reach (time-respecting): here the
+# relaxation minimizes an additive INTEGER path length.
+#
+# Determinism: weights and distances are exact integers; each round
+# takes a per-node min (order-independent); rounds fixed at
+# SSSP_ROUNDS so both engines run the identical computation whether
+# or not the relaxation has converged.
+#
+# Scale shape: identical to temporal reach — per round ONE equi-join
+# (edges x node-sized distance table) + one min partial agg behind a
+# localCheckpoint; the weighted edge build is one count aggregation
+# over the pre-distinct pair stream (the same shuffle _chain_edges
+# already pays).
+W_SCALE = 10**6
+SSSP_ROUNDS = 4
+SSSP_SEED_MOD = 17
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-engagement edges with per-pair item counts:
+    (a, b, w) both directions, w = W_SCALE DIV cnt."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    touched = ev.select(item.alias("item"), "user_id").distinct()
+    chains = touched.groupBy("item").agg(
+        F.sort_array(F.collect_list("user_id")).alias("us")
+    )
+    pair_idx = F.when(
+        F.size("us") > 1, F.sequence(F.lit(1), F.size("us") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        chains.select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("us", i).alias("src"),
+                        F.element_at("us", i + 1).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "src", "dst",
+            F.expr(f"CAST({W_SCALE} DIV cnt AS BIGINT)").alias("w"),
+        )
+    )
+    return pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+
+
+def q_events_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % SSSP_SEED_MOD == 0)
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(SSSP_ROUNDS):
+        relax = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "node",
+        (F.col("node") % SSSP_SEED_MOD == 0).alias("is_seed"),
+        "dist",
+    ).orderBy("node")
+
+
+# weighted-edge CTEs shared by the SSSP oracle
+SQL_WEIGHTED_EDGES_CTES = f"""touched AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         user_id
+  FROM events),
+ord AS (
+  SELECT item, user_id,
+         row_number() OVER (PARTITION BY item ORDER BY user_id) AS rn
+  FROM touched),
+halfw AS (
+  SELECT a.user_id AS src, b.user_id AS dst,
+         CAST({W_SCALE} // count(*) AS BIGINT) AS w
+  FROM ord a JOIN ord b ON a.item = b.item AND b.rn = a.rn + 1
+  WHERE a.user_id <> b.user_id
+  GROUP BY 1, 2),
+wedges AS (
+  SELECT src, dst, w FROM halfw
+  UNION ALL SELECT dst, src, w FROM halfw)"""
+
+
+def _oracle_sssp() -> str:
+    ctes = []
+    prev = "d0"
+    for r in range(1, SSSP_ROUNDS + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM wedges e JOIN {prev} p ON e.src = p.node)
+  GROUP BY node)""")
+        prev = f"d{r}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {SQL_WEIGHTED_EDGES_CTES},
+nodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges),
+d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+  WHERE node % {SSSP_SEED_MOD} = 0),
+{chain}
+SELECT node, node % {SSSP_SEED_MOD} = 0 AS is_seed, dist
+FROM {prev} ORDER BY node
+"""
+
+
+ORACLE_EVENTS_SSSP = _oracle_sssp()
+
+QUERIES["events_sssp"] = q_events_sssp
+ORACLES["events_sssp"] = ORACLE_EVENTS_SSSP
+
+
+# ---------------------------------------------------------- HITS
+# Kleinberg hubs & authorities (HITS 1999) over the DIRECTED
+# co-engagement chain graph, in normalized fixed-point integer
+# arithmetic: per iteration h(u) = Σ a(v) over out-edges, a(v) = Σ
+# h(u) over in-edges, each rescaled to a total mass of HITS_SCALE via
+# integer division (x * SCALE DIV total — the L1 normalization the
+# power iteration needs to converge, kept exact so BIGINT sums stay
+# order-independent and the oracle matches on the full value hash).
+#
+# Bit budget: values are <= SCALE (1e6) after each rescale, raw sums
+# <= deg_max * SCALE (~1e10 at tested scales), and the rescale
+# multiplication <= 1e10 * 1e6 = 1e16 — three orders inside BIGINT.
+# (SCALE=1e12 would overflow here, which is why HITS uses its own
+# scale rather than the PageRank one.)
+#
+# Scale shape: per iteration TWO join+agg rounds over the
+# checkpointed edge set plus one single-row total broadcast each —
+# the canonical power-iteration plan, linear lineage.
+HITS_SCALE = 10**6
+HITS_ITERS = 5
+
+
+def q_events_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("a"))
+
+    def rescale(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_t"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.expr(f"CAST({col} * {HITS_SCALE} DIV _t AS BIGINT)").alias(col),
+        )
+
+    for _ in range(HITS_ITERS):
+        h_raw = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = rescale(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+            ),
+            "h",
+        )
+        a_raw = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = rescale(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+            ),
+            "a",
+        ).localCheckpoint(eager=True)
+        hub = hub.localCheckpoint(eager=True)
+        last_hub = hub
+    return (
+        nodes.join(last_hub, "node")
+        .join(auth, "node")
+        .select("node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp"))
+        .orderBy("node")
+    )
+
+
+def _oracle_hits() -> str:
+    ctes = []
+    prev_a = "a0"
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(f"""hraw{i} AS (
+  SELECT nodes.node, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, sum(p.a) AS h
+    FROM edges e JOIN {prev_a} p ON e.dst = p.node
+    GROUP BY e.src) s ON nodes.node = s.node),
+h{i} AS MATERIALIZED (
+  SELECT node,
+         CAST(h * {HITS_SCALE} // (SELECT sum(h) FROM hraw{i}) AS BIGINT)
+           AS h
+  FROM hraw{i}),
+araw{i} AS (
+  SELECT nodes.node, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(p.h) AS a
+    FROM edges e JOIN h{i} p ON e.src = p.node
+    GROUP BY e.dst) s ON nodes.node = s.node),
+a{i} AS MATERIALIZED (
+  SELECT node,
+         CAST(a * {HITS_SCALE} // (SELECT sum(a) FROM araw{i}) AS BIGINT)
+           AS a
+  FROM araw{i})""")
+        prev_a = f"a{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+a0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS a FROM nodes),
+{chain}
+SELECT n.node, h.h AS hub_fp, a.a AS auth_fp
+FROM nodes n
+JOIN h{HITS_ITERS} h ON n.node = h.node
+JOIN a{HITS_ITERS} a ON n.node = a.node
+ORDER BY n.node
+"""
+
+
+ORACLE_EVENTS_HITS = _oracle_hits()
+
+QUERIES["events_hits"] = q_events_hits
+ORACLES["events_hits"] = ORACLE_EVENTS_HITS

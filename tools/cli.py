@@ -217,6 +217,9 @@ CORPUS_OPS = {
     "link-predict": "events_link_prediction",
     "transitions": "events_transitions",
     "market-basket": "events_market_basket",
+    # wave 8
+    "sssp": "events_sssp",
+    "hits": "events_hits",
 }
 
 

@@ -585,6 +585,23 @@ CHECKS = [
         [r"Generate", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # weighted SSSP: like temporal reach, the relaxation rounds hide
+    # behind per-round localCheckpoints — the final plan is a sort
+    # over the node-sized checkpointed distance table
+    (
+        "events_sssp",
+        [r"Sort"],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # HITS: the power-iteration rounds are checkpointed; the final
+    # plan joins the node set to the two node-sized score tables —
+    # hash joins, no cartesian, no Python
+    (
+        "events_hits",
+        [r"Sort"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
