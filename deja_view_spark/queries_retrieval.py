@@ -470,3 +470,102 @@ ORACLE_EMBEDDINGS_MMR = _oracle_mmr()
 
 QUERIES["embeddings_mmr_topk"] = q_embeddings_mmr_topk
 ORACLES["embeddings_mmr_topk"] = ORACLE_EMBEDDINGS_MMR
+
+
+# ---------------------------------------------- hard-negative mining
+# Contrastive-training hard negatives (the DPR / SimCSE curation
+# step): for each anchor, the top-K highest-cosine candidates that are
+# (a) NOT the anchor, (b) from a DIFFERENT class (label), and (c) below
+# the near-duplicate ceiling (rounded cos < HN_MAX_COS — anything above
+# it is a probable positive/duplicate leaking into the negative set,
+# the classic false-negative poisoning failure). "Hard" = closest to
+# the decision boundary, which is exactly what makes training signal.
+#
+# Scale shape: the SAME hyperplane-LSH candidate generation as
+# ann_lsh_topk (bucket-colliding candidates only, anchors broadcast),
+# with the label / ceiling / self filters applied BEFORE the per-anchor
+# window so pruned candidates never reach the top-k sort. The
+# brute-force oracle doubles as a recall==1.0 assertion at these
+# (bands, rows) on this corpus (same discipline as ann_lsh_topk).
+# Ranking is on the ROUNDED cosine with id tiebreak — stable across
+# engines and float-fold orders.
+HN_K = 5
+HN_MAX_COS = 0.95
+HN_ANCHOR_MOD = 10
+
+
+def q_embeddings_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deja_view_spark.functions.hashing import make_simhash_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % HN_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("avec"),
+        F.col("label").alias("alabel"),
+    )
+    sh = make_simhash_udf(bands=64, rows=4, seed=4242)
+    cand_bands = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("nvec"),
+        F.col("label").alias("nlabel"),
+        F.explode(sh(F.col("embedding"))).alias("band"),
+    )
+    anchor_bands = anchors.select(
+        "anchor_id", "avec", "alabel", F.explode(sh(F.col("avec"))).alias("band")
+    )
+    cands = (
+        cand_bands.join(
+            F.broadcast(anchor_bands),
+            (cand_bands.band == anchor_bands.band)
+            & (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("nlabel") != F.col("alabel")),
+        )
+        .select("anchor_id", "avec", "negative_id", "nvec", "nlabel", "alabel")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cos", F.round(cosine_sim(F.col("nvec"), F.col("avec")), 4)
+    ).where(F.col("cos") < HN_MAX_COS)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HN_K)
+        .select(
+            "anchor_id",
+            F.col("alabel").alias("anchor_label"),
+            "negative_id",
+            F.col("nlabel").alias("negative_label"),
+            "cos",
+            "rank",
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+ORACLE_EMBEDDINGS_HARD_NEGATIVES = f"""
+WITH scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         e.vec_id AS negative_id, e.label AS negative_label,
+         round({duckdb_cosine_sql('e.embedding', 'a.embedding')}, 4) AS cos
+  FROM embeddings a, embeddings e
+  WHERE a.vec_id % {HN_ANCHOR_MOD} = 0
+    AND e.vec_id <> a.vec_id
+    AND e.label <> a.label)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos, rank
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY anchor_id
+           ORDER BY cos DESC, negative_id ASC) AS rank
+  FROM scored
+  WHERE cos < {HN_MAX_COS}) t
+WHERE rank <= {HN_K}
+ORDER BY anchor_id, rank
+"""
+
+QUERIES["embeddings_hard_negatives"] = q_embeddings_hard_negatives
+ORACLES["embeddings_hard_negatives"] = ORACLE_EMBEDDINGS_HARD_NEGATIVES

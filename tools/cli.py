@@ -201,6 +201,7 @@ CORPUS_OPS = {
     "winnow": "docs_winnow_pairs",
     "prefix-join": "docs_prefix_join",
     "mmr": "embeddings_mmr_topk",
+    "hard-negatives": "embeddings_hard_negatives",
     "lpa": "events_label_prop",
     "ppr": "events_ppr",
     "hll-sliding": "events_hll_sliding",

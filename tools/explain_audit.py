@@ -602,6 +602,15 @@ CHECKS = [
         [r"Sort"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # hard negatives: anchors BROADCAST into the band join (the wide
+    # candidate table never shuffles), label/ceiling filters sit below
+    # the window, cosine is codegen; the band UDF is the one permitted
+    # Arrow crossing
+    (
+        "embeddings_hard_negatives",
+        [r"BroadcastHashJoin", r"Window"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+    ),
 ]
 
 
