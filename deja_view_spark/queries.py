@@ -842,6 +842,19 @@ ORACLES.update(_QSQ.ORACLES)
 # python-twin/local-oracle tests) overflow past position 50 and rotate
 # forward in round 4, together with any operator added after this
 # list was frozen (they append past the window).
+#
+# Round-4 rotation TODO: the driver has never attested (a) the three
+# overflow names below (events_cm_sketch, events_kcore,
+# sales_opportunity), and (b) everything registered after this list
+# froze — events_hll_sliding, events_cohort_retention,
+# events_peak_concurrency, events_bitmap_audience, events_scd2_history,
+# orders_bloom_semijoin, docs_kmv_lang_overlap, events_ppr,
+# events_modularity, events_assortativity, events_temporal_reach,
+# embeddings_mmr_topk, docs_record_linkage, docs_blocking_quality,
+# docs_record_linkage_multi, events_link_prediction,
+# events_transitions, events_market_basket, events_sssp, events_hits,
+# embeddings_hard_negatives, docs_prefix_join. All carry local oracle
+# sweeps + tests; rotate them into positions 1..50 next round.
 _ROUND3_FIRST = [
     # the 22 entries past position 50 of the round-2 order
     "shipping_priority",

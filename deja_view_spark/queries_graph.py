@@ -1515,3 +1515,135 @@ ORACLE_EVENTS_HITS = _oracle_hits()
 
 QUERIES["events_hits"] = q_events_hits
 ORACLES["events_hits"] = ORACLE_EVENTS_HITS
+
+
+# ---------------------------------------------------------- k-truss
+# K-truss decomposition (Cohen 2008): the maximal subgraph where every
+# EDGE participates in >= K_TRUSS-2 triangles — the community-core
+# primitive strictly stronger than k-core (a k-truss is always inside
+# a (k-1)-core, never vice versa; it is the standard spam-ring /
+# cohesive-subgroup extraction when vertex degree alone is too weak a
+# signal). TRUSS_ROUNDS fixed peel rounds: each round computes
+# per-edge triangle support and drops every under-supported edge
+# SIMULTANEOUSLY (distributed formulation; converges to the textbook
+# sequential peel's fixed point). Output: surviving edges with the
+# support that justified keeping them in the final round.
+#
+# Scale shape: per round the support computation is the SAME
+# degree-orientation wedge join events_triangles uses (out-neighborhood
+# bounded by O(sqrt(m)) regardless of hub degree), each triangle
+# emitted once and exploded to its three canonical edges for one
+# partial-agg count; the shrinking edge set is localCheckpoint'ed per
+# round. The oracle unrolls the identical rounds with the id-ordered
+# 3-way join (fine at oracle scale, hot-vertex-quadratic at corpus
+# scale — the orientation is the Spark-side answer to that).
+K_TRUSS = 4
+TRUSS_ROUNDS = 3
+
+
+def _edge_support(half: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (a<b) edge set, via
+    degree orientation — each triangle counted once."""
+    deg = (
+        half.select(F.col("a").alias("node"))
+        .unionByName(half.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = half.join(
+        deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a"
+    ).join(
+        deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b"
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi").select("u", "x", "y")
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "x").alias("a"), F.greatest("u", "x").alias("b")
+                ),
+                F.struct(
+                    F.least("u", "y").alias("a"), F.greatest("u", "y").alias("b")
+                ),
+                F.struct(
+                    F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+
+def q_events_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    half = (
+        _chain_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = half
+    sup = None
+    for _ in range(TRUSS_ROUNDS):
+        bare = edges.select("a", "b")
+        sup = _edge_support(bare)
+        edges = (
+            bare.join(sup, ["a", "b"])
+            .where(F.col("support") >= K_TRUSS - 2)
+            .localCheckpoint(eager=True)
+        )
+    return edges.orderBy("a", "b")
+
+
+def _oracle_ktruss() -> str:
+    ctes = []
+    prev = "t0"
+    for r in range(1, TRUSS_ROUNDS + 1):
+        ctes.append(f"""tri{r} AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b),
+sup{r} AS (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x AS a, y AS b FROM tri{r}
+    UNION ALL SELECT x, z FROM tri{r}
+    UNION ALL SELECT y, z FROM tri{r})
+  GROUP BY a, b),
+t{r} AS MATERIALIZED (
+  SELECT e.a, e.b, s.support
+  FROM {prev} e JOIN sup{r} s ON e.a = s.a AND e.b = s.b
+  WHERE s.support >= {K_TRUSS - 2})""")
+        prev = f"t{r}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+t0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges),
+{chain}
+SELECT a, b, support FROM {prev} ORDER BY a, b
+"""
+
+
+ORACLE_EVENTS_KTRUSS = _oracle_ktruss()
+
+QUERIES["events_ktruss"] = q_events_ktruss
+ORACLES["events_ktruss"] = ORACLE_EVENTS_KTRUSS

@@ -118,3 +118,30 @@ def test_hits_mass_conserved(spark):
     assert HITS_SCALE - n <= ta <= HITS_SCALE
     assert all(0 <= r.hub_fp <= HITS_SCALE for r in rows)
     assert all(0 <= r.auth_fp <= HITS_SCALE for r in rows)
+
+
+# ---------------------------------------------------------- k-truss
+def test_ktruss_k4_survives_pendant_triangle_peeled(spark, tmp_path):
+    """K4 on {1,2,3,4} is a 4-truss (every edge in 2 triangles). A
+    pendant triangle (3,4,5) dies in the first peel (its new edges
+    have support 1) and its removal must NOT drag K4 down: the shared
+    edge (3,4) drops from support 3 to 2 and stays."""
+    from deja_view_spark.queries_graph import q_events_ktruss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(3, 5), (4, 5)]
+    items = [(i, e) for i, e in enumerate(k4 + pendant)]
+    d = _events_from_items(spark, tmp_path, items)
+    got = {(r.a, r.b): r.support for r in q_events_ktruss(spark, d).collect()}
+    assert set(got) == set(k4)
+    assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_single_triangle_empty(spark, tmp_path):
+    """A lone triangle's edges all have support 1 < K_TRUSS-2: the
+    first peel empties the graph."""
+    from deja_view_spark.queries_graph import q_events_ktruss
+
+    items = [(0, (1, 2)), (1, (2, 3)), (2, (1, 3))]
+    d = _events_from_items(spark, tmp_path, items)
+    assert q_events_ktruss(spark, d).count() == 0

@@ -220,6 +220,7 @@ CORPUS_OPS = {
     "market-basket": "events_market_basket",
     # wave 8
     "sssp": "events_sssp",
+    "ktruss": "events_ktruss",
     "hits": "events_hits",
 }
 

@@ -611,6 +611,15 @@ CHECKS = [
         [r"BroadcastHashJoin", r"Window"],
         [r"CartesianProduct", r"SortMergeJoin"],
     ),
+    # k-truss: the peel rounds (wedge-join support + filter) hide
+    # behind per-round localCheckpoints; the final plan is a sort over
+    # the checkpointed surviving-edge table
+    (
+        "events_ktruss",
+        [r"Sort"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
