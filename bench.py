@@ -38,7 +38,7 @@ lo-core). Pin a pair with SPARK_GRAFT_SCALING=lo,hi.
 
 Budget: the whole default study must fit the driver's bench window
 (round 2's ~35-min run was killed at rc=124). An internal wall-clock
-budget (SPARK_GRAFT_BUDGET_SEC, default 1000s) gates the cells in
+budget (SPARK_GRAFT_BUDGET_SEC, default 840s) gates the cells in
 IMPORTANCE order — the scaling pair FIRST (the north rule's >=0.8
 efficiency gate), then the 32c headline (recoverable from the 4N cell
 if skipped), then the time-boxed query sweep (skipped names recorded)
@@ -69,7 +69,7 @@ Env knobs:
                               (2,8) runs 2M rows, (1,4) runs 1M)
     SPARK_GRAFT_SCALING_REPEATS  interleaved repeats per level (default 1)
     SPARK_GRAFT_BUDGET_SEC    wall-clock budget for the whole study
-                              (default 1000; raise for the full study)
+                              (default 840; raise for the full study)
 """
 
 from __future__ import annotations
@@ -278,14 +278,17 @@ def main() -> None:
     # large-input limit
     scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "2000000"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
-    # Default 1000s: round 1's official bench (rc 0) ran well under
+    # Default 840s: round 1's official bench (rc 0) ran well under
     # that; round 2's ~35-min study was killed (rc 124) — the driver's
-    # window sits somewhere between, so target the safe side and let
-    # the importance ladder shed the least load-bearing cells. A quiet
-    # host still fits the FULL study (2M pair + headline + 81-query
-    # sweep measured ~800s); an anchor-weather host downshifts the pair
-    # and sheds the headline (recoverable from the 4N cell).
-    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "1000"))
+    # window sits somewhere between and could be as tight as ~20 min.
+    # The budget gates when a NEW cell may start, so in-flight work
+    # adds overhang: the 1000s default measured 1094s end-to-end on a
+    # storm host, uncomfortably close to a hypothetical 1200s window.
+    # 840 + worst-case overhang (~60-90s) + JVM startup lands ~950s.
+    # The importance ladder sheds the least load-bearing cells first
+    # and ALWAYS prints the JSON line; a quiet host still fits the
+    # scaling pair + headline + a broad query sweep.
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "840"))
 
     sf_m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_m.group(1)) if sf_m else 0.1

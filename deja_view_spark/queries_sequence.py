@@ -206,3 +206,94 @@ ORACLES = {
     "events_transitions": ORACLE_EVENTS_TRANSITIONS,
     "events_market_basket": ORACLE_EVENTS_MARKET_BASKET,
 }
+
+
+# ------------------------------------------------- anomaly detection
+# Rolling-zscore anomaly detection over each user's event-value
+# series (the ops-monitoring / fraud-screen primitive): an event is
+# anomalous when its value sits >= ANOM_Z rolling standard deviations
+# from the mean of its own trailing window (the PRECEDING ANOM_W rows,
+# current row excluded — the score must not contaminate its own
+# baseline).
+#
+# Cross-engine float discipline (the events_moving_avg precedent,
+# hardened): the series is pre-rounded to 4dp so both engines window
+# over IDENTICAL doubles; mean/variance come from explicit sum/sumsq
+# in the same frame order (never stddev_samp — its Welford-style
+# accumulation differs between engines at the last ulp); the anomaly
+# predicate compares the ROUNDED zscore, so inclusion can only differ
+# if a true zscore lands within float noise of the 3dp rounding
+# boundary of ANOM_Z itself.
+#
+# Scale shape: ONE user-partitioned window pass (never a global
+# sort), all arithmetic codegen; the output is the anomaly subset.
+ANOM_W = 20
+ANOM_MIN_N = 10
+ANOM_Z = 3.0
+
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round("value", 4).alias("v4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-ANOM_W, -1)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "v4",
+        F.count("v4").over(w).alias("n"),
+        F.sum("v4").over(w).alias("s1"),
+        F.sum(F.col("v4") * F.col("v4")).over(w).alias("s2"),
+    ).where(F.col("n") >= ANOM_MIN_N)
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    scored = stats.where(var > 0).select(
+        "user_id",
+        "event_id",
+        "v4",
+        F.round(mean, 4).alias("baseline_mean"),
+        F.round((F.col("v4") - mean) / F.sqrt(var), 3).alias("zscore"),
+    )
+    return scored.where(F.abs(F.col("zscore")) >= ANOM_Z).orderBy(
+        "user_id", "event_id"
+    )
+
+
+ORACLE_EVENTS_ANOMALIES = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, round(value, 4) AS v4
+  FROM events),
+stats AS (
+  SELECT user_id, event_id, v4,
+         count(v4) OVER w AS n,
+         sum(v4) OVER w AS s1,
+         sum(v4 * v4) OVER w AS s2
+  FROM ev
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)),
+scored AS (
+  SELECT user_id, event_id, v4,
+         round(s1 / n, 4) AS baseline_mean,
+         round((v4 - s1 / n)
+               / sqrt((s2 - s1 * s1 / n) / (n - 1)), 3) AS zscore
+  FROM stats
+  WHERE n >= {ANOM_MIN_N}
+    AND (s2 - s1 * s1 / n) / (n - 1) > 0)
+SELECT user_id, event_id, v4, baseline_mean, zscore
+FROM scored
+WHERE abs(zscore) >= {ANOM_Z}
+ORDER BY user_id, event_id
+"""
+
+QUERIES["events_anomalies"] = q_events_anomalies
+ORACLES["events_anomalies"] = ORACLE_EVENTS_ANOMALIES

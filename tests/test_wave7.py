@@ -204,3 +204,58 @@ def test_cli_wave7_verbs(tmp_path, capsys):
         == 0
     )
     assert "lift_ppm" in capsys.readouterr().out
+
+
+# --------------------------------------------------- anomaly detection
+def _anomalies_python(rows, w, min_n, z_t):
+    """rows: [(event_id, value)] in time order for ONE user — the
+    identical rolling-zscore arithmetic, sequentially."""
+    import math
+
+    out = []
+    vals = [round(v, 4) for _, v in rows]
+    for i, (eid, _) in enumerate(rows):
+        lo = max(0, i - w)
+        win = vals[lo:i]
+        n = len(win)
+        if n < min_n:
+            continue
+        s1, s2 = sum(win), sum(x * x for x in win)
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        if var <= 0:
+            continue
+        z = round((vals[i] - s1 / n) / math.sqrt(var), 3)
+        if abs(z) >= z_t:
+            out.append((eid, z))
+    return out
+
+
+def test_anomalies_spike_over_alternating_baseline(spark, tmp_path):
+    """25 events alternating 9/11 (var > 0, |z| ~ 1), then a 100.0
+    spike: only the spike clears |z| >= 3; the result equals the
+    sequential python twin exactly."""
+    from deja_view_spark.queries_sequence import (
+        ANOM_MIN_N,
+        ANOM_W,
+        ANOM_Z,
+        q_events_anomalies,
+    )
+
+    seq = [(i, 9.0 if i % 2 else 11.0) for i in range(1, 26)] + [(26, 100.0)]
+    rows = [
+        (eid, datetime(2024, 1, 1, 0, 0, eid % 60), 1, "view", v, "{}")
+        for eid, v in seq
+    ]
+    # a second user with too short a history: never scored
+    rows += [
+        (100 + i, datetime(2024, 1, 1, 0, 0, i), 2, "view", x, "{}")
+        for i, x in enumerate([1.0, 1.0, 1.0, 1.0, 500.0])
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = [
+        (r.event_id, r.zscore) for r in q_events_anomalies(spark, d).collect()
+    ]
+    expected = _anomalies_python(seq, ANOM_W, ANOM_MIN_N, ANOM_Z)
+    assert got == expected
+    assert len(got) == 1 and got[0][0] == 26
+    assert all(eid < 100 for eid, _ in got)

@@ -218,6 +218,7 @@ CORPUS_OPS = {
     "link-predict": "events_link_prediction",
     "transitions": "events_transitions",
     "market-basket": "events_market_basket",
+    "anomalies": "events_anomalies",
     # wave 8
     "sssp": "events_sssp",
     "ktruss": "events_ktruss",

@@ -620,6 +620,14 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # rolling-zscore anomalies: ONE user-partitioned window pass,
+    # all arithmetic codegen — no join of any kind, no Python
+    (
+        "events_anomalies",
+        [r"Window"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
