@@ -1037,3 +1037,129 @@ ORACLE_ORDERS_BLOOM = _oracle_bloom_semijoin()
 
 QUERIES["orders_bloom_semijoin"] = q_orders_bloom_semijoin
 ORACLES["orders_bloom_semijoin"] = ORACLE_ORDERS_BLOOM
+
+
+# ------------------------------------------- Q19 shape: disjunctive join
+# TPC-H Q19's load-bearing property is the OR-of-ANDs predicate: three
+# (brand, size, type, quantity) conjunctions united by OR. A naive
+# engine evaluates it post-join; Catalyst must (a) push the OR of the
+# part-only conjuncts down to the part SCAN (disjunctive pushdown —
+# asserted by the plan audit) and (b) keep the mixed part+lineitem
+# conjuncts as the join filter. Output is per-branch so the value hash
+# certifies WHICH branch each row matched, not just the total.
+Q19_BRANCHES = [
+    ("Brand#12", "SMALL", 1, 5, 1.0, 11.0),
+    ("Brand#23", "MEDIUM", 1, 10, 10.0, 20.0),
+    ("Brand#34", "LARGE", 1, 15, 20.0, 30.0),
+]
+
+
+def q_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+
+    def branch(i: int):
+        b, t, s_lo, s_hi, q_lo, q_hi = Q19_BRANCHES[i]
+        return (
+            (F.col("p_brand") == b)
+            & (F.col("p_type") == t)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    matched = j.where(branch(0) | branch(1) | branch(2)).select(
+        F.when(branch(0), 1).when(branch(1), 2).otherwise(3).alias("branch"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        matched.groupBy("branch")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+        )
+        .orderBy("branch")
+    )
+
+
+def _oracle_q19() -> str:
+    conds = [
+        f"(p_brand = '{b}' AND p_type = '{t}' AND p_size BETWEEN {sl} AND {sh}"
+        f" AND l_quantity BETWEEN {ql} AND {qh})"
+        for b, t, sl, sh, ql, qh in Q19_BRANCHES
+    ]
+    return f"""
+SELECT CASE WHEN {conds[0]} THEN 1
+            WHEN {conds[1]} THEN 2 ELSE 3 END AS branch,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {conds[0]} OR {conds[1]} OR {conds[2]}
+GROUP BY 1
+ORDER BY branch
+"""
+
+
+ORACLE_BRAND_PROMO = _oracle_q19()
+
+QUERIES["brand_promo_revenue"] = q_brand_promo_revenue
+ORACLES["brand_promo_revenue"] = ORACLE_BRAND_PROMO
+
+
+# --------------------------------------- Q15 shape: top supplier view
+# TPC-H Q15: suppliers whose windowed revenue EQUALS the maximum —
+# the correlated scalar subquery Catalyst decorrelates into one
+# aggregate + a broadcast of the single max row + a filter (never a
+# self-join of the aggregate with itself on a sort). Revenue is
+# rounded to 4dp BEFORE the max/equality so the comparison runs on
+# identical values in both engines (float-sum order differences live
+# below the rounding).
+Q15_SHIP_LO, Q15_SHIP_HI = "1996-01-01", "1996-03-31"
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.where(
+            F.col("l_shipdate").between(Q15_SHIP_LO, f"{Q15_SHIP_HI} 23:59:59")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '{Q15_SHIP_LO} 00:00:00'
+                       AND TIMESTAMP '{Q15_SHIP_HI} 23:59:59'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
+ORACLES["top_supplier_revenue"] = ORACLE_TOP_SUPPLIER

@@ -628,6 +628,20 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Q19 shape: the OR of part-only conjuncts is pushed to the part
+    # SCAN (disjunctive pushdown), part broadcasts, one partial agg
+    (
+        "brand_promo_revenue",
+        [r"PushedFilters: \[.*Or", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ),
+    # Q15 shape: the scalar-max subquery decorrelates into an agg +
+    # broadcast single-row max + filter — no self SMJ of the aggregate
+    (
+        "top_supplier_revenue",
+        [r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"SortMergeJoin", r"CartesianProduct"],
+    ),
 ]
 
 
