@@ -297,3 +297,179 @@ ORDER BY user_id, event_id
 
 QUERIES["events_anomalies"] = q_events_anomalies
 ORACLES["events_anomalies"] = ORACLE_EVENTS_ANOMALIES
+
+
+# ------------------------------------------------- survival analysis
+# Kaplan-Meier LIFE TABLE over user lifetimes (the retention/churn
+# survival primitive), kept in the exact-integer form: rather than the
+# cumulative survival product (whose exp(sum(log)) evaluation would
+# put libm on the comparison path), the query emits the discrete life
+# table itself — per lifetime-day t: users at risk, deaths, censorings
+# and the hazard in ppm (d * 1e6 DIV n) — from which S(t) is a trivial
+# downstream fold. Lifetime = days between a user's first and last
+# event; users whose last event falls within KM_CENSOR_DAYS of the
+# corpus horizon are CENSORED (still alive when observation ended),
+# the distinction that separates survival analysis from a naive
+# lifetime histogram.
+#
+# Scale shape: one per-user agg (partial-agg min/max micros), one
+# day-cardinality histogram, then a reverse running sum over the
+# day-sized table — the ONLY SinglePartition window in the module, on
+# a table whose cardinality is the number of distinct lifetime days
+# (metadata-sized at any corpus scale, same argument as the shard
+# packer's totals window).
+KM_CENSOR_DAYS = 7
+
+
+def q_events_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    horizon = spans.agg(F.max("last_us").alias("h_us"))
+    day_us = 86_400 * 10**6
+    per_user = spans.crossJoin(F.broadcast(horizon)).select(
+        F.expr(f"CAST((last_us - first_us) DIV {day_us} AS BIGINT)").alias(
+            "t"
+        ),
+        (
+            F.col("h_us") - F.col("last_us") < KM_CENSOR_DAYS * day_us
+        ).alias("censored"),
+    )
+    by_t = per_user.groupBy("t").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("n_deaths"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("n_censored"),
+    )
+    w = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        by_t.withColumn(
+            "n_at_risk", F.sum(F.col("n_deaths") + F.col("n_censored")).over(w)
+        )
+        .select(
+            "t",
+            "n_at_risk",
+            "n_deaths",
+            "n_censored",
+            F.expr("CAST(n_deaths * 1000000 DIV n_at_risk AS BIGINT)").alias(
+                "hazard_ppm"
+            ),
+        )
+        .orderBy("t")
+    )
+
+
+ORACLE_EVENTS_LIFETABLE = f"""
+WITH spans AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id),
+h AS (SELECT max(last_us) AS h_us FROM spans),
+per_user AS (
+  SELECT CAST((last_us - first_us) // 86400000000 AS BIGINT) AS t,
+         (h.h_us - last_us) < {KM_CENSOR_DAYS} * 86400000000 AS censored
+  FROM spans CROSS JOIN h),
+by_t AS (
+  SELECT t,
+         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS n_deaths,
+         sum(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+  FROM per_user GROUP BY t)
+SELECT t,
+       CAST(sum(n_deaths + n_censored) OVER (
+         ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_at_risk,
+       CAST(n_deaths AS BIGINT) AS n_deaths,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(n_deaths * 1000000 // sum(n_deaths + n_censored) OVER (
+         ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS hazard_ppm
+FROM by_t
+ORDER BY t
+"""
+
+QUERIES["events_lifetable"] = q_events_lifetable
+ORACLES["events_lifetable"] = ORACLE_EVENTS_LIFETABLE
+
+
+# ------------------------------------------------ forecast backtest
+# Seasonal-naive forecast evaluation (the M-competition baseline every
+# real forecaster must beat): predict each (event_type, day)'s event
+# count with the count from FC_SEASON days earlier, score the
+# prediction against the actual on every day where both exist, and
+# report per-type MAE and sMAPE in exact ppm integer arithmetic
+# (counts are integers; |a-p| sums exactly; the per-row sMAPE term is
+# an integer division so the aggregate is order-independent).
+#
+# Scale shape: one (type, day) partial-agg histogram, then an
+# equi-join of the histogram WITH ITSELF shifted by the season length
+# (day = day + 7) — deliberately a join, not a lag() window: lag(7
+# ROWS) silently mispredicts across gaps in the day sequence, while
+# the shifted join is gap-correct and needs no per-type ordering.
+FC_SEASON = 7
+
+
+def q_events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    pred = daily.select(
+        "event_type",
+        F.date_add("day", FC_SEASON).alias("day"),
+        F.col("n").alias("pred"),
+    )
+    scored = daily.join(pred, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "n",
+        "pred",
+        F.abs(F.col("n") - F.col("pred")).alias("abs_err"),
+        F.expr(
+            "CAST(2000000 * abs(n - pred) DIV (n + pred) AS BIGINT)"
+        ).alias("smape_term_ppm"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").alias("total_actual"),
+            F.sum("abs_err").alias("total_abs_err"),
+            F.expr(
+                "CAST(sum(abs_err) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("mae_ppm"),
+            F.expr(
+                "CAST(sum(smape_term_ppm) DIV count(*) AS BIGINT)"
+            ).alias("smape_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_FORECAST_EVAL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT a.event_type, a.day, a.n, p.n AS pred,
+         abs(a.n - p.n) AS abs_err,
+         CAST(2000000 * abs(a.n - p.n) // (a.n + p.n) AS BIGINT)
+           AS smape_term_ppm
+  FROM daily a
+  JOIN daily p ON a.event_type = p.event_type
+              AND a.day = p.day + INTERVAL {FC_SEASON} DAY)
+SELECT event_type,
+       count(*) AS n_days,
+       CAST(sum(n) AS BIGINT) AS total_actual,
+       CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+       CAST(sum(abs_err) * 1000000 // count(*) AS BIGINT) AS mae_ppm,
+       CAST(sum(smape_term_ppm) // count(*) AS BIGINT) AS smape_ppm
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_forecast_eval"] = q_events_forecast_eval
+ORACLES["events_forecast_eval"] = ORACLE_EVENTS_FORECAST_EVAL

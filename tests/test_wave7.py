@@ -259,3 +259,56 @@ def test_anomalies_spike_over_alternating_baseline(spark, tmp_path):
     assert got == expected
     assert len(got) == 1 and got[0][0] == 26
     assert all(eid < 100 for eid, _ in got)
+
+
+# ------------------------------------------------- survival life table
+def test_lifetable_censoring_and_hazard(spark, tmp_path):
+    """u3 dies at t=0, u1 dies at t=2 (horizon gap exactly equals the
+    censor window -> NOT censored, strict <), u2's last event IS the
+    horizon -> censored at t=9. Reverse-cumulative at-risk counts and
+    ppm hazards are closed-form."""
+    from deja_view_spark.queries_sequence import q_events_lifetable
+
+    def ev(eid, u, day):
+        return (eid, datetime(2024, 1, 1 + day), u, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 2),          # u1: lifetime 2
+        ev(3, 2, 0), ev(4, 2, 9),          # u2: lifetime 9, at horizon
+        ev(5, 3, 0),                        # u3: lifetime 0
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.t: r for r in q_events_lifetable(spark, d).collect()}
+    assert set(got) == {0, 2, 9}
+    assert (got[0].n_at_risk, got[0].n_deaths, got[0].n_censored) == (3, 1, 0)
+    assert got[0].hazard_ppm == 333_333
+    assert (got[2].n_at_risk, got[2].n_deaths) == (2, 1)
+    assert got[2].hazard_ppm == 500_000
+    assert (got[9].n_at_risk, got[9].n_deaths, got[9].n_censored) == (1, 0, 1)
+    assert got[9].hazard_ppm == 0
+
+
+# ------------------------------------------------- forecast backtest
+def test_forecast_eval_seasonal_naive_gap_correct(spark, tmp_path):
+    """Type A has counts 10/12/8 on days 1/8/15: two scored days, MAE
+    = (2+4)/2. Type B has a GAP at day 8, so day 15 has no
+    seasonal-naive prediction and B must be absent — the behavior a
+    lag(7 ROWS) window would get wrong."""
+    from deja_view_spark.queries_sequence import q_events_forecast_eval
+
+    rows = []
+    eid = 0
+    for day, n in ((1, 10), (8, 12), (15, 8)):
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 1, day), eid, "A", 1.0, "{}"))
+            eid += 1
+    for day in (1, 15):
+        rows.append((eid, datetime(2024, 1, day), eid, "B", 1.0, "{}"))
+        eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in q_events_forecast_eval(spark, d).collect()}
+    assert set(got) == {"A"}
+    a = got["A"]
+    assert a.n_days == 2 and a.total_abs_err == 6
+    assert a.mae_ppm == 3_000_000
+    assert a.smape_ppm == (2_000_000 * 2 // 22 + 2_000_000 * 4 // 20) // 2

@@ -219,6 +219,8 @@ CORPUS_OPS = {
     "transitions": "events_transitions",
     "market-basket": "events_market_basket",
     "anomalies": "events_anomalies",
+    "lifetable": "events_lifetable",
+    "forecast-eval": "events_forecast_eval",
     # wave 8
     "sssp": "events_sssp",
     "ktruss": "events_ktruss",

@@ -642,6 +642,21 @@ CHECKS = [
         [r"BroadcastHashJoin", PARTIAL_AGG],
         [r"SortMergeJoin", r"CartesianProduct"],
     ),
+    # KM life table: the ONLY SinglePartition window rides the
+    # day-cardinality table (metadata-sized, the packer-totals
+    # argument); per-user spans are partial aggs; no Python
+    (
+        "events_lifetable",
+        [r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # seasonal-naive backtest: histogram partial aggs + the shifted
+    # self-join (gap-correct, no global ordering); no Python
+    (
+        "events_forecast_eval",
+        [PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
