@@ -216,3 +216,23 @@ class IncrementalDuplicates:
             "src",
             "dst",
         )
+
+    # ------------------------------------------------------- streaming
+    def attach_stream(self, emb_stream: DataFrame, checkpoint_dir: str):
+        """foreachBatch wiring: each micro-batch of featurized rows
+        (doc_id, vector, bands[, scope]) merges through add_batch with
+        the STREAM's batch_id (checkpoint-stable, so a restarted query
+        replays into the same per-batch dirs — the idempotent-replay
+        guarantee add_batch already provides)."""
+
+        def _merge(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.add_batch(batch_df, int(batch_id))
+
+        return (
+            emb_stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

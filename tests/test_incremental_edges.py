@@ -88,3 +88,29 @@ def test_incremental_replay_is_idempotent(spark, tmp_path):
     after = {(r.src, r.dst, r.similarity) for r in inc.pairs().collect()}
     assert after == before
     assert m2["new_pairs"] == m["new_pairs"]  # regenerated, not lost
+
+
+def test_incremental_stream_availablenow(spark, tmp_path):
+    """The foreachBatch wiring drains a featurized file stream and
+    lands the same edges as the full self-join over everything."""
+    full = _featurized(spark, n_rows=160)
+    src = str(tmp_path / "in")
+    full.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0).write.parquet(
+        src + "/p0.parquet"
+    )
+    full.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1).write.parquet(
+        src + "/p1.parquet"
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, vector array<float>, bands array<bigint>"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    inc = IncrementalDuplicates(spark, str(tmp_path / "st"), **KNOBS)
+    q = inc.attach_stream(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    exp_edges, _ = _expected(full)
+    got = {(r.src, r.dst, r.similarity, r.rank) for r in inc.edges().collect()}
+    assert got == exp_edges and len(got) > 0
