@@ -473,3 +473,113 @@ ORDER BY event_type
 
 QUERIES["events_forecast_eval"] = q_events_forecast_eval
 ORACLES["events_forecast_eval"] = ORACLE_EVENTS_FORECAST_EVAL
+
+
+# ------------------------------------------------- A/B test evaluation
+# Two-cohort conversion comparison (the experimentation-platform
+# primitive): users split deterministically by id parity, conversion =
+# purchases exceed 20% of the user's events (a SHARE predicate — the
+# naive "any purchase" definition saturates on a dense event log where
+# every user eventually buys, zeroing a contingency marginal; the
+# degenerate-marginal case is still guarded below, chi2 = 0 when any
+# marginal is empty). Counts and rates are exact integers /
+# ppm; the chi-square statistic (2x2 contingency, the two-proportion
+# z-test squared) follows the assortativity precedent — exact BIGINT
+# sums feed ONE token-identical float formula, rounded to 4dp, so the
+# only cross-engine float op is a single shared expression over
+# identical integers.
+#
+# Scale shape: one per-user partial agg (bool_or over the purchase
+# predicate), one 4-cell contingency agg — two map-side-combining
+# passes, output is a single row.
+def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            * 5
+            > F.count("*")
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    cells = per_user.agg(
+        F.sum(
+            F.when((F.col("user_id") % 2 == 0) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).alias("a_conv"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 0) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).alias("a_no"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 1) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).alias("b_conv"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 1) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).alias("b_no"),
+    )
+    n = F.col("a_conv") + F.col("a_no") + F.col("b_conv") + F.col("b_no")
+    denom = (
+        (F.col("a_conv") + F.col("a_no"))
+        * (F.col("b_conv") + F.col("b_no"))
+        * (F.col("a_conv") + F.col("b_conv"))
+        * (F.col("a_no") + F.col("b_no"))
+    )
+    chi2 = F.when(denom == 0, F.lit(0.0)).otherwise(
+        n
+        * F.pow(
+            F.col("a_conv") * F.col("b_no") - F.col("a_no") * F.col("b_conv"),
+            2,
+        )
+        / denom
+    )
+    return cells.select(
+        "a_conv",
+        "a_no",
+        "b_conv",
+        "b_no",
+        F.expr(
+            "CAST(a_conv * 1000000 DIV (a_conv + a_no) AS BIGINT)"
+        ).alias("rate_a_ppm"),
+        F.expr(
+            "CAST(b_conv * 1000000 DIV (b_conv + b_no) AS BIGINT)"
+        ).alias("rate_b_ppm"),
+        F.round(chi2, 4).alias("chi2"),
+    )
+
+
+ORACLE_EVENTS_ABTEST = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+              > count(*) AS INT) AS converted
+  FROM events GROUP BY user_id),
+cells AS (
+  SELECT
+    sum(CASE WHEN user_id % 2 = 0 AND converted = 1 THEN 1 ELSE 0 END)
+      AS a_conv,
+    sum(CASE WHEN user_id % 2 = 0 AND converted = 0 THEN 1 ELSE 0 END)
+      AS a_no,
+    sum(CASE WHEN user_id % 2 = 1 AND converted = 1 THEN 1 ELSE 0 END)
+      AS b_conv,
+    sum(CASE WHEN user_id % 2 = 1 AND converted = 0 THEN 1 ELSE 0 END)
+      AS b_no
+  FROM per_user)
+SELECT CAST(a_conv AS BIGINT) AS a_conv, CAST(a_no AS BIGINT) AS a_no,
+       CAST(b_conv AS BIGINT) AS b_conv, CAST(b_no AS BIGINT) AS b_no,
+       CAST(a_conv * 1000000 // (a_conv + a_no) AS BIGINT) AS rate_a_ppm,
+       CAST(b_conv * 1000000 // (b_conv + b_no) AS BIGINT) AS rate_b_ppm,
+       round(coalesce((a_conv + a_no + b_conv + b_no)
+             * pow(a_conv * b_no - a_no * b_conv, 2)
+             / nullif((a_conv + a_no) * (b_conv + b_no)
+                * (a_conv + b_conv) * (a_no + b_no), 0), 0.0), 4) AS chi2
+FROM cells
+"""
+
+QUERIES["events_abtest"] = q_events_abtest
+ORACLES["events_abtest"] = ORACLE_EVENTS_ABTEST

@@ -312,3 +312,47 @@ def test_forecast_eval_seasonal_naive_gap_correct(spark, tmp_path):
     assert a.n_days == 2 and a.total_abs_err == 6
     assert a.mae_ppm == 3_000_000
     assert a.smape_ppm == (2_000_000 * 2 // 22 + 2_000_000 * 4 // 20) // 2
+
+
+# ------------------------------------------------------ A/B test
+def test_abtest_closed_form_contingency(spark, tmp_path):
+    """A = users {2,4,6} with 2 converted, B = {1,3,5} with 1:
+    chi2 = 6*(2*2-1*1)^2 / 3^4 = 0.6667 exactly; ppm rates floor."""
+    from deja_view_spark.queries_sequence import q_events_abtest
+
+    rows, eid = [], 0
+
+    def add(u, purchases, views):
+        nonlocal eid
+        for _ in range(purchases):
+            rows.append((eid, datetime(2024, 1, 1), u, "purchase", 1.0, "{}"))
+            eid += 1
+        for _ in range(views):
+            rows.append((eid, datetime(2024, 1, 2), u, "view", 1.0, "{}"))
+            eid += 1
+
+    for u in (2, 4, 1):      # converted: purchase share 50% > 20%
+        add(u, 1, 1)
+    for u in (6, 3, 5):      # not converted: share 10% < 20%
+        add(u, 1, 9)
+    d = _write_events(spark, tmp_path, rows)
+    r = q_events_abtest(spark, d).collect()[0]
+    assert (r.a_conv, r.a_no, r.b_conv, r.b_no) == (2, 1, 1, 2)
+    assert r.rate_a_ppm == 666_666 and r.rate_b_ppm == 333_333
+    assert abs(r.chi2 - round(6 * 9 / 81, 4)) < 1e-9
+
+
+def test_abtest_degenerate_marginal_guard(spark, tmp_path):
+    """Every user converted -> the a_no+b_no marginal is 0 and chi2
+    must be the guarded 0.0, not a division error."""
+    from deja_view_spark.queries_sequence import q_events_abtest
+
+    rows = [
+        (i, datetime(2024, 1, 1), u, "purchase", 1.0, "{}")
+        for i, u in enumerate((1, 2, 3, 4))
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    r = q_events_abtest(spark, d).collect()[0]
+    assert (r.a_no, r.b_no) == (0, 0)
+    assert r.chi2 == 0.0
+    assert r.rate_a_ppm == 1_000_000 and r.rate_b_ppm == 1_000_000

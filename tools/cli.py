@@ -221,6 +221,7 @@ CORPUS_OPS = {
     "anomalies": "events_anomalies",
     "lifetable": "events_lifetable",
     "forecast-eval": "events_forecast_eval",
+    "abtest": "events_abtest",
     # wave 8
     "sssp": "events_sssp",
     "ktruss": "events_ktruss",

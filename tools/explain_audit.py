@@ -657,6 +657,14 @@ CHECKS = [
         [PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # A/B test: two map-side-combining agg passes (per-user bool, 2x2
+    # cells), single-row output; no join, no Python
+    (
+        "events_abtest",
+        [PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
