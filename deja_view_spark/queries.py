@@ -802,6 +802,7 @@ from deja_view_spark import queries_quality as _QQ  # noqa: E402
 from deja_view_spark import queries_relational as _QR  # noqa: E402
 from deja_view_spark import queries_retrieval as _QRT  # noqa: E402
 from deja_view_spark import queries_sequence as _QSQ  # noqa: E402
+from deja_view_spark import queries_stats as _QST  # noqa: E402
 from deja_view_spark import queries_text as _QT  # noqa: E402
 
 QUERIES.update(_QT.QUERIES)
@@ -826,6 +827,8 @@ QUERIES.update(_QLK.QUERIES)
 ORACLES.update(_QLK.ORACLES)
 QUERIES.update(_QSQ.QUERIES)
 ORACLES.update(_QSQ.ORACLES)
+QUERIES.update(_QST.QUERIES)
+ORACLES.update(_QST.ORACLES)
 
 # ------------------------------------------------------------------
 # Driver correctness-window rotation (round 3). The driver attests the

@@ -1,0 +1,341 @@
+"""Distribution / drift / trend statistics a corpus-curation pipeline
+monitors continuously (driver-checkable, exact-arithmetic oracles).
+
+Four operator families, each chosen so the cross-engine comparison
+path is either pure integer arithmetic or a single deterministic
+float expression over exact integer inputs:
+
+``events_decayed_trending`` — exponentially time-decayed activity
+scores per item (props ``$.k``), the standard trending-detection
+primitive (recent events count more; half-life = 1 day). The decay
+weight is computed in EXACT integer arithmetic: ``w = 2^20 >> d``
+(days old, clamped to 20), so the per-item score is a plain BIGINT
+sum — order-independent, bit-identical across engines, no float on
+the comparison path. ``recency_ppm`` normalizes by the score a
+same-sized burst of brand-new events would get. Scale shape: one
+column-pruned scan, the anchor date is a broadcast scalar aggregate,
+one partial-agg groupBy over the item key space, TakeOrdered finish.
+
+``docs_quality_regression`` — per-language ordinary-least-squares fit
+of token count against character count (chars-per-token calibration,
+the sizing model a tokenizer-budget planner needs). The DISTRIBUTED
+part is one aggregation of exact BIGINT sufficient statistics
+(n, Σx, Σy, Σx², Σxy, Σy²) — the "GLM by moments" pattern that scales
+to any corpus size with a single map-side-combinable shuffle of six
+numbers per group; slope/intercept/R² are then closed-form doubles
+derived from identical integers in both engines (same IEEE expression
+tree → same bits), rounded for display.
+
+``events_gini`` — Gini concentration coefficient of per-user activity,
+per event type plus overall: the skew monitor that tells you whether
+a handful of power users dominate the stream (and hence whether a
+user-keyed shuffle needs salting). Pure integer arithmetic end to end:
+G = (2·Σrank·cnt − (n+1)·T) / (n·T), emitted in exact ppm via BIGINT
+DIV. The rank window sorts one fixed-width row per (type, user) —
+|users| not |events| — with a deterministic (cnt, user_id) tiebreak.
+
+``docs_split_drift`` — per-source Jensen-Shannon divergence (bits)
+between the source's token distribution and the whole-corpus
+distribution: the drift alarm for ingest monitoring (a source whose
+JSD jumps changed its content mix). One tokenize pass; the q-side mass
+of tokens ABSENT from a source is folded in closed form
+(p=0 ⇒ m=q/2 ⇒ the token contributes exactly q/2 bits), so the join
+stays (source, token)-present-pairs-sized instead of source×vocab.
+Float log2 sums use the accepted rounding pattern of
+``docs_lm_perplexity`` (round 4dp; libm-ulp risk ~1e-12 against a
+1e-4 grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deja_view_spark.queries_text import TOKEN_RE
+from deja_view_spark.sources.catalog import load_table
+
+PPM = 10**6
+
+# decayed-trending knobs (mirrored verbatim in the oracle SQL)
+DECAY_Q = 20  # weight = 2^DECAY_Q >> days_old  (exact dyadic decay)
+DECAY_SCALE = 1 << DECAY_Q
+TREND_TOPK = 25
+
+
+def q_events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.col("ts").cast("date").alias("d"),
+    ).where(F.col("item").isNotNull())
+    anchor = ev.agg(F.max("d").alias("anchor"))
+    scored = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "item",
+            F.least(F.datediff("anchor", "d"), F.lit(DECAY_Q)).alias("days_old"),
+        )
+        .select(
+            "item",
+            # SQL shiftright takes a column shift amount (the Python
+            # helper F.shiftright only accepts an int literal)
+            F.expr(
+                f"shiftright(CAST({DECAY_SCALE} AS BIGINT),"
+                " CAST(days_old AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("item")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("w").alias("score_q20"),
+        )
+        .select(
+            "item",
+            "n_events",
+            "score_q20",
+            F.expr(
+                f"CAST(score_q20 * {PPM} DIV (n_events * {DECAY_SCALE}) AS BIGINT)"
+            ).alias("recency_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("score_q20"), "item").limit(TREND_TOPK)
+
+
+ORACLE_EVENTS_DECAYED_TRENDING = f"""
+WITH ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(ts AS DATE) AS d
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+anchor AS (SELECT max(d) AS anchor FROM ev),
+weighted AS (
+  SELECT item,
+         {DECAY_SCALE} >> least(datediff('day', d, anchor), {DECAY_Q}) AS w
+  FROM ev CROSS JOIN anchor),
+scored AS (
+  SELECT item, count(*) AS n_events, sum(w) AS score_q20
+  FROM weighted GROUP BY item)
+SELECT item, n_events, CAST(score_q20 AS BIGINT) AS score_q20,
+       CAST(score_q20 * {PPM} // (n_events * {DECAY_SCALE}) AS BIGINT)
+         AS recency_ppm
+FROM scored
+ORDER BY score_q20 DESC, item
+LIMIT {TREND_TOPK}
+"""
+
+
+def q_docs_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("y"),
+    )
+    moments = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    # closed-form OLS from exact integer moments; every float op below
+    # is the same IEEE expression tree the oracle evaluates.
+    return moments.select(
+        "lang",
+        "n",
+        F.expr(
+            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE), 8)"
+        ).alias("slope"),
+        F.expr(
+            "round((CAST(sy AS DOUBLE)"
+            " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+            "    / CAST(n * sxx - sx * sx AS DOUBLE))"
+            "   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)"
+        ).alias("intercept"),
+        F.expr(
+            "round((CAST(n * sxy - sx * sy AS DOUBLE)"
+            "       / CAST(n * sxx - sx * sx AS DOUBLE))"
+            "    * (CAST(n * sxy - sx * sy AS DOUBLE)"
+            "       / CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+        ).alias("r2"),
+    ).orderBy("lang")
+
+
+ORACLE_DOCS_QUALITY_REGRESSION = f"""
+WITH feats AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+              AS BIGINT) AS y
+  FROM documents),
+moments AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM feats GROUP BY lang)
+SELECT lang, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 8) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+       round((CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+           * (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM moments
+ORDER BY lang
+"""
+
+
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    # overall row derived by RE-AGGREGATING the per-type counts — no
+    # second scan of the event log.
+    overall = (
+        per_user.groupBy("user_id")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("__all__").alias("event_type"), "user_id", "cnt")
+    )
+    both = per_user.unionByName(overall)
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    ranked = both.select(
+        "event_type", "cnt", F.row_number().over(w).alias("r")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("cnt").alias("total_events"),
+            F.sum(F.expr("r * cnt")).alias("sr"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "total_events",
+            F.expr(
+                f"CAST((2 * sr - (n_users + 1) * total_events) * {PPM}"
+                " DIV (n_users * total_events) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_GINI = f"""
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+both_lvls AS (
+  SELECT event_type, user_id, cnt FROM per_user
+  UNION ALL
+  SELECT '__all__' AS event_type, user_id, sum(cnt) AS cnt
+  FROM per_user GROUP BY user_id),
+ranked AS (
+  SELECT event_type, cnt,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cnt, user_id) AS r
+  FROM both_lvls)
+SELECT event_type, count(*) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       CAST((2 * sum(r * cnt) - (count(*) + 1) * sum(cnt)) * {PPM}
+            // (count(*) * sum(cnt)) AS BIGINT) AS gini_ppm
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_docs_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    )
+    st = docs.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    tot_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    glob = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n_tot = glob.agg(F.sum("c_t").alias("n_tot"))
+    terms = (
+        st.join(F.broadcast(tot_s), "source")
+        .join(glob, "tok")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "n_s",
+            # p, q as identical double expressions in both engines;
+            # absent-token q-mass enters as the closed-form +0.5 bits
+            # minus the 0.5*q of PRESENT tokens (folded into `term`).
+            F.expr(
+                "0.5 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+                " * log2(2.0 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+                "   / (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)"
+                "      + CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE)))"
+                " + 0.5 * (CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+                " * log2(2.0 * (CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+                "   / (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)"
+                "      + CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE)))"
+                " - 0.5 * (CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.round(F.lit(0.5) + F.sum("term"), 4).alias("jsd_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOCS_SPLIT_DRIFT = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents),
+st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+tot_s AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+gtok AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+n_tot AS (SELECT sum(c_t) AS n_tot FROM gtok),
+terms AS (
+  SELECT st.source, tot_s.n_s,
+         0.5 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+         * log2(2.0 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+             / (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                + CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+         + 0.5 * (CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         * log2(2.0 * (CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             / (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                + CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+         - 0.5 * (CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS term
+  FROM st
+  JOIN tot_s ON st.source = tot_s.source
+  JOIN gtok ON st.tok = gtok.tok
+  CROSS JOIN n_tot)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens, count(*) AS vocab,
+       round(0.5 + sum(term), 4) AS jsd_bits
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "events_decayed_trending": q_events_decayed_trending,
+    "docs_quality_regression": q_docs_quality_regression,
+    "events_gini": q_events_gini,
+    "docs_split_drift": q_docs_split_drift,
+}
+ORACLES = {
+    "events_decayed_trending": ORACLE_EVENTS_DECAYED_TRENDING,
+    "docs_quality_regression": ORACLE_DOCS_QUALITY_REGRESSION,
+    "events_gini": ORACLE_EVENTS_GINI,
+    "docs_split_drift": ORACLE_DOCS_SPLIT_DRIFT,
+}

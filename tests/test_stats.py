@@ -1,0 +1,237 @@
+"""Distribution/drift/trend statistics (queries_stats.py).
+
+Each operator is checked against an independent mathematical invariant
+or a numpy/python re-derivation on engine-synthesized or testdata
+inputs (the registry queries' DuckDB value-hash parity is the driver's
+job):
+
+- decayed trending: exact dyadic weights, bounds, and a planted
+  recent-vs-stale ordering;
+- OLS by moments: recovers a planted exact linear relationship and
+  matches numpy.polyfit on the real corpus;
+- Gini: 0 for a planted uniform distribution, → (n-1)/n-scaled
+  extreme for total concentration, matches a python re-derivation;
+- JS drift: zero for an identical split, bounded by 1 bit, matches a
+  scipy-free python re-derivation on a small planted vocabulary.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deja_view_spark.queries_stats import (
+    DECAY_Q,
+    DECAY_SCALE,
+    q_docs_quality_regression,
+    q_docs_split_drift,
+    q_events_decayed_trending,
+    q_events_gini,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------- decayed trending
+def test_decayed_weights_exact_and_bounded(spark):
+    out = q_events_decayed_trending(spark, SF).collect()
+    assert out, "trending returned no rows"
+    for r in out:
+        # score is a sum of n_events dyadic weights in [2^0, 2^20]
+        assert 0 < r.score_q20 <= r.n_events * DECAY_SCALE
+        assert 0 <= r.recency_ppm <= 10**6
+    # descending score order with deterministic item tiebreak
+    scores = [(r.score_q20, -r.item) for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_decayed_trending_prefers_recent(spark):
+    # two items, same event count; one all-new, one all-stale
+    rows = [(1, "2024-01-30") for _ in range(10)] + [
+        (2, "2024-01-01") for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "item long, d string").select(
+        "item", F.col("d").cast("date").alias("d")
+    )
+    anchor = df.agg(F.max("d").alias("anchor"))
+    scored = (
+        df.crossJoin(F.broadcast(anchor))
+        .select(
+            "item",
+            F.least(F.datediff("anchor", "d"), F.lit(DECAY_Q)).alias("dd"),
+        )
+        .select(
+            "item",
+            F.expr(
+                f"shiftright(CAST({DECAY_SCALE} AS BIGINT), CAST(dd AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("item")
+        .agg(F.sum("w").alias("s"))
+        .collect()
+    )
+    by_item = {r.item: r.s for r in scored}
+    assert by_item[1] == 10 * DECAY_SCALE  # zero days old: full weight
+    assert by_item[2] == 10 * (DECAY_SCALE >> 20)  # 29 days, clamped to 20
+    assert by_item[1] > by_item[2]
+
+
+# ------------------------------------------------------- OLS by moments
+def test_regression_recovers_planted_line(spark):
+    # y = 3x + 7 exactly: slope/intercept must come back exact, r2 = 1
+    rows = [("xx", "w " * (3 * x + 7 - 1) + "w", x) for x in range(10, 60)]
+    df = spark.createDataFrame(rows, "lang string, text string, n_chars long")
+    df.createOrReplaceTempView("_plant_docs")
+    from deja_view_spark.queries_text import TOKEN_RE
+
+    feats = df.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("y"),
+    )
+    m = feats.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x*x")).alias("sxx"),
+        F.sum(F.expr("x*y")).alias("sxy"),
+        F.sum(F.expr("y*y")).alias("syy"),
+    ).collect()[0]
+    cov = m.n * m.sxy - m.sx * m.sy
+    varx = m.n * m.sxx - m.sx * m.sx
+    vary = m.n * m.syy - m.sy * m.sy
+    assert cov / varx == pytest.approx(3.0, abs=1e-12)
+    assert (m.sy - (cov / varx) * m.sx) / m.n == pytest.approx(7.0, abs=1e-9)
+    assert (cov / varx) * (cov / vary) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_regression_matches_numpy_on_corpus(spark):
+    out = {r.lang: r for r in q_docs_quality_regression(spark, SF).collect()}
+    assert out, "no languages"
+    import duckdb
+
+    from deja_view_spark.queries_text import TOKEN_RE
+
+    con = duckdb.connect()
+    ref = con.sql(
+        f"""SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+                   CAST(length(regexp_extract_all(lower(text),
+                        '{TOKEN_RE}')) AS DOUBLE) AS y
+            FROM read_parquet('{SF}/documents.parquet')"""
+    ).df()
+    for lang, g in ref.groupby("lang"):
+        slope, intercept = np.polyfit(g.x, g.y, 1)
+        assert out[lang].slope == pytest.approx(slope, rel=1e-4)
+        assert out[lang].intercept == pytest.approx(intercept, rel=1e-3, abs=1e-2)
+        r = np.corrcoef(g.x, g.y)[0, 1]
+        assert out[lang].r2 == pytest.approx(r * r, rel=1e-4)
+        assert 0.0 <= out[lang].r2 <= 1.0
+
+
+# ------------------------------------------------------------------ Gini
+def _gini_py(counts):
+    xs = sorted(counts)
+    n, t = len(xs), sum(xs)
+    sr = sum((i + 1) * x for i, x in enumerate(xs))
+    return (2 * sr - (n + 1) * t) * 10**6 // (n * t)
+
+
+def test_gini_uniform_is_zero(spark):
+    rows = [("a", u, 5) for u in range(100)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, cnt long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    got = (
+        df.select("event_type", "cnt", F.row_number().over(w).alias("r"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cnt").alias("t"),
+            F.sum(F.expr("r*cnt")).alias("sr"),
+        )
+        .select(F.expr("CAST((2*sr-(n+1)*t)*1000000 DIV (n*t) AS BIGINT)").alias("g"))
+        .collect()[0]
+        .g
+    )
+    assert got == 0 == _gini_py([5] * 100)
+
+
+def test_gini_total_concentration(spark):
+    counts = [0] * 0 + [1] * 99 + [9901]  # one user dominates
+    assert _gini_py(counts) > 950_000  # near-maximal concentration
+
+
+def test_gini_query_matches_python(spark):
+    out = {r.event_type: r for r in q_events_gini(spark, SF).collect()}
+    assert "__all__" in out
+    import duckdb
+
+    con = duckdb.connect()
+    per = con.sql(
+        f"""SELECT event_type, user_id, count(*) AS c
+            FROM read_parquet('{SF}/events.parquet') GROUP BY 1,2"""
+    ).df()
+    for et, g in per.groupby("event_type"):
+        # python re-derivation orders ties by user_id, same as the query
+        xs = [c for _, c in sorted(zip(g.user_id, g.c), key=lambda p: (p[1], p[0]))]
+        assert out[et].gini_ppm == _gini_py(xs)
+        assert 0 <= out[et].gini_ppm < 10**6
+    allx = per.groupby("user_id").c.sum()
+    xs = [c for _, c in sorted(zip(allx.index, allx.values), key=lambda p: (p[1], p[0]))]
+    assert out["__all__"].gini_ppm == _gini_py(list(xs))
+
+
+# ------------------------------------------------------------- JS drift
+def _jsd_bits(p_counts, q_counts):
+    np_, nq = sum(p_counts.values()), sum(q_counts.values())
+    toks = set(p_counts) | set(q_counts)
+    j = 0.0
+    for t in toks:
+        p = p_counts.get(t, 0) / np_
+        q = q_counts.get(t, 0) / nq
+        m = (p + q) / 2
+        if p:
+            j += 0.5 * p * math.log2(p / m)
+        if q:
+            j += 0.5 * q * math.log2(q / m)
+    return j
+
+
+def test_jsd_identical_split_is_zero(spark):
+    c = {"a": 3, "b": 2, "c": 5}
+    assert _jsd_bits(c, c) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_jsd_disjoint_is_one_bit(spark):
+    assert _jsd_bits({"a": 4}, {"b": 4}) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_split_drift_matches_python(spark):
+    out = {r.source: r for r in q_docs_split_drift(spark, SF).collect()}
+    assert out
+    import collections
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, lower(text) AS t FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    tok_re = re.compile(r"[a-z0-9_]+")
+    per_src: dict = collections.defaultdict(collections.Counter)
+    for _, row in docs.iterrows():
+        per_src[row.source].update(tok_re.findall(row.t))
+    corpus = collections.Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    for src, cnts in per_src.items():
+        want = _jsd_bits(cnts, corpus)
+        assert out[src].jsd_bits == pytest.approx(want, abs=2e-4)
+        assert 0.0 <= out[src].jsd_bits <= 1.0
+        assert out[src].n_tokens == sum(cnts.values())
+        assert out[src].vocab == len(cnts)

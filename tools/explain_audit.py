@@ -665,6 +665,40 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # decayed trending: item IS NOT NULL pushed to the scan, anchor
+    # enters as a broadcast scalar, one partial agg, TakeOrdered
+    # finish — never a global sort of the item table
+    (
+        "events_decayed_trending",
+        [r"TakeOrdered", PARTIAL_AGG,
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # OLS by moments: the six sufficient statistics are ONE
+    # map-side-combining aggregation; no join, no window, no Python
+    (
+        "docs_quality_regression",
+        [PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # Gini: the rank window rides the per-(type,user) COUNTS table
+    # (|users| rows, never |events|); counts are partial-agg'd below
+    # the window's exchange; no join
+    (
+        "events_gini",
+        [r"Window", PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # JS drift: one tokenize/explode pass feeds (source,token) partial
+    # aggs; the source-totals and corpus-total sides re-aggregate FROM
+    # that table and broadcast back; vocab join is the only wide join
+    (
+        "docs_split_drift",
+        [PARTIAL_AGG, r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
