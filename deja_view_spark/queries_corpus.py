@@ -1767,3 +1767,102 @@ ORACLE_KMV_LANG_OVERLAP = _oracle_kmv_lang_overlap()
 
 QUERIES["docs_kmv_lang_overlap"] = q_docs_kmv_lang_overlap
 ORACLES["docs_kmv_lang_overlap"] = ORACLE_KMV_LANG_OVERLAP
+
+
+# ------------------------------------------------------------------
+# Sliding token-window chunker — the training-sequence prep step that
+# turns variable-length documents into fixed-budget overlapping
+# context windows (the precursor to shard packing: pack_shards bins
+# whole docs; this emits the W-token windows a sequence trainer
+# actually consumes). Deterministic end to end: the chunk COUNT is
+# closed-form integer arithmetic (1 + ceil((n-W)/S) for n > W), chunk
+# boundaries are pure index math, and each chunk ships its content
+# sha256 (the same per-row lineage idiom as the KG pipeline's
+# input-sha lineage rows). Scale shape: one tokenize pass, the
+# per-doc sequence explode is bounded by n/S chunks per doc (never a
+# cross-doc join), and everything below the explode is map-side
+# column math — embarrassingly parallel at any corpus size.
+CHUNK_W = 32  # window size (tokens)
+CHUNK_S = 24  # stride (tokens) -> 8-token overlap
+
+
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+                "toks"
+            ),
+        )
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+        .where(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.expr(
+                f"CASE WHEN n <= {CHUNK_W} THEN 1"
+                f" ELSE (n - {CHUNK_W} + {CHUNK_S} - 1) DIV {CHUNK_S} + 1 END"
+            ).alias("nk"),
+        )
+    )
+    chunks = toks.select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("sequence(0, nk - 1)")).alias("chunk_idx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"chunk_idx * {CHUNK_S} + 1").alias("tok_start"),
+        F.expr(f"least(chunk_idx * {CHUNK_S} + {CHUNK_W}, n)").alias("tok_end"),
+        F.expr(
+            f"array_join(slice(toks, chunk_idx * {CHUNK_S} + 1, {CHUNK_W}), ' ')"
+        ).alias("chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        "tok_end",
+        (F.col("tok_end") - F.col("tok_start") + 1).alias("chunk_tokens"),
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_DOCS_CHUNK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, length(toks) AS n FROM t WHERE length(toks) >= 1),
+k AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} + 1 END AS nk
+  FROM s),
+e AS (
+  SELECT doc_id, toks, n, unnest(range(0, nk)) AS chunk_idx FROM k),
+c AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         chunk_idx * {CHUNK_S} + 1 AS tok_start,
+         least(chunk_idx * {CHUNK_S} + {CHUNK_W}, n) AS tok_end,
+         array_to_string(
+           list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                      least(chunk_idx * {CHUNK_S} + {CHUNK_W}, n)),
+           ' ') AS chunk_text
+  FROM e)
+SELECT doc_id, chunk_idx,
+       CAST(tok_start AS INT) AS tok_start,
+       CAST(tok_end AS INT) AS tok_end,
+       CAST(tok_end - tok_start + 1 AS INT) AS chunk_tokens,
+       sha256(chunk_text) AS chunk_sha,
+       chunk_text
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["docs_chunk_windows"] = q_docs_chunk_windows
+ORACLES["docs_chunk_windows"] = ORACLE_DOCS_CHUNK_WINDOWS

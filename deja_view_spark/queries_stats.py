@@ -339,3 +339,72 @@ ORACLES = {
     "events_gini": ORACLE_EVENTS_GINI,
     "docs_split_drift": ORACLE_DOCS_SPLIT_DRIFT,
 }
+
+
+# ------------------------------------------------------------------
+# Per-document unigram entropy — the information-density quality
+# signal (gibberish and keyword-stuffed documents sit at the extremes;
+# complements docs_quality's ratio gates and docs_repetition's
+# Gopher gates). entropy_bits = -Σ (c/n)·log2(c/n) over the document's
+# token counts; norm_ppm = entropy / log2(vocab) in ppm (1e6 = the
+# uniform-distribution maximum), guarded for single-token docs. Scale
+# shape: one tokenize pass, one (doc_id, tok) partial-agg count, one
+# per-doc agg — no join, no window, no Python. Float log2 sums are
+# PER-DOCUMENT (dozens of terms, not corpus-sized), so the 4dp
+# rounding grid sits ~10 orders above the worst-case reorder error.
+def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(F.expr("c * log2(c)")).alias("sclogc"),
+    )
+    # H = log2(n) - (Σ c·log2 c)/n  — one float term per (doc,tok),
+    # aggregated with the same expression tree in both engines
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "round(log2(CAST(n_tokens AS DOUBLE))"
+            " - sclogc / CAST(n_tokens AS DOUBLE), 4)"
+        ).alias("entropy_bits"),
+        F.expr(
+            "CASE WHEN vocab <= 1 THEN 0 ELSE CAST(round("
+            "  (log2(CAST(n_tokens AS DOUBLE))"
+            "   - sclogc / CAST(n_tokens AS DOUBLE))"
+            "  * 1000000 / log2(CAST(vocab AS DOUBLE)), 0) AS BIGINT) END"
+        ).alias("norm_ppm"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOCS_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+  FROM documents),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS vocab, sum(c * log2(c)) AS sclogc
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n_tokens, vocab,
+       round(log2(CAST(n_tokens AS DOUBLE))
+             - sclogc / CAST(n_tokens AS DOUBLE), 4) AS entropy_bits,
+       CASE WHEN vocab <= 1 THEN 0 ELSE CAST(round(
+         (log2(CAST(n_tokens AS DOUBLE))
+          - sclogc / CAST(n_tokens AS DOUBLE))
+         * 1000000 / log2(CAST(vocab AS DOUBLE)), 0) AS BIGINT) END
+         AS norm_ppm
+FROM per_doc
+ORDER BY doc_id
+"""
+
+QUERIES["docs_token_entropy"] = q_docs_token_entropy
+ORACLES["docs_token_entropy"] = ORACLE_DOCS_TOKEN_ENTROPY

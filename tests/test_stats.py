@@ -235,3 +235,118 @@ def test_split_drift_matches_python(spark):
         assert 0.0 <= out[src].jsd_bits <= 1.0
         assert out[src].n_tokens == sum(cnts.values())
         assert out[src].vocab == len(cnts)
+
+
+# ------------------------------------------------- chunk windows
+def test_chunk_windows_cover_and_reconstruct(spark):
+    from deja_view_spark.queries_corpus import (
+        CHUNK_S,
+        CHUNK_W,
+        q_docs_chunk_windows,
+    )
+
+    rows = q_docs_chunk_windows(spark, SF).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    import duckdb
+    import re as _re
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lower(text) AS t FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    tok_re = _re.compile(r"[a-z0-9_]+")
+    for _, d in docs.iterrows():
+        toks = tok_re.findall(d.t)
+        if not toks:
+            assert d.doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[d.doc_id], key=lambda r: r.chunk_idx)
+        n = len(toks)
+        want_k = 1 if n <= CHUNK_W else -((-(n - CHUNK_W)) // CHUNK_S) + 1
+        assert len(chunks) == want_k
+        # full coverage: chunk 0 starts at 1, last chunk reaches n
+        assert chunks[0].tok_start == 1
+        assert chunks[-1].tok_end == n
+        for c in chunks:
+            # content matches the planted tokenization exactly
+            assert c.chunk_text == " ".join(toks[c.tok_start - 1 : c.tok_end])
+            assert c.chunk_tokens == c.tok_end - c.tok_start + 1
+        # consecutive chunks overlap by exactly W - S (interior)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.tok_start == a.tok_start + CHUNK_S
+
+
+# ------------------------------------------------- token entropy
+def test_entropy_uniform_and_degenerate(spark):
+    from deja_view_spark.queries_stats import q_docs_token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # all-distinct: H = log2(4) = 2
+            (2, "word word word word"),  # degenerate: H = 0
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("documents")
+    # run the same expressions directly on the planted frame
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9_]+"), 0)
+        ).alias("tok"),
+    )
+    got = {
+        r.doc_id: r
+        for r in toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("v"),
+            F.sum(F.expr("c * log2(c)")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.expr("round(log2(CAST(n AS DOUBLE)) - s / n, 4)").alias("h"),
+        )
+        .collect()
+    }
+    assert got[1].h == pytest.approx(2.0, abs=1e-9)
+    assert got[2].h == pytest.approx(0.0, abs=1e-9)
+
+
+def test_entropy_matches_python(spark):
+    from deja_view_spark.queries_stats import q_docs_token_entropy
+
+    out = {r.doc_id: r for r in q_docs_token_entropy(spark, SF).collect()}
+    import collections
+    import re as _re
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lower(text) AS t FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    tok_re = _re.compile(r"[a-z0-9_]+")
+    checked = 0
+    for _, d in docs.iterrows():
+        toks = tok_re.findall(d.t)
+        if not toks:
+            continue
+        cnt = collections.Counter(toks)
+        n = len(toks)
+        h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        r = out[d.doc_id]
+        assert r.entropy_bits == pytest.approx(h, abs=2e-4)
+        assert r.n_tokens == n and r.vocab == len(cnt)
+        if len(cnt) > 1:
+            assert 0 <= r.norm_ppm <= 10**6
+            assert r.norm_ppm == pytest.approx(
+                h / math.log2(len(cnt)) * 1e6, abs=2
+            )
+        checked += 1
+    assert checked > 0

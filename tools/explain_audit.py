@@ -699,6 +699,22 @@ CHECKS = [
         [PARTIAL_AGG, r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # chunk windows: pure map-side Generate (per-doc sequence explode)
+    # — no shuffle at all before the presentation sort, no join
+    (
+        "docs_chunk_windows",
+        [r"Generate"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"HashAggregate",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # token entropy: explode feeds (doc,tok) partial-agg counts, then a
+    # doc-keyed agg — no join, no window, no Python
+    (
+        "docs_token_entropy",
+        [r"Generate", PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
