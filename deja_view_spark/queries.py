@@ -856,7 +856,13 @@ ORACLES.update(_QST.ORACLES)
 # embeddings_mmr_topk, docs_record_linkage, docs_blocking_quality,
 # docs_record_linkage_multi, events_link_prediction,
 # events_transitions, events_market_basket, events_sssp, events_hits,
-# embeddings_hard_negatives, docs_prefix_join. All carry local oracle
+# embeddings_hard_negatives, docs_prefix_join — plus the round-3
+# closing wave: events_anomalies, events_lifetable,
+# events_forecast_eval, events_abtest, events_ktruss,
+# docs_record_linkage_multi and the wave-9 statistics family
+# (events_decayed_trending, docs_quality_regression, events_gini,
+# docs_split_drift, docs_chunk_windows, docs_token_entropy,
+# events_random_walks, docs_crossval_folds). All carry local oracle
 # sweeps + tests; rotate them into positions 1..50 next round.
 _ROUND3_FIRST = [
     # the 22 entries past position 50 of the round-2 order

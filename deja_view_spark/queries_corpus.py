@@ -1866,3 +1866,74 @@ ORDER BY doc_id, chunk_idx
 
 QUERIES["docs_chunk_windows"] = q_docs_chunk_windows
 ORACLES["docs_chunk_windows"] = ORACLE_DOCS_CHUNK_WINDOWS
+
+
+# ----------------------------------------------------- k-fold assignment
+# Deterministic cross-validation fold assignment + balance audit — the
+# split step upstream of quality-classifier training (and the
+# train/held-out split every dedup-threshold tuning run needs). Folds
+# come from a salted md5-prefix integer mod K (reproducible at any
+# parallelism, composable with partition pruning — the
+# stratified-sample discipline); the output is the per-(fold, lang)
+# balance table a reviewer checks before trusting a split: doc count,
+# token mass, and each fold's share of the language in exact ppm.
+# Scale shape: map-side fold/token math, ONE partial-agg groupBy over
+# the K x |langs| key space, broadcast per-lang totals back.
+CV_FOLDS = 5
+_CV_SALT = "cv3"
+
+
+def q_docs_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(
+            f"CAST(conv(substr(md5(concat_ws(':', '{_CV_SALT}',"
+            f" CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            f" % {CV_FOLDS}"
+        ).alias("fold"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("toks"),
+    )
+    cells = docs.groupBy("fold", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens")
+    )
+    lang_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    return (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"CAST(n_docs * 1000000 DIV lang_docs AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+ORACLE_DOCS_CROSSVAL_FOLDS = f"""
+WITH assigned AS (
+  SELECT lang,
+         ('0x' || substr(md5(concat_ws(':', '{_CV_SALT}',
+              doc_id::VARCHAR)), 1, 12))::BIGINT % {CV_FOLDS} AS fold,
+         CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+              AS BIGINT) AS toks
+  FROM documents),
+cells AS (
+  SELECT fold, lang, count(*) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY 1, 2),
+lang_tot AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs
+  FROM cells GROUP BY lang)
+SELECT fold, lang, n_docs, n_tokens,
+       CAST(n_docs * 1000000 // lang_docs AS BIGINT) AS share_ppm
+FROM cells JOIN lang_tot USING (lang)
+ORDER BY fold, lang
+"""
+
+QUERIES["docs_crossval_folds"] = q_docs_crossval_folds
+ORACLES["docs_crossval_folds"] = ORACLE_DOCS_CROSSVAL_FOLDS

@@ -1647,3 +1647,117 @@ ORACLE_EVENTS_KTRUSS = _oracle_ktruss()
 
 QUERIES["events_ktruss"] = q_events_ktruss
 ORACLES["events_ktruss"] = ORACLE_EVENTS_KTRUSS
+
+
+# --------------------------------------------------- random-walk corpus
+# Deterministic random-walk generation over the co-engagement graph —
+# the walk-corpus step of DeepWalk/node2vec-style graph embedding
+# training. One walk starts at every node with out-edges; at step t the
+# walk at node c moves to the j-th neighbor (neighbors ranked by dst
+# id) where j = 1 + H(walk_id, t) mod outdeg(c) and H is a 48-bit
+# md5-prefix integer — a hash-seeded "random" choice that is
+# REPRODUCIBLE at any parallelism (the same no-rand() argument as
+# docs_stratified_sample) and expressible identically in both engines
+# (Spark conv(hex,16,10) == DuckDB '0x'||hex cast). Dead ends yield
+# NULL tail steps, preserved in the output shape.
+#
+# Scale shape: the adjacency table (src, dst, j, outdeg) is built with
+# ONE src-partitioned window, then each step is ONE equi-join on the
+# current node (the j/outdeg selection is a residual filter on the
+# joined row, not a second shuffle). WALK_STEPS fixed joins = linear
+# lineage, the PageRank discipline. At 100x the walk table and the
+# adjacency shuffle both stay |nodes|-bounded.
+WALK_STEPS = 4
+_WALK_SALT = "walk7"
+
+
+def _walk_hash_spark(walk_col: str, step: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat_ws(':', '{_WALK_SALT}',"
+        f" CAST({walk_col} AS STRING), '{step}')), 1, 12), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def _walk_hash_sql(walk_col: str, step: int) -> str:
+    return (
+        f"('0x' || substr(md5(concat_ws(':', '{_WALK_SALT}',"
+        f" {walk_col}::VARCHAR, '{step}')), 1, 12))::BIGINT"
+    )
+
+
+def q_events_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    edges = _chain_edges(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = edges.select(
+        "src",
+        "dst",
+        F.row_number().over(w).alias("j"),
+        F.count("*").over(Window.partitionBy("src")).alias("outdeg"),
+    ).localCheckpoint(eager=False)
+    state = adj.select(F.col("src").alias("walk_id")).distinct().select(
+        "walk_id", F.col("walk_id").alias("cur")
+    )
+    cols = ["walk_id", F.col("cur").alias("step0")]
+    out = state.select(*cols)
+    for t in range(1, WALK_STEPS + 1):
+        a = adj.select(
+            F.col("src").alias("_s"),
+            F.col("dst").alias("_d"),
+            "j",
+            "outdeg",
+        )
+        pick = (
+            out.join(a, F.col(f"step{t-1}") == F.col("_s"), "left")
+            .where(
+                F.col("_s").isNull()
+                | (
+                    F.col("j")
+                    == 1
+                    + F.expr(_walk_hash_spark("walk_id", t)) % F.col("outdeg")
+                )
+            )
+            .drop("_s", "j", "outdeg")
+            .withColumnRenamed("_d", f"step{t}")
+        )
+        out = pick
+    return out.orderBy("walk_id")
+
+
+def _oracle_random_walks() -> str:
+    steps = []
+    prev = "s0"
+    for t in range(1, WALK_STEPS + 1):
+        h = _walk_hash_sql(f"{prev}.walk_id", t)
+        carry = ", ".join(
+            [f"{prev}.walk_id"] + [f"{prev}.step{k}" for k in range(t)]
+        )
+        steps.append(f"""
+s{t} AS (
+  SELECT {carry}, a.dst AS step{t}
+  FROM {prev}
+  LEFT JOIN adj a
+    ON a.src = {prev}.step{t-1}
+   AND a.j = 1 + {h} % a.outdeg)""")
+        prev = f"s{t}"
+    chain = ",".join(steps)
+    cols = ", ".join(["walk_id", "step0"] + [f"step{t}" for t in range(1, WALK_STEPS + 1)])
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS j,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM edges),
+s0 AS (
+  SELECT DISTINCT src AS walk_id, src AS step0 FROM adj),{chain}
+SELECT {cols} FROM {prev} ORDER BY walk_id
+"""
+
+
+ORACLE_EVENTS_RANDOM_WALKS = _oracle_random_walks()
+
+QUERIES["events_random_walks"] = q_events_random_walks
+ORACLES["events_random_walks"] = ORACLE_EVENTS_RANDOM_WALKS

@@ -350,3 +350,88 @@ def test_entropy_matches_python(spark):
             )
         checked += 1
     assert checked > 0
+
+
+# ---------------------------------------------------- random walks
+def test_random_walks_deterministic_and_valid(spark):
+    from deja_view_spark.queries_graph import (
+        WALK_STEPS,
+        _chain_edges,
+        q_events_random_walks,
+    )
+
+    walks = q_events_random_walks(spark, SF).collect()
+    assert walks, "no walks"
+    edges = {
+        (r.src, r.dst) for r in _chain_edges(spark, SF).collect()
+    }
+    out_nodes = {s for s, _ in edges}
+    # one walk per node with out-edges, starting at itself
+    assert {w.walk_id for w in walks} == out_nodes
+    for w in walks:
+        assert w.step0 == w.walk_id
+        path = [getattr(w, f"step{t}") for t in range(WALK_STEPS + 1)]
+        for a, b in zip(path, path[1:]):
+            if b is None:
+                # dead end: every later step must stay NULL and the
+                # stalled node must have no out-edges
+                assert a is None or a not in out_nodes
+            else:
+                assert (a, b) in edges  # every hop is a real edge
+    # determinism across a second evaluation (same hash choices)
+    again = q_events_random_walks(spark, SF).collect()
+    assert walks == again
+
+
+def test_random_walk_choice_is_hash_stable(spark):
+    # the step-1 choice must follow the documented md5-prefix formula
+    from deja_view_spark.queries_graph import (
+        _WALK_SALT,
+        _chain_edges,
+        q_events_random_walks,
+    )
+    import hashlib
+
+    walks = {w.walk_id: w for w in q_events_random_walks(spark, SF).collect()}
+    adj: dict = {}
+    for r in _chain_edges(spark, SF).collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    checked = 0
+    for node, nbrs in adj.items():
+        nbrs = sorted(nbrs)
+        h = int(
+            hashlib.md5(f"{_WALK_SALT}:{node}:1".encode()).hexdigest()[:12], 16
+        )
+        want = nbrs[h % len(nbrs)]
+        assert walks[node].step1 == want
+        checked += 1
+    assert checked > 0
+
+
+# ------------------------------------------------- crossval folds
+def test_crossval_folds_partition_and_balance(spark):
+    from deja_view_spark.queries_corpus import CV_FOLDS, q_docs_crossval_folds
+    import duckdb
+
+    out = q_docs_crossval_folds(spark, SF).collect()
+    assert out
+    assert {r.fold for r in out} <= set(range(CV_FOLDS))
+    con = duckdb.connect()
+    lang_counts = dict(
+        con.sql(
+            f"SELECT lang, count(*) FROM read_parquet('{SF}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    )
+    # folds PARTITION each language: per-lang doc counts re-add exactly
+    per_lang: dict = {}
+    for r in out:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + r.n_docs
+        assert 0 < r.share_ppm <= 10**6
+    assert per_lang == lang_counts
+    # shares within a language sum to <= 1e6 (floor division) and
+    # > 1e6 - CV_FOLDS (each cell floors away < 1 ppm-unit)
+    shares: dict = {}
+    for r in out:
+        shares[r.lang] = shares.get(r.lang, 0) + r.share_ppm
+    for lang, s in shares.items():
+        assert 10**6 - CV_FOLDS < s <= 10**6

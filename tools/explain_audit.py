@@ -715,6 +715,24 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
          r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # random walks: the checkpointed adjacency (its Window runs
+    # upstream, surfacing here as an ExistingRDD scan) BROADCASTS into
+    # every step's left join; hash-choice selection is a residual
+    # filter, not a second shuffle; no SMJ, no Python
+    (
+        "events_random_walks",
+        [r"BroadcastHashJoin LeftOuter"],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # crossval folds: map-side md5 fold + token math, one partial-agg
+    # groupBy over K x |langs| cells, broadcast lang totals back
+    (
+        "docs_crossval_folds",
+        [PARTIAL_AGG, r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
