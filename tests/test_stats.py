@@ -435,3 +435,26 @@ def test_crossval_folds_partition_and_balance(spark):
         shares[r.lang] = shares.get(r.lang, 0) + r.share_ppm
     for lang, s in shares.items():
         assert 10**6 - CV_FOLDS < s <= 10**6
+
+
+# -------------------------------------------------- CLI verbs (wave 9)
+def test_wave9_cli_verbs(capsys):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    for verb, marker in (
+        ("trending", "'score_q20'"),
+        ("regression", "'slope'"),
+        ("gini", "'gini_ppm'"),
+        ("drift", "'jsd_bits'"),
+        ("chunk", "'chunk_sha'"),
+        ("entropy", "'entropy_bits'"),
+        ("walks", "'step1'"),
+        ("folds", "'share_ppm'"),
+    ):
+        assert (
+            cli.main(["corpus", verb, "--data", SF, "--limit", "2"]) == 0
+        )
+        assert marker in capsys.readouterr().out

@@ -226,6 +226,15 @@ CORPUS_OPS = {
     "sssp": "events_sssp",
     "ktruss": "events_ktruss",
     "hits": "events_hits",
+    # wave 9 (statistics / drift / training-prep)
+    "trending": "events_decayed_trending",
+    "regression": "docs_quality_regression",
+    "gini": "events_gini",
+    "drift": "docs_split_drift",
+    "chunk": "docs_chunk_windows",
+    "entropy": "docs_token_entropy",
+    "walks": "events_random_walks",
+    "folds": "docs_crossval_folds",
 }
 
 
