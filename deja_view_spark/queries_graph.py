@@ -1761,3 +1761,81 @@ ORACLE_EVENTS_RANDOM_WALKS = _oracle_random_walks()
 
 QUERIES["events_random_walks"] = q_events_random_walks
 ORACLES["events_random_walks"] = ORACLE_EVENTS_RANDOM_WALKS
+
+
+# ---------------------------------------------- clustering coefficient
+# Per-node LOCAL clustering coefficient over the undirected
+# co-engagement graph — Watts-Strogatz neighborhood density, the
+# per-vertex refinement of the global triangle census (how close each
+# user's neighborhood is to a clique; the standard community-tightness
+# / spam-farm signal). lcc = 2·tri(v) / (deg(v)·(deg(v)−1)) emitted in
+# EXACT integer ppm; nodes with deg < 2 are excluded (undefined),
+# triangle-free nodes report 0.
+#
+# Scale shape: the triangle census is the degree-oriented wedge join
+# of q_events_triangles (out-neighborhoods O(sqrt m) on power-law
+# graphs); degrees are one partial agg over the undirected edge set;
+# the finish is one left join of two node-sized tables. The edge set
+# is derived twice here (census + degrees) — at 100 TB you'd persist
+# `und` once; both derivations ride the same checkpointed lineage.
+def q_events_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (
+        _chain_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") >= 2)
+    )
+    census = q_events_triangles(spark, sf_dir)
+    return (
+        deg.join(census, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CAST(2 * coalesce(n_triangles, 0) * 1000000"
+                " DIV (deg * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+ORACLE_EVENTS_LCC = f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node HAVING count(*) >= 2),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+census AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY node)
+SELECT d.node, d.deg,
+       coalesce(c.n_triangles, 0) AS n_triangles,
+       CAST(2 * coalesce(c.n_triangles, 0) * 1000000
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+FROM deg d LEFT JOIN census c ON d.node = c.node
+ORDER BY d.node
+"""
+
+QUERIES["events_lcc"] = q_events_lcc
+ORACLES["events_lcc"] = ORACLE_EVENTS_LCC

@@ -1163,3 +1163,206 @@ ORDER BY s.s_suppkey
 
 QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
 ORACLES["top_supplier_revenue"] = ORACLE_TOP_SUPPLIER
+
+
+# ------------------------------------------------------------------
+# Q6 shape — forecast revenue change: the canonical PUSHDOWN showcase.
+# Every predicate (shipdate year window, discount band, quantity cap)
+# is a plain scan filter and the whole query is one partial-agg'd
+# global sum — zero joins, zero windows; at 100 TB this is the query
+# whose cost is pure pruned-scan bandwidth, and the plan audit pins
+# all three filters inside PushedFilters.
+Q6_DATE_LO, Q6_DATE_HI = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_CAP = 24
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= Q6_DATE_LO)
+            & (F.col("l_shipdate") < Q6_DATE_HI)
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY_CAP)
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * l_discount * 100, 0)"
+                    " AS BIGINT)"
+                )
+            ).alias("cents"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.expr("CAST(cents AS DOUBLE) / 100").alias("revenue"), "n_items"
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                     AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_DATE_HI}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_CAP}
+"""
+
+
+# ------------------------------------------------------------------
+# Q8 shape — nation market share: the deep broadcast-join pyramid
+# (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier
+# ⋈ nation) with a conditional-share finish. Only lineitem and orders
+# are fact-sized; every dim broadcasts, so the single real shuffle is
+# the fact-fact join key. Share emitted per (year, supplier nation)
+# as ppm of the year's regional volume — volumes are summed in EXACT
+# integer cents (order-independent BIGINT sums) and the share is pure
+# integer ppm, so nothing float-order-sensitive reaches the hash.
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat_c = load_table(spark, sf_dir, "nation").alias("nc")
+    nat_s = load_table(spark, sf_dir, "nation").alias("ns")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), cust.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(reg), F.col("nc.n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat_s), sup.s_nationkey == F.col("ns.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("ns.n_name").alias("supp_nation"),
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("o_year", "supp_nation")
+        .agg(F.sum("cents").alias("nation_cents"))
+    )
+    tot = vol.groupBy("o_year").agg(F.sum("nation_cents").alias("year_cents"))
+    return (
+        vol.join(F.broadcast(tot), "o_year")
+        .select(
+            "o_year",
+            "supp_nation",
+            F.expr("CAST(nation_cents AS DOUBLE) / 100").alias(
+                "nation_volume"
+            ),
+            F.expr(
+                "CAST(nation_cents * 1000000 DIV year_cents AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("o_year", "supp_nation")
+    )
+
+
+ORACLE_NATION_MARKET_SHARE = f"""
+WITH vol AS (
+  SELECT extract(year FROM o_orderdate) AS o_year,
+         ns.n_name AS supp_nation,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS nation_cents
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = '{Q8_TYPE}'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT o_year, CAST(sum(nation_cents) AS BIGINT) AS year_cents
+  FROM vol GROUP BY o_year)
+SELECT o_year, supp_nation,
+       CAST(nation_cents AS DOUBLE) / 100 AS nation_volume,
+       CAST(nation_cents * 1000000 // year_cents AS BIGINT) AS share_ppm
+FROM vol JOIN tot USING (o_year)
+ORDER BY o_year, supp_nation
+"""
+
+
+# ------------------------------------------------------------------
+# Q10 shape — returned-item revenue: which customers returned the
+# most value in a quarter. One fact-fact join (lineitem R-rows ⋈
+# orders in the window), customer/nation broadcast, exact top-20 via
+# TakeOrdered on the rounded revenue with custkey tiebreak.
+Q10_DATE_LO, Q10_DATE_HI = "1996-01-01", "1996-04-01"
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= Q10_DATE_LO)
+        & (F.col("o_orderdate") < Q10_DATE_HI)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+                    " AS BIGINT)"
+                )
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_returned"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            F.expr("CAST(revenue_cents AS DOUBLE) / 100").alias("revenue"),
+            "n_returned",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEM_REVENUE = f"""
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       count(*) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q10_DATE_HI}'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+QUERIES["forecast_revenue"] = q_forecast_revenue
+ORACLES["forecast_revenue"] = ORACLE_FORECAST_REVENUE
+QUERIES["nation_market_share"] = q_nation_market_share
+ORACLES["nation_market_share"] = ORACLE_NATION_MARKET_SHARE
+QUERIES["returned_item_revenue"] = q_returned_item_revenue
+ORACLES["returned_item_revenue"] = ORACLE_RETURNED_ITEM_REVENUE

@@ -408,3 +408,70 @@ ORDER BY doc_id
 
 QUERIES["docs_token_entropy"] = q_docs_token_entropy
 ORACLES["docs_token_entropy"] = ORACLE_DOCS_TOKEN_ENTROPY
+
+
+# ------------------------------------------------------------------
+# Inter-event burstiness — Goh-Barabási B = (σ−μ)/(σ+μ) over each
+# user's inter-arrival gaps, grouped by the type of the later event:
+# the bot/automation signal (B → −1 periodic scripts, B ≈ 0 Poisson
+# humans, B → 1 bursty sessions). All moments (n, Σgap, Σgap²) are
+# EXACT BIGINT sums of truncated-second gaps; σ enters through one
+# identical double expression D = sqrt(n·Σx² − (Σx)²) so
+# B = (D − Σx) / (D + Σx) — no float aggregation anywhere. Scale
+# shape: ONE user-partitioned window (never global), one partial-agg
+# groupBy over the tiny type key space.
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        ((F.col("us") - F.lag("us").over(w)) / F.lit(1000000))
+        .cast("long")
+        .alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("sx"),
+        F.sum(F.expr("gap_s * gap_s")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.expr("round(CAST(sx AS DOUBLE) / n_gaps, 4)").alias("mean_gap_s"),
+        F.expr(
+            "round((sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) - sx)"
+            " / (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) + sx), 6)"
+        ).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_BURSTINESS = """
+WITH seq AS (
+  SELECT event_type, user_id, epoch_us(ts) AS us, event_id,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events),
+gaps AS (
+  SELECT event_type, CAST((us - prev) // 1000000 AS BIGINT) AS gap_s
+  FROM seq WHERE prev IS NOT NULL),
+m AS (
+  SELECT event_type, count(*) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS sx,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx
+  FROM gaps GROUP BY event_type)
+SELECT event_type, n_gaps,
+       round(CAST(sx AS DOUBLE) / n_gaps, 4) AS mean_gap_s,
+       round((sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) - sx)
+             / (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) + sx), 6)
+         AS burstiness
+FROM m
+ORDER BY event_type
+"""
+
+QUERIES["events_burstiness"] = q_events_burstiness
+ORACLES["events_burstiness"] = ORACLE_EVENTS_BURSTINESS

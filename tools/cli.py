@@ -235,6 +235,12 @@ CORPUS_OPS = {
     "entropy": "docs_token_entropy",
     "walks": "events_random_walks",
     "folds": "docs_crossval_folds",
+    # wave 10
+    "q6": "forecast_revenue",
+    "market-share": "nation_market_share",
+    "returned-revenue": "returned_item_revenue",
+    "lcc": "events_lcc",
+    "burstiness": "events_burstiness",
 }
 
 

@@ -733,6 +733,44 @@ CHECKS = [
         [r"SortMergeJoin", r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Q6 shape: ALL THREE predicates reach the scan; one partial-agg'd
+    # global sum, zero joins — pure pruned-scan bandwidth at 100 TB
+    (
+        "forecast_revenue",
+        [r"PushedFilters: \[.*l_shipdate", r"PushedFilters: \[.*l_discount",
+         r"PushedFilters: \[.*l_quantity", PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # Q8 shape: the dim pyramid broadcasts; integer-cents partial aggs
+    (
+        "nation_market_share",
+        [r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # Q10 shape: R-flag + date window pushed, dims broadcast, exact
+    # top-20 via TakeOrdered (never a global sort of the agg output)
+    (
+        "returned_item_revenue",
+        [r"PushedFilters: \[.*l_returnflag", r"BroadcastHashJoin",
+         r"TakeOrdered", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # local clustering coefficient: wedge machinery plus node-sized
+    # degree join — no cartesian, no Python
+    (
+        "events_lcc",
+        [PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # burstiness: ONE user-partitioned window (never SinglePartition),
+    # partial-agg moments, no join
+    (
+        "events_burstiness",
+        [r"Window", PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
