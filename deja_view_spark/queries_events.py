@@ -1557,3 +1557,92 @@ ORDER BY user_id, version
 
 QUERIES["events_scd2_history"] = q_events_scd2_history
 ORACLES["events_scd2_history"] = ORACLE_EVENTS_SCD2
+
+
+# ------------------------------------------------- last-touch attribution
+# Conversion attribution: each purchase is credited to the SAME
+# user's most recent click strictly before it, if that click happened
+# within the attribution window — the standard marketing/causal-credit
+# assignment (and the funnel's per-conversion refinement). The
+# carried click is one last(IGNORE NULLS) over a user-ordered window
+# with an EXCLUSIVE upper bound (ROWS ... 1 PRECEDING: a click and a
+# purchase sharing a timestamp never self-attribute), so the whole
+# query is ONE user-partitioned window pass + one tiny groupBy —
+# never a purchases x clicks join. Window arithmetic in integer
+# micros; the deterministic (us, event_id) ordering key shared with
+# events_latest_state/transitions.
+ATTR_WINDOW_S = 7 * 86400
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    carried = ev.select(
+        "event_type",
+        "us",
+        F.last(F.when(is_click, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("click_us"),
+        F.last(F.when(is_click, F.col("item")), ignorenulls=True)
+        .over(w)
+        .alias("click_item"),
+    )
+    purchases = carried.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("click_us").isNotNull()
+            & (
+                (F.col("us") - F.col("click_us"))
+                <= F.lit(ATTR_WINDOW_S * 1000000)
+            ),
+            F.col("click_item"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("item")
+    )
+    return (
+        purchases.groupBy("item")
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy("item")
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events),
+carried AS (
+  SELECT event_type, us,
+         last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_us,
+         last_value(CASE WHEN event_type = 'click' THEN item END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_item
+  FROM ev),
+attributed AS (
+  SELECT CASE WHEN click_us IS NOT NULL
+               AND us - click_us <= {ATTR_WINDOW_S}::BIGINT * 1000000
+              THEN click_item ELSE -1 END AS item
+  FROM carried WHERE event_type = 'purchase')
+SELECT item, count(*) AS n_conversions
+FROM attributed
+GROUP BY item
+ORDER BY item
+"""
+
+QUERIES["events_attribution"] = q_events_attribution
+ORACLES["events_attribution"] = ORACLE_EVENTS_ATTRIBUTION

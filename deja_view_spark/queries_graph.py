@@ -1839,3 +1839,277 @@ ORDER BY d.node
 
 QUERIES["events_lcc"] = q_events_lcc
 ORACLES["events_lcc"] = ORACLE_EVENTS_LCC
+
+
+# ------------------------------------------------------- HyperBall ANF
+# Per-node 2-hop neighborhood-size estimate via register propagation
+# (Boldi-Rosa-Vigna HyperBall / the approximate-neighborhood-function
+# sketch). events_reach_k computes the EXACT bounded ball with a
+# (node, reached) pair table — correct, but the pair table is the
+# quadratic object that dies on dense 100-TB graphs. HyperBall keeps
+# per-node HLL REGISTERS instead (|V| x 256 bounded state) and closes
+# one hop per round by register-wise max over out-neighbors:
+#   regs_{t+1}(v) = regs_t(v) ∨ max over v->w of regs_t(w)
+# Two rounds here = ball(v, 2) = {v} ∪ N(v) ∪ N²(v). Shares the exact
+# md5-60 / integer-rho / scaled-harmonic-sum construction with
+# docs_hll_distinct, so both engines agree bit-for-bit on registers
+# and the float estimate is one identical expression. The exact ball
+# count rides along as the audit (it re-builds the pair table — the
+# thing the sketch DELETES at scale).
+HB_ROUNDS = 2
+
+
+def q_events_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+        _hll_rho,
+    )
+
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hb|"), F.col("node").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    regs = nodes.select(
+        "node",
+        (h % HLL_M).alias("reg"),
+        _hll_rho(F.shiftright(h, HLL_P)).alias("rho"),
+    ).localCheckpoint(eager=True)
+    for _ in range(HB_ROUNDS):
+        via = (
+            edges.join(
+                regs.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "reg", "rho")
+        )
+        regs = (
+            regs.unionByName(via)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+    agg = regs.groupBy("node").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - rho)")).alias("s_hit"),
+    )
+    zero = HLL_M - F.col("cnt")
+    s_int = F.col("s_hit") + zero.cast("long") * F.lit(1 << (HLL_W + 1))
+    raw = F.lit(_HLL_NUM) / s_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LC_CUT)) & (zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
+    ).otherwise(raw)
+    # exact audit: the bounded pair table the sketch replaces
+    b1 = nodes.select(F.col("node"), F.col("node").alias("x")).unionByName(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("x"))
+    )
+    b2 = b1.unionByName(
+        b1.join(edges.withColumnRenamed("src", "x"), "x").select(
+            "node", F.col("dst").alias("x")
+        )
+    ).distinct()
+    exact = b2.groupBy("node").agg(F.count("*").alias("exact_ball2"))
+    return (
+        agg.join(exact, "node")
+        .select(
+            "node",
+            F.col("cnt").cast("int").alias("registers_hit"),
+            F.round(est, 4).alias("ball2_est"),
+            "exact_ball2",
+            F.round(
+                (est - F.col("exact_ball2")) / F.col("exact_ball2") * 100, 4
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("node")
+    )
+
+
+def _oracle_hyperball() -> str:
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+        _sql_hex60,
+    )
+
+    whens = " ".join(
+        f"WHEN v >= {1 << k} THEN {HLL_W - k}"
+        for k in range(HLL_W - 1, -1, -1)
+    )
+    rounds = []
+    prev = "regs0"
+    for t in range(1, HB_ROUNDS + 1):
+        rounds.append(f"""
+regs{t} AS (
+  SELECT node, reg, max(rho) AS rho FROM (
+    SELECT node, reg, rho FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, r.reg, r.rho
+    FROM edges e JOIN {prev} r ON r.node = e.dst)
+  GROUP BY node, reg)""")
+        prev = f"regs{t}"
+    chain = ",".join(rounds)
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+hx AS (
+  SELECT node,
+         {_sql_hex60("md5('hb|' || CAST(node AS VARCHAR))")} AS h
+  FROM nodes),
+regs0 AS (
+  SELECT node, h % {HLL_M} AS reg,
+         CASE {whens.replace('v >=', f'(h // {HLL_M}) >=')}
+              ELSE {HLL_W + 1} END AS rho
+  FROM hx),{chain},
+agg AS (
+  SELECT node, count(*) AS cnt,
+         sum(1::BIGINT << ({HLL_W + 1} - rho)) AS s_hit
+  FROM {prev} GROUP BY node),
+b1 AS (
+  SELECT node, node AS x FROM nodes
+  UNION SELECT src AS node, dst AS x FROM edges),
+b2 AS (
+  SELECT DISTINCT node, x FROM (
+    SELECT node, x FROM b1
+    UNION ALL
+    SELECT b1.node, e.dst AS x FROM b1 JOIN edges e ON e.src = b1.x)),
+exact AS (SELECT node, count(*) AS exact_ball2 FROM b2 GROUP BY node),
+fin AS (
+  SELECT node, cnt, {HLL_M} - cnt AS vz,
+         {_HLL_NUM!r} / CAST(s_hit + ({HLL_M} - cnt)
+                             * (1::BIGINT << {HLL_W + 1}) AS DOUBLE) AS raw
+  FROM agg),
+est AS (
+  SELECT node, cnt, vz,
+         CASE WHEN raw <= {_HLL_LC_CUT!r} AND vz > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(vz AS DOUBLE))
+              ELSE raw END AS e
+  FROM fin)
+SELECT est.node, CAST(cnt AS INT) AS registers_hit,
+       round(e, 4) AS ball2_est, exact.exact_ball2,
+       round((e - exact.exact_ball2) / exact.exact_ball2 * 100, 4)
+         AS rel_err_pct
+FROM est JOIN exact ON est.node = exact.node
+ORDER BY est.node
+"""
+
+
+ORACLE_EVENTS_HYPERBALL = _oracle_hyperball()
+
+QUERIES["events_hyperball"] = q_events_hyperball
+ORACLES["events_hyperball"] = ORACLE_EVENTS_HYPERBALL
+
+
+# --------------------------------------------- negative edge sampling
+# Deterministic negative sampling over the co-engagement graph — the
+# training-pair generator that complements events_random_walks (walks
+# give positives, this gives the non-edges a link-prediction / KG-
+# embedding loss contrasts against). Per out-node, NEG_TRIES hash-
+# seeded candidate ids (md5-prefix mod (max_id+1), the stratified-
+# sample no-rand() discipline); a candidate survives if it is a real
+# node (semi-join), not the source itself, and not an UNDIRECTED
+# neighbor (anti-join on the canonical pair — a reversed edge is
+# still a positive). Variable survivor counts per node are the
+# documented semantics (rejection sampling reports what it rejected:
+# try_idx is kept so the consumer can take the first k survivors).
+#
+# Scale shape: candidate generation is a map-side explode (|V| x
+# NEG_TRIES rows); the validity checks are one broadcastable
+# node-set semi-join and one anti-join against the edge set on its
+# natural key. No pair table beyond the candidate explode.
+NEG_TRIES = 8
+_NEG_SALT = "neg5"
+
+
+def q_events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    mx = nodes.agg(F.max("node").alias("mx"))
+    cands = (
+        edges.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "src",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_TRIES - 1))).alias(
+                "try_idx"
+            ),
+            "mx",
+        )
+        .select(
+            "src",
+            "try_idx",
+            F.expr(
+                f"CAST(conv(substr(md5(concat_ws('|', '{_NEG_SALT}',"
+                f" CAST(src AS STRING), CAST(try_idx AS STRING))), 1, 12),"
+                f" 16, 10) AS BIGINT) % (mx + 1)"
+            ).alias("cand"),
+        )
+        .where(F.col("cand") != F.col("src"))
+    )
+    valid = cands.join(
+        nodes.withColumnRenamed("node", "cand"), "cand", "left_semi"
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    survivors = valid.join(
+        und,
+        (F.least("src", "cand") == und.a) & (F.greatest("src", "cand") == und.b),
+        "left_anti",
+    )
+    return survivors.select("src", "try_idx", F.col("cand").alias("neg_dst")).orderBy(
+        "src", "try_idx"
+    )
+
+
+ORACLE_EVENTS_NEGATIVE_SAMPLES = f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+mx AS (SELECT max(node) AS mx FROM nodes),
+srcs AS (SELECT DISTINCT src FROM edges),
+cands AS (
+  -- table-function generate_series: the unnest-in-SELECT form trips
+  -- a DuckDB 1.x internal binder error once joined downstream
+  SELECT src, g.try_idx, mx
+  FROM srcs CROSS JOIN mx
+  CROSS JOIN generate_series(0, {NEG_TRIES - 1}) AS g(try_idx)),
+hashed AS (
+  SELECT src, try_idx,
+         ('0x' || substr(md5(concat_ws('|', '{_NEG_SALT}',
+              src::VARCHAR, try_idx::VARCHAR)), 1, 12))::BIGINT % (mx + 1)
+           AS cand
+  FROM cands),
+valid AS (
+  SELECT h.src, h.try_idx, h.cand
+  FROM hashed h
+  JOIN nodes n ON h.cand = n.node
+  WHERE h.cand <> h.src),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)
+SELECT v.src, CAST(v.try_idx AS INT) AS try_idx, v.cand AS neg_dst
+FROM valid v
+WHERE NOT EXISTS (
+  SELECT 1 FROM und
+  WHERE least(v.src, v.cand) = und.a AND greatest(v.src, v.cand) = und.b)
+ORDER BY src, try_idx
+"""
+
+QUERIES["events_negative_samples"] = q_events_negative_samples
+ORACLES["events_negative_samples"] = ORACLE_EVENTS_NEGATIVE_SAMPLES

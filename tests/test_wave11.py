@@ -1,0 +1,116 @@
+"""Wave-11 operators: HyperBall 2-hop ANF, last-touch attribution,
+negative edge sampling.
+
+HyperBall's exact audit column is re-derived with a python BFS and the
+sketch error is bounded; attribution against a sequential python
+replay of each user's timeline; negative samples against the md5
+formula plus the non-edge / valid-node invariants."""
+
+import collections
+import hashlib
+
+import duckdb
+import pytest
+
+from deja_view_spark.queries_events import (
+    ATTR_WINDOW_S,
+    q_events_attribution,
+)
+from deja_view_spark.queries_graph import (
+    NEG_TRIES,
+    _NEG_SALT,
+    _chain_edges,
+    q_events_hyperball,
+    q_events_negative_samples,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark):
+    return [(r.src, r.dst) for r in _chain_edges(spark, SF).collect()]
+
+
+def test_hyperball_exact_ball_matches_bfs(spark):
+    out = {r.node: r for r in q_events_hyperball(spark, SF).collect()}
+    assert out
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for s, d in _edges(spark):
+        adj[s].add(d)
+        nodes.update((s, d))
+    assert set(out) == nodes
+    for v in nodes:
+        ball = {v} | adj[v]
+        for u in list(adj[v]):
+            ball |= adj[u]
+        assert out[v].exact_ball2 == len(ball)
+
+
+def test_hyperball_sketch_error_bounded(spark):
+    rows = q_events_hyperball(spark, SF).collect()
+    # m=256 registers -> ~6.5% std error; allow a generous envelope on
+    # small balls (the estimator is exact-ish via linear counting when
+    # most registers are empty)
+    for r in rows:
+        assert r.registers_hit >= 1
+        assert r.ball2_est > 0
+        if r.exact_ball2 >= 10:
+            assert abs(r.rel_err_pct) < 40.0
+        else:
+            assert abs(r.ball2_est - r.exact_ball2) < 5
+
+
+def test_attribution_matches_python_replay(spark):
+    got = {r.item: r.n_conversions for r in q_events_attribution(spark, SF).collect()}
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM read_parquet('{SF}/events.parquet')
+            ORDER BY user_id, us, event_id"""
+    ).fetchall()
+    want: dict = collections.defaultdict(int)
+    last_click: dict = {}
+    n_purchases = 0
+    for uid, et, us, eid, item in rows:
+        if et == "purchase":
+            n_purchases += 1
+            lc = last_click.get(uid)
+            if lc is not None and us - lc[0] <= ATTR_WINDOW_S * 1_000_000:
+                want[lc[1]] += 1
+            else:
+                want[-1] += 1
+        if et == "click":
+            last_click[uid] = (us, item)
+    assert got == dict(want)
+    # conservation: every purchase lands in exactly one bucket
+    assert sum(got.values()) == n_purchases
+
+
+def test_negative_samples_are_true_negatives(spark):
+    out = q_events_negative_samples(spark, SF).collect()
+    assert out
+    und = set()
+    nodes = set()
+    srcs = set()
+    for s, d in _edges(spark):
+        und.add((min(s, d), max(s, d)))
+        nodes.update((s, d))
+        srcs.add(s)
+    mx = max(nodes)
+    for r in out:
+        assert r.src in srcs
+        assert r.neg_dst in nodes  # a real node
+        assert r.neg_dst != r.src
+        key = (min(r.src, r.neg_dst), max(r.src, r.neg_dst))
+        assert key not in und  # never a positive, either direction
+        # the candidate follows the documented md5 formula
+        h = int(
+            hashlib.md5(
+                f"{_NEG_SALT}|{r.src}|{r.try_idx}".encode()
+            ).hexdigest()[:12],
+            16,
+        )
+        assert r.neg_dst == h % (mx + 1)
+        assert 0 <= r.try_idx < NEG_TRIES

@@ -241,6 +241,10 @@ CORPUS_OPS = {
     "returned-revenue": "returned_item_revenue",
     "lcc": "events_lcc",
     "burstiness": "events_burstiness",
+    # wave 11
+    "hyperball": "events_hyperball",
+    "attribution": "events_attribution",
+    "neg-samples": "events_negative_samples",
 }
 
 

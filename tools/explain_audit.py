@@ -771,6 +771,28 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # HyperBall: per-round register merges are partial-agg'd groupBys
+    # over |V| x 256 bounded state; no cartesian, no Python
+    (
+        "events_hyperball",
+        [PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # attribution: ONE user-partitioned window carries the last click;
+    # never a purchases x clicks join
+    (
+        "events_attribution",
+        [r"Window", PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # negative sampling: map-side candidate explode, node-set
+    # semi-join, edge anti-join — no cartesian, no Python
+    (
+        "events_negative_samples",
+        [r"Generate", r"LeftAnti"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
