@@ -1569,3 +1569,140 @@ ORDER BY src_doc, dst_doc
 
 QUERIES["docs_prefix_join"] = q_docs_prefix_join
 ORACLES["docs_prefix_join"] = ORACLE_DOCS_PREFIX_JOIN
+
+
+# ----------------------------------------------------- BPE training loop
+# Actual BPE vocabulary induction (Sennrich 2016), not just the census:
+# BPE_TRAIN_ROUNDS rounds of [pair census -> argmax merge -> re-segment]
+# over the WORD-FREQUENCY table — the standard scale trick: the corpus
+# is touched once to build (word, count); every training round then
+# runs on the |vocab|-sized state, never the corpus. The re-segmentation
+# is a left-to-right non-overlapping fold (aggregate/list_reduce over
+# the symbol array) that matches reference BPE semantics exactly:
+# "x x x" + (x,x) -> "xx x", and a token merged THIS round cannot
+# re-merge (chr(1) marker, stripped per round) — verified identical in
+# both engines on the boundary cases. Argmax is fully tie-broken
+# (count DESC, pair ASC). Output: the learned merge table, the BPE
+# artifact itself.
+#
+# Scale shape per round: in-row pair stream (no self-join) + one
+# partial-agg census + a 1-row TakeOrdered argmax broadcast back into
+# a map-side fold. Round state is localCheckpoint'ed so lineage stays
+# linear (the PageRank/kmeans discipline).
+BPE_TRAIN_ROUNDS = 5
+
+
+def _bpe_fold_spark() -> str:
+    return """
+  trim(replace(
+    aggregate(
+      slice(split(seg, ' '), 2, size(split(seg, ' ')) - 1),
+      split(seg, ' ')[0],
+      (acc, cur) -> CASE
+        WHEN endswith(concat(' ', acc), concat(' ', pa)) AND cur = pb
+        THEN concat(substr(acc, 1, length(acc) - length(pa)), chr(1), pa, pb)
+        ELSE concat(acc, ' ', cur) END),
+    chr(1), ''))"""
+
+
+def q_docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seg = vocab.select(
+        F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("seg"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+    merges = None
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split("seg", " ")
+        pair_idx = F.when(
+            F.size(syms) > 1, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        census = (
+            seg.select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("pa"),
+                            F.element_at(syms, i + 1).alias("pb"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = (
+            census.orderBy(F.desc("pair_count"), "pa", "pb")
+            .limit(1)
+            .select(F.lit(rnd).alias("round"), "pa", "pb", "pair_count")
+            .localCheckpoint(eager=True)  # 1 row; pins the argmax
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        seg = (
+            seg.crossJoin(F.broadcast(best.select("pa", "pb")))
+            .select(F.expr(_bpe_fold_spark()).alias("seg"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+    return merges.orderBy("round")
+
+
+def _oracle_bpe_train() -> str:
+    fold = """
+  trim(replace(
+    list_reduce(
+      string_split(seg, ' '),
+      (acc, cur) -> CASE
+        WHEN ends_with(' ' || acc, ' ' || pa) AND cur = pb
+        THEN substr(acc, 1, length(acc) - length(pa)) || chr(1) || pa || pb
+        ELSE acc || ' ' || cur END),
+    chr(1), ''))"""
+    rounds = []
+    prev = "v0"
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT s[i] AS pa, s[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT string_split(seg, ' ') AS s, cnt,
+           unnest(generate_series(1, len(string_split(seg, ' ')) - 1)) AS i
+    FROM {prev} WHERE len(string_split(seg, ' ')) > 1)
+  GROUP BY 1, 2),
+b{r} AS (
+  SELECT {r} AS round, pa, pb, pair_count
+  FROM c{r} ORDER BY pair_count DESC, pa, pb LIMIT 1),
+v{r} AS (
+  SELECT {fold} AS seg, cnt FROM {prev} CROSS JOIN b{r})""")
+        prev = f"v{r}"
+    chain = ",".join(rounds)
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, pa, pb, pair_count FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
+  FROM documents),
+vocab AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+v0 AS (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg, cnt
+  FROM vocab),{chain}
+SELECT * FROM ({union}) ORDER BY round
+"""
+
+
+ORACLE_DOCS_BPE_TRAIN = _oracle_bpe_train()
+
+
+QUERIES["docs_bpe_train"] = q_docs_bpe_train
+ORACLES["docs_bpe_train"] = ORACLE_DOCS_BPE_TRAIN

@@ -114,3 +114,71 @@ def test_negative_samples_are_true_negatives(spark):
         )
         assert r.neg_dst == h % (mx + 1)
         assert 0 <= r.try_idx < NEG_TRIES
+
+
+# ------------------------------------------------------- BPE training
+def _bpe_train_py(word_counts, rounds):
+    """Sequential reference BPE trainer (Sennrich 2016 semantics:
+    left-to-right non-overlapping merge application)."""
+    segs = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(rounds):
+        census: dict = {}
+        for syms, c in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                census[(a, b)] = census.get((a, b), 0) + c
+        if not census:
+            break
+        best = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+        (pa, pb), cnt = best
+        merges.append((pa, pb, cnt))
+        new_segs: dict = {}
+        for syms, c in segs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_segs[key] = new_segs.get(key, 0) + c
+        segs = new_segs
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    from deja_view_spark.queries_text import (
+        BPE_TRAIN_ROUNDS,
+        q_docs_bpe_train,
+    )
+    import re
+
+    got = [
+        (r.pa, r.pb, r.pair_count)
+        for r in q_docs_bpe_train(spark, SF).collect()
+    ]
+    assert len(got) == BPE_TRAIN_ROUNDS
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT lower(text) AS t FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    tok_re = re.compile(r"[a-z0-9_]+")
+    wc: dict = {}
+    for (t,) in docs:
+        for w in tok_re.findall(t):
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_train_py(wc, BPE_TRAIN_ROUNDS)
+    assert got == want
+
+
+def test_bpe_fold_no_remerge_boundary():
+    # the sequential trainer itself honors left-to-right non-overlap
+    merges = _bpe_train_py({"xxx": 1}, 1)
+    assert merges == [("x", "x", 2)]  # 'x x x' has two (x,x) slots
+    merges2 = _bpe_train_py({"xxxx": 10}, 2)
+    # round 1: (x,x)->xx giving 'xx xx'; round 2 merges (xx,xx)
+    assert merges2[0] == ("x", "x", 30)
+    assert merges2[1] == ("xx", "xx", 10)

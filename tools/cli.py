@@ -245,6 +245,7 @@ CORPUS_OPS = {
     "hyperball": "events_hyperball",
     "attribution": "events_attribution",
     "neg-samples": "events_negative_samples",
+    "bpe-train": "docs_bpe_train",
 }
 
 

@@ -793,6 +793,15 @@ CHECKS = [
         [r"Generate", r"LeftAnti"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # BPE training: round state is checkpointed (vocab-sized), the
+    # returned merge table is a union of 1-row argmax checkpoints —
+    # nothing heavy may appear in the final plan, and no Python
+    (
+        "docs_bpe_train",
+        [r"Union"],
+        [r"CartesianProduct", r"SortMergeJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
