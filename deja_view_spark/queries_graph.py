@@ -2113,3 +2113,167 @@ ORDER BY src, try_idx
 
 QUERIES["events_negative_samples"] = q_events_negative_samples
 ORACLES["events_negative_samples"] = ORACLE_EVENTS_NEGATIVE_SAMPLES
+
+
+# --------------------------------------------- effective diameter (ANF)
+# The neighborhood function N(t) = Σ_v |ball(v, t)| estimated per
+# round from the SAME HyperBall register propagation, and the
+# effective diameter read off it: the smallest t whose N(t) reaches
+# 90% of the deepest round's — the Palmer/Boldi-Vigna statistic that
+# tells you how many propagation rounds ANY reachability-style
+# operator on this graph actually needs. Sketch-only by design (no
+# exact pair table anywhere — events_hyperball already carries the
+# exact-vs-sketch audit at 2 hops); registers are bit-identical across
+# engines, the per-round float sum uses the accepted 2dp grid, and
+# the 90% test compares ROUNDED sums so both engines flag the same
+# round. Scale: ED_ROUNDS register joins over |V| x 256 state.
+ED_ROUNDS = 4
+ED_PCT = 0.9
+
+
+def q_events_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+        _hll_rho,
+    )
+
+    def nf(regs):
+        agg = regs.groupBy("node").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - rho)")).alias("s_hit"),
+        )
+        zero = HLL_M - F.col("cnt")
+        s_int = F.col("s_hit") + zero.cast("long") * F.lit(1 << (HLL_W + 1))
+        raw = F.lit(_HLL_NUM) / s_int.cast("double")
+        est = F.when(
+            (raw <= F.lit(_HLL_LC_CUT)) & (zero > 0),
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
+        ).otherwise(raw)
+        return agg.agg(F.round(F.sum(est), 2).alias("n_est"))
+
+    edges = _chain_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hb|"), F.col("node").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    regs = nodes.select(
+        "node",
+        (h % HLL_M).alias("reg"),
+        _hll_rho(F.shiftright(h, HLL_P)).alias("rho"),
+    ).localCheckpoint(eager=True)
+    rounds = nf(regs).select(F.lit(0).alias("t"), "n_est")
+    for t in range(1, ED_ROUNDS + 1):
+        via = edges.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "reg", "rho")
+        regs = (
+            regs.unionByName(via)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        rounds = rounds.unionByName(
+            nf(regs).select(F.lit(t).alias("t"), "n_est")
+        )
+    final = rounds.where(F.col("t") == ED_ROUNDS).select(
+        F.col("n_est").alias("n_final")
+    )
+    return (
+        rounds.crossJoin(F.broadcast(final))
+        .select(
+            "t",
+            "n_est",
+            F.expr(
+                f"CAST(floor(n_est * 1000000 / n_final) AS BIGINT)"
+            ).alias("pct_of_final_ppm"),
+            (F.col("n_est") >= ED_PCT * F.col("n_final")).alias(
+                "reaches_effective"
+            ),
+        )
+        .orderBy("t")
+    )
+
+
+def _oracle_effective_diameter() -> str:
+    from deja_view_spark.queries_corpus import (
+        HLL_M,
+        HLL_W,
+        _HLL_LC_CUT,
+        _HLL_NUM,
+        _sql_hex60,
+    )
+
+    whens = " ".join(
+        f"WHEN (h // {HLL_M}) >= {1 << k} THEN {HLL_W - k}"
+        for k in range(HLL_W - 1, -1, -1)
+    )
+
+    def nf_sql(regsrc: str, t: int) -> str:
+        return f"""
+nf{t} AS (
+  SELECT {t} AS t, round(sum(e), 2) AS n_est FROM (
+    SELECT CASE WHEN raw <= {_HLL_LC_CUT!r} AND vz > 0
+                THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(vz AS DOUBLE))
+                ELSE raw END AS e
+    FROM (
+      SELECT node, count(*) AS cnt, {HLL_M} - count(*) AS vz,
+             {_HLL_NUM!r} / CAST(sum(1::BIGINT << ({HLL_W + 1} - rho))
+                 + ({HLL_M} - count(*)) * (1::BIGINT << {HLL_W + 1})
+                 AS DOUBLE) AS raw
+      FROM {regsrc} GROUP BY node)))"""
+
+    parts = [nf_sql("regs0", 0)]
+    prev = "regs0"
+    for t in range(1, ED_ROUNDS + 1):
+        parts.append(f"""
+regs{t} AS (
+  SELECT node, reg, max(rho) AS rho FROM (
+    SELECT node, reg, rho FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, r.reg, r.rho
+    FROM edges e JOIN {prev} r ON r.node = e.dst)
+  GROUP BY node, reg)""")
+        parts.append(nf_sql(f"regs{t}", t))
+        prev = f"regs{t}"
+    chain = ",".join(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT t, n_est FROM nf{t}" for t in range(ED_ROUNDS + 1)
+    )
+    return f"""
+WITH {SQL_CHAIN_EDGES_CTES},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+hx AS (
+  SELECT node,
+         {_sql_hex60("md5('hb|' || CAST(node AS VARCHAR))")} AS h
+  FROM nodes),
+regs0 AS (
+  SELECT node, h % {HLL_M} AS reg,
+         CASE {whens} ELSE {HLL_W + 1} END AS rho
+  FROM hx),{chain},
+rounds AS ({union}),
+fin AS (SELECT n_est AS n_final FROM rounds WHERE t = {ED_ROUNDS})
+SELECT t, n_est,
+       CAST(floor(n_est * 1000000 / n_final) AS BIGINT) AS pct_of_final_ppm,
+       n_est >= {ED_PCT} * n_final AS reaches_effective
+FROM rounds CROSS JOIN fin
+ORDER BY t
+"""
+
+
+ORACLE_EVENTS_EFFECTIVE_DIAMETER = _oracle_effective_diameter()
+
+QUERIES["events_effective_diameter"] = q_events_effective_diameter
+ORACLES["events_effective_diameter"] = ORACLE_EVENTS_EFFECTIVE_DIAMETER

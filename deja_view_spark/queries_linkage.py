@@ -541,3 +541,60 @@ ORACLES = {
     "docs_blocking_quality": ORACLE_DOCS_BLOCKING_QUALITY,
     "docs_record_linkage_multi": ORACLE_DOCS_RECORD_LINKAGE_MULTI,
 }
+
+
+# ------------------------------------------------- threshold sweep (OC)
+# The Fellegi-Sunter OPERATING-CHARACTERISTIC table — what an ER
+# practitioner actually tunes MATCH_T / POSSIBLE_T against: one row
+# per gamma cell (there are only 2^3), carrying the cell's exact pair
+# count, its python-literal FS score, the decision it currently gets,
+# and the CUMULATIVE pairs that a threshold set at this score would
+# declare matches (descending-score running sum — over ≤8 rows, the
+# metadata-sized window argument). Pure integers plus the same score
+# literals both engines already share; composes q_docs_record_linkage
+# unchanged, so the sweep can never drift from the pairer it tunes.
+def q_docs_linkage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pairs = q_docs_record_linkage(spark, sf_dir)
+    cells = pairs.groupBy(
+        "g_lang", "g_len", "g_tok", "fs_score", "decision"
+    ).agg(F.count("*").alias("n_pairs"))
+    w = (
+        Window.orderBy(F.desc("fs_score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.select(
+            "g_lang",
+            "g_len",
+            "g_tok",
+            "fs_score",
+            "decision",
+            "n_pairs",
+            F.sum("n_pairs").over(w).alias("cum_matches_at_threshold"),
+        )
+        .orderBy(F.desc("fs_score"))
+    )
+
+
+def _oracle_linkage_sweep() -> str:
+    inner = _oracle_record_linkage().replace("ORDER BY src_doc, dst_doc", "")
+    return f"""
+WITH pairs AS ({inner}),
+cells AS (
+  SELECT g_lang, g_len, g_tok, fs_score, decision, count(*) AS n_pairs
+  FROM pairs GROUP BY 1, 2, 3, 4, 5)
+SELECT g_lang, g_len, g_tok, fs_score, decision, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY fs_score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_matches_at_threshold
+FROM cells
+ORDER BY fs_score DESC
+"""
+
+
+ORACLE_DOCS_LINKAGE_SWEEP = _oracle_linkage_sweep()
+
+QUERIES["docs_linkage_sweep"] = q_docs_linkage_sweep
+ORACLES["docs_linkage_sweep"] = ORACLE_DOCS_LINKAGE_SWEEP

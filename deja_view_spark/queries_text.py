@@ -1706,3 +1706,63 @@ ORACLE_DOCS_BPE_TRAIN = _oracle_bpe_train()
 
 QUERIES["docs_bpe_train"] = q_docs_bpe_train
 ORACLES["docs_bpe_train"] = ORACLE_DOCS_BPE_TRAIN
+
+
+# --------------------------------------------------- score calibration
+# Reliability table for the discussion-suitability score: fixed-width
+# score bins (0.05) against the closed-state outcome — the calibration
+# diagram a score consumer checks before trusting thresholds (a
+# well-calibrated score's outcome rate moves monotonically across
+# bins; a flat table means the score carries no signal for this
+# outcome). Fixed-width binning rather than ntile/percent_rank BY
+# DESIGN: deciles need a corpus-sized global sort window, bins are
+# map-side arithmetic over the already-hash-green rounded score — one
+# partial-agg groupBy at any corpus size. Outcome rate in exact ppm.
+CAL_BIN_W = 0.05  # score-bin width
+
+
+def q_docs_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_docs_discussion_scores(spark, sf_dir)
+    closed = F.col("doc_id") % 3 == 0  # the corpus's deterministic state
+    return (
+        scored.select(
+            F.expr(f"CAST(floor(score / {CAL_BIN_W}) AS BIGINT)").alias(
+                "score_bin"
+            ),
+            closed.cast("long").alias("is_closed"),
+        )
+        .groupBy("score_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_closed").alias("n_closed"),
+        )
+        .select(
+            "score_bin",
+            F.round(F.col("score_bin") * CAL_BIN_W, 2).alias("bin_lo"),
+            "n_docs",
+            "n_closed",
+            F.expr("CAST(n_closed * 1000000 DIV n_docs AS BIGINT)").alias(
+                "closed_rate_ppm"
+            ),
+        )
+        .orderBy("score_bin")
+    )
+
+
+ORACLE_DOCS_SCORE_CALIBRATION = f"""
+WITH scored AS ({ORACLE_DISCUSSION_SCORES.replace("ORDER BY doc_id", "")}),
+cells AS (
+  SELECT CAST(floor(score / {CAL_BIN_W}) AS BIGINT) AS score_bin,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_closed
+  FROM scored GROUP BY 1)
+SELECT score_bin, round(score_bin * {CAL_BIN_W}, 2) AS bin_lo,
+       n_docs, n_closed,
+       CAST(n_closed * 1000000 // n_docs AS BIGINT) AS closed_rate_ppm
+FROM cells
+ORDER BY score_bin
+"""
+
+QUERIES["docs_score_calibration"] = q_docs_score_calibration
+ORACLES["docs_score_calibration"] = ORACLE_DOCS_SCORE_CALIBRATION

@@ -246,6 +246,10 @@ CORPUS_OPS = {
     "attribution": "events_attribution",
     "neg-samples": "events_negative_samples",
     "bpe-train": "docs_bpe_train",
+    # wave 12
+    "linkage-sweep": "docs_linkage_sweep",
+    "calibration": "docs_score_calibration",
+    "eff-diameter": "events_effective_diameter",
 }
 
 

@@ -802,6 +802,28 @@ CHECKS = [
         [r"CartesianProduct", r"SortMergeJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # FS sweep: composes the linkage pairer; the OC window rides the
+    # <=8-row gamma-cell table (metadata-sized SinglePartition)
+    (
+        "docs_linkage_sweep",
+        [r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # calibration: map-side binning over the scored scan, one partial
+    # agg — never an ntile/global-sort of the corpus
+    (
+        "docs_score_calibration",
+        [PARTIAL_AGG],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # effective diameter: per-round register merges partial-agg'd;
+    # final is a broadcast of the 1-row deepest-round sum; no Python
+    (
+        "events_effective_diameter",
+        [PARTIAL_AGG, r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
