@@ -475,3 +475,74 @@ ORDER BY event_type
 
 QUERIES["events_burstiness"] = q_events_burstiness
 ORACLES["events_burstiness"] = ORACLE_EVENTS_BURSTINESS
+
+
+# ------------------------------------------------------------------
+# Join-key skew report — the operational diagnostic that decides
+# whether a key needs salting BEFORE the shuffle that would discover
+# it the hard way (operators/skew.py is the fix; this is the
+# detector). For each candidate join key: row count, distinct keys,
+# the hottest key's count, its share of all rows (= the floor any
+# hash partitioning can reach, in exact ppm), and the skew factor
+# max_cnt·n_keys/n_rows (1e6 = perfectly uniform). Pure integers;
+# one partial-agg count per key column + a second metadata-sized agg.
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.get_json_object("props", "$.k").cast("long").alias("item")
+    )
+
+    def profile(col: str):
+        counts = (
+            ev.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+        )
+        return counts.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("cnt").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+        ).select(
+            "key_col",
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            F.expr("CAST(max_cnt * 1000000 DIV n_rows AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+            F.expr(
+                "CAST(max_cnt * n_keys * 1000000 DIV n_rows AS BIGINT)"
+            ).alias("skew_factor_ppm"),
+        )
+
+    return profile("user_id").unionByName(profile("item")).orderBy("key_col")
+
+
+ORACLE_EVENTS_SKEW_REPORT = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events),
+cu AS (SELECT user_id AS k, count(*) AS cnt FROM ev
+       WHERE user_id IS NOT NULL GROUP BY 1),
+ci AS (SELECT item AS k, count(*) AS cnt FROM ev
+       WHERE item IS NOT NULL GROUP BY 1),
+pu AS (
+  SELECT 'user_id' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM cu),
+pi AS (
+  SELECT 'item' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM ci),
+both_keys AS (SELECT * FROM pu UNION ALL SELECT * FROM pi)
+SELECT key_col, n_rows, n_keys, max_cnt,
+       CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
+       CAST(max_cnt * n_keys * 1000000 // n_rows AS BIGINT)
+         AS skew_factor_ppm
+FROM both_keys
+ORDER BY key_col
+"""
+
+QUERIES["events_skew_report"] = q_events_skew_report
+ORACLES["events_skew_report"] = ORACLE_EVENTS_SKEW_REPORT

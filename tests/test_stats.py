@@ -458,3 +458,27 @@ def test_wave9_cli_verbs(capsys):
             cli.main(["corpus", verb, "--data", SF, "--limit", "2"]) == 0
         )
         assert marker in capsys.readouterr().out
+
+
+# -------------------------------------------------- skew report
+def test_skew_report_matches_python(spark):
+    from deja_view_spark.queries_stats import q_events_skew_report
+    import collections
+    import duckdb
+
+    out = {r.key_col: r for r in q_events_skew_report(spark, SF).collect()}
+    assert set(out) == {"user_id", "item"}
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchall()
+    for col, idx in (("user_id", 0), ("item", 1)):
+        cnt = collections.Counter(r[idx] for r in rows if r[idx] is not None)
+        r = out[col]
+        assert r.n_rows == sum(cnt.values())
+        assert r.n_keys == len(cnt)
+        assert r.max_cnt == max(cnt.values())
+        assert r.top_share_ppm == r.max_cnt * 10**6 // r.n_rows
+        # uniform corpus -> factor near 1e6; always >= 1e6 by def of max
+        assert r.skew_factor_ppm >= 10**6 - len(cnt)

@@ -250,6 +250,7 @@ CORPUS_OPS = {
     "linkage-sweep": "docs_linkage_sweep",
     "calibration": "docs_score_calibration",
     "eff-diameter": "events_effective_diameter",
+    "skew-report": "events_skew_report",
 }
 
 

@@ -824,6 +824,14 @@ CHECKS = [
         [PARTIAL_AGG, r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # skew report: one partial-agg key count per column + a
+    # metadata-sized second agg; no join, no window, no Python
+    (
+        "events_skew_report",
+        [PARTIAL_AGG, r"Union"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
