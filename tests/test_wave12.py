@@ -80,3 +80,26 @@ def test_effective_diameter_monotone_and_final(spark):
     hb = q_events_hyperball(spark, SF).collect()
     n_nodes = len(hb)
     assert abs(rows[0].n_est - n_nodes) / n_nodes < 0.25
+
+
+def test_dedup_method_eval_scoreboard(spark):
+    from deja_view_spark.queries import (
+        _EVAL_METHODS,
+        q_docs_dedup_method_eval,
+    )
+
+    rows = {r.method: r for r in q_docs_dedup_method_eval(spark, SF).collect()}
+    assert set(rows) == {m for m, _ in _EVAL_METHODS}
+    for r in rows.values():
+        assert r.n_true <= min(r.n_pairs, r.n_truth)
+        assert 0 <= r.precision_ppm <= 10**6
+        assert 0 <= r.recall_ppm <= 10**6
+        assert r.precision_ppm == r.n_true * 10**6 // r.n_pairs
+        assert r.recall_ppm == r.n_true * 10**6 // r.n_truth
+    # lossless-by-construction generators: recall exactly 1.0
+    assert rows["minhash"].recall_ppm == 10**6
+    assert rows["ppjoin"].recall_ppm == 10**6
+    # the wide SNM candidate set must dominate every other generator
+    assert rows["snm"].n_pairs > max(
+        r.n_pairs for m, r in rows.items() if m != "snm"
+    )

@@ -251,6 +251,7 @@ CORPUS_OPS = {
     "calibration": "docs_score_calibration",
     "eff-diameter": "events_effective_diameter",
     "skew-report": "events_skew_report",
+    "method-eval": "docs_dedup_method_eval",
 }
 
 

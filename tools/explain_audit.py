@@ -832,6 +832,13 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
          r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # dedup method eval: every generator's own plan + one canonical
+    # truth join + a 5-row aggregate; no cartesian, no Python
+    (
+        "docs_dedup_method_eval",
+        [r"Union", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
