@@ -1646,3 +1646,97 @@ ORDER BY item
 
 QUERIES["events_attribution"] = q_events_attribution
 ORACLES["events_attribution"] = ORACLE_EVENTS_ATTRIBUTION
+
+
+# ----------------------------------------------------- RFM segmentation
+# Recency / Frequency / Monetary user segmentation — the standard
+# audience-building aggregate. FIXED thresholds rather than quantile
+# buckets BY DESIGN (ntile needs a corpus-sized global sort; fixed
+# cutoffs are map-side arithmetic — the same argument as the score
+# calibration bins), monetary in EXACT integer cents (the wave-10
+# money discipline), recency in whole days against the stream's own
+# max date (a broadcast scalar agg). One per-user agg, one
+# 27-cell-bounded segment agg.
+RFM_R_DAYS = (7, 14)  # recency cutoffs: hot / warm / cold
+RFM_F_CNT = (20, 10)  # frequency cutoffs: heavy / regular / light
+RFM_M_CENTS = (200_000, 50_000)  # monetary cutoffs (cents)
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    anchor = ev.agg(F.max("d").alias("anchor"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("datediff(anchor, d)")).alias("recency_d"),
+            F.count("*").alias("freq"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    seg = per_user.select(
+        F.expr(
+            f"CASE WHEN recency_d <= {RFM_R_DAYS[0]} THEN 'hot'"
+            f" WHEN recency_d <= {RFM_R_DAYS[1]} THEN 'warm'"
+            " ELSE 'cold' END"
+        ).alias("r_seg"),
+        F.expr(
+            f"CASE WHEN freq >= {RFM_F_CNT[0]} THEN 'heavy'"
+            f" WHEN freq >= {RFM_F_CNT[1]} THEN 'regular'"
+            " ELSE 'light' END"
+        ).alias("f_seg"),
+        F.expr(
+            f"CASE WHEN cents >= {RFM_M_CENTS[0]} THEN 'high'"
+            f" WHEN cents >= {RFM_M_CENTS[1]} THEN 'mid'"
+            " ELSE 'low' END"
+        ).alias("m_seg"),
+        "cents",
+    )
+    return (
+        seg.groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.expr("CAST(sum(cents) AS BIGINT)").alias("segment_cents"),
+        )
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )
+
+
+ORACLE_EVENTS_RFM = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+anchor AS (SELECT max(d) AS anchor FROM ev),
+per_user AS (
+  SELECT user_id,
+         min(datediff('day', d, anchor)) AS recency_d,
+         count(*) AS freq,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM ev CROSS JOIN anchor
+  GROUP BY user_id),
+seg AS (
+  SELECT CASE WHEN recency_d <= {RFM_R_DAYS[0]} THEN 'hot'
+              WHEN recency_d <= {RFM_R_DAYS[1]} THEN 'warm'
+              ELSE 'cold' END AS r_seg,
+         CASE WHEN freq >= {RFM_F_CNT[0]} THEN 'heavy'
+              WHEN freq >= {RFM_F_CNT[1]} THEN 'regular'
+              ELSE 'light' END AS f_seg,
+         CASE WHEN cents >= {RFM_M_CENTS[0]} THEN 'high'
+              WHEN cents >= {RFM_M_CENTS[1]} THEN 'mid'
+              ELSE 'low' END AS m_seg,
+         cents
+  FROM per_user)
+SELECT r_seg, f_seg, m_seg, count(*) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS segment_cents
+FROM seg
+GROUP BY 1, 2, 3
+ORDER BY r_seg, f_seg, m_seg
+"""
+
+QUERIES["events_rfm"] = q_events_rfm
+ORACLES["events_rfm"] = ORACLE_EVENTS_RFM

@@ -546,3 +546,133 @@ ORDER BY key_col
 
 QUERIES["events_skew_report"] = q_events_skew_report
 ORACLES["events_skew_report"] = ORACLE_EVENTS_SKEW_REPORT
+
+
+# ------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test — the distribution-free
+# companion to docs_split_drift: for each source, D = sup|F_s - F_rest|
+# over the length distribution, computed ENTIRELY in integers
+# (D_ppm = max |cumS·Nrest − cumRest·Ns| · 1e6 DIV (Ns·Nrest)) so the
+# comparison path carries no float CDFs at all; the α=0.05 rejection
+# flag uses the classic c·sqrt((n+m)/nm) critical value as one
+# identical double expression over exact integer inputs. Scale shape:
+# the evaluation grid is sources × distinct-lengths (metadata-sized;
+# bucket the support if a column is pathologically high-cardinality),
+# per-source cumulative windows ride that grid, never the corpus.
+KS_C_05 = 1.358  # Smirnov critical coefficient at alpha = 0.05
+
+
+def q_docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    per = docs.groupBy("source", "x").agg(F.count("*").alias("c"))
+    support = per.select("x").distinct()
+    sources = per.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_tot = sources.agg(F.sum("ns").alias("n_tot"))
+    grid = (
+        sources.crossJoin(support)
+        .join(per, ["source", "x"], "left")
+        .select(
+            "source", "ns", "x", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    glob = (
+        per.groupBy("x")
+        .agg(F.sum("c").alias("gc"))
+        .select(
+            "x",
+            F.sum("gc")
+            .over(
+                Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cum_g"),
+        )
+    )
+    cums = (
+        grid.select("source", "ns", "x", F.sum("c").over(w).alias("cum_s"))
+        .join(F.broadcast(glob), "x")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "ns",
+            (F.col("n_tot") - F.col("ns")).alias("nr"),
+            F.abs(
+                F.col("cum_s") * (F.col("n_tot") - F.col("ns"))
+                - (F.col("cum_g") - F.col("cum_s")) * F.col("ns")
+            ).alias("gap"),
+        )
+    )
+    return (
+        cums.groupBy("source", "ns", "nr")
+        .agg(F.max("gap").alias("max_gap"))
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            F.expr("CAST(max_gap * 1000000 DIV (ns * nr) AS BIGINT)").alias(
+                "ks_d_ppm"
+            ),
+            F.expr(
+                f"CAST(floor({KS_C_05} * sqrt(CAST(ns + nr AS DOUBLE)"
+                " / (CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE))) * 1000000)"
+                " AS BIGINT)"
+            ).alias("crit_ppm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "ks_d_ppm",
+            "crit_ppm",
+            (F.col("ks_d_ppm") > F.col("crit_ppm")).alias("drifted"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOCS_LENGTH_KS = f"""
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+per AS (SELECT source, x, count(*) AS c FROM d GROUP BY 1, 2),
+support AS (SELECT DISTINCT x FROM per),
+sources AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM per GROUP BY 1),
+nt AS (SELECT CAST(sum(ns) AS BIGINT) AS n_tot FROM sources),
+grid AS (
+  SELECT s.source, s.ns, sp.x, coalesce(p.c, 0) AS c
+  FROM sources s CROSS JOIN support sp
+  LEFT JOIN per p ON p.source = s.source AND p.x = sp.x),
+cum_s AS (
+  SELECT source, ns, x,
+         sum(c) OVER (PARTITION BY source ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_s
+  FROM grid),
+gl AS (
+  SELECT x, sum(gc) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+  FROM (SELECT x, sum(c) AS gc FROM per GROUP BY x)),
+gaps AS (
+  SELECT c.source, c.ns, (n_tot - c.ns) AS nr,
+         abs(c.cum_s * (n_tot - c.ns) - (g.cum_g - c.cum_s) * c.ns) AS gap
+  FROM cum_s c JOIN gl g USING (x) CROSS JOIN nt),
+agg AS (
+  SELECT source, ns, nr, CAST(max(gap) AS BIGINT) AS max_gap
+  FROM gaps GROUP BY 1, 2, 3)
+SELECT source, ns AS n_docs,
+       CAST(max_gap * 1000000 // (ns * nr) AS BIGINT) AS ks_d_ppm,
+       CAST(floor({KS_C_05} * sqrt(CAST(ns + nr AS DOUBLE)
+            / (CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE))) * 1000000)
+            AS BIGINT) AS crit_ppm,
+       CAST(max_gap * 1000000 // (ns * nr) AS BIGINT)
+         > CAST(floor({KS_C_05} * sqrt(CAST(ns + nr AS DOUBLE)
+            / (CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE))) * 1000000)
+            AS BIGINT) AS drifted
+FROM agg
+ORDER BY source
+"""
+
+QUERIES["docs_length_ks"] = q_docs_length_ks
+ORACLES["docs_length_ks"] = ORACLE_DOCS_LENGTH_KS

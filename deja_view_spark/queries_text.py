@@ -1766,3 +1766,128 @@ ORDER BY score_bin
 
 QUERIES["docs_score_calibration"] = q_docs_score_calibration
 ORACLES["docs_score_calibration"] = ORACLE_DOCS_SCORE_CALIBRATION
+
+
+# ------------------------------------------------- RAKE keyphrases
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs; each word scores
+# deg(w)/freq(w) where deg is the summed length of every phrase
+# occurrence containing w and freq is its occurrence count; a phrase
+# scores the sum over its words. Scoring is EXACT-INTEGER ppm
+# (sum of deg*1e6 DIV freq) so the value is independent of float
+# summation order across engines and partitionings — the same
+# discipline as the KS/calibration ppm columns. Scale shape: the
+# stopword fold is ONE map-side array expression per row (no UDF,
+# no explode of the raw token stream); everything downstream rides
+# the phrase table — two narrow aggs (word stats, phrase counts), a
+# broadcast of the word-stats table (vocabulary-sized), and a
+# TakeOrdered(k). No corpus-sized window, no all-pairs anything.
+RAKE_MAX_PHRASE = 4  # longest candidate phrase, in words
+RAKE_TOP_K = 50  # rows returned
+
+
+def _rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-OCCURRENCE candidate phrases: fold the token stream into a
+    '|'-delimited string at stopwords (one expression), split, trim,
+    drop empties and over-long phrases."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    folded = F.aggregate(
+        toks,
+        F.lit(""),
+        lambda acc, cur: F.when(
+            F.array_contains(stop_arr, cur), F.concat(acc, F.lit("|"))
+        ).otherwise(F.concat(acc, F.lit(" "), cur)),
+    )
+    return (
+        docs.select(F.explode(F.split(folded, r"\|")).alias("p"))
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .where(
+            (F.col("phrase") != "")
+            & (F.size(F.split("phrase", " ")) <= RAKE_MAX_PHRASE)
+        )
+    )
+
+
+def q_docs_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phrases = _rake_phrases(spark, sf_dir)
+    # word stats over phrase OCCURRENCES: deg = sum of phrase lengths,
+    # freq = occurrence count
+    stats = (
+        phrases.select(
+            F.size(F.split("phrase", " ")).alias("plen"),
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .groupBy("word")
+        .agg(
+            F.sum("plen").cast("long").alias("deg"),
+            F.count("*").alias("freq"),
+        )
+    )
+    # NOTE: per-OCCURRENCE phrase rows would multiply word scores by
+    # the phrase's own frequency; aggregate per DISTINCT phrase content
+    # instead: score = sum of word deg/freq, count = occurrences.
+    per_phrase = (
+        phrases.groupBy("phrase")
+        .agg(F.count("*").alias("n_occurrences"))
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(F.broadcast(stats), "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.sum(F.expr("deg * 1000000 DIV freq"))
+            .cast("long")
+            .alias("rake_score_ppm")
+        )
+    )
+    return per_phrase.orderBy(
+        F.desc("rake_score_ppm"), F.desc("n_occurrences"), "phrase"
+    ).limit(RAKE_TOP_K)
+
+
+def _oracle_rake() -> str:
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+folded AS (
+  SELECT list_reduce(list_prepend('', toks), (acc, cur) ->
+           CASE WHEN cur IN ({stop_in}) THEN acc || '|'
+                ELSE acc || ' ' || cur END) AS s
+  FROM t WHERE len(toks) >= 1),
+phrases AS (
+  SELECT trim(p) AS phrase
+  FROM (SELECT unnest(string_split(s, '|')) AS p FROM folded)
+  WHERE trim(p) <> ''
+    AND len(string_split(trim(p), ' ')) <= {RAKE_MAX_PHRASE}),
+words AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM phrases),
+stats AS (
+  SELECT word, CAST(sum(plen) AS BIGINT) AS deg, count(*) AS freq
+  FROM words GROUP BY word),
+pc AS (
+  SELECT phrase, count(*) AS n_occurrences FROM phrases GROUP BY phrase),
+pw AS (
+  SELECT pc.phrase, pc.n_occurrences,
+         unnest(string_split(pc.phrase, ' ')) AS word
+  FROM pc)
+SELECT pw.phrase, pw.n_occurrences,
+       CAST(sum(s.deg * 1000000 // s.freq) AS BIGINT) AS rake_score_ppm
+FROM pw JOIN stats s ON pw.word = s.word
+GROUP BY pw.phrase, pw.n_occurrences
+ORDER BY rake_score_ppm DESC, n_occurrences DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
+ORACLE_DOCS_RAKE = _oracle_rake()
+
+QUERIES["docs_rake_keyphrases"] = q_docs_rake_keyphrases
+ORACLES["docs_rake_keyphrases"] = ORACLE_DOCS_RAKE
