@@ -796,6 +796,7 @@ from deja_view_spark import queries_corpus as _QC  # noqa: E402
 from deja_view_spark import queries_discussions as _QD  # noqa: E402
 from deja_view_spark import queries_events as _QE  # noqa: E402
 from deja_view_spark import queries_graph as _QG  # noqa: E402
+from deja_view_spark import queries_kg as _QKG  # noqa: E402
 from deja_view_spark import queries_linkage as _QLK  # noqa: E402
 from deja_view_spark import queries_lm as _QL  # noqa: E402
 from deja_view_spark import queries_quality as _QQ  # noqa: E402
@@ -829,6 +830,8 @@ QUERIES.update(_QSQ.QUERIES)
 ORACLES.update(_QSQ.ORACLES)
 QUERIES.update(_QST.QUERIES)
 ORACLES.update(_QST.ORACLES)
+QUERIES.update(_QKG.QUERIES)
+ORACLES.update(_QKG.ORACLES)
 
 
 # ------------------------------------------------------------------
@@ -952,8 +955,12 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # docs_record_linkage_multi and the wave-9 statistics family
 # (events_decayed_trending, docs_quality_regression, events_gini,
 # docs_split_drift, docs_chunk_windows, docs_token_entropy,
-# events_random_walks, docs_crossval_folds). All carry local oracle
-# sweeps + tests; rotate them into positions 1..50 next round.
+# events_random_walks, docs_crossval_folds), and the wave-15 closers:
+# product_profit, important_parts, shipclass_priority,
+# supplier_part_counts, excess_share_suppliers, kg_predicate_stats,
+# kg_star_join, kg_characteristic_sets, kg_degree_topk. All carry
+# local oracle sweeps + tests; rotate them into positions 1..50 next
+# round.
 _ROUND3_FIRST = [
     # the 22 entries past position 50 of the round-2 order
     "shipping_priority",

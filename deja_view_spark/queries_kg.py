@@ -1,0 +1,314 @@
+"""KG triple-store query processing — the post-materialization stage
+of the knowledge-graph build (driver-checkable, exact-arithmetic
+oracles).
+
+The pipeline (plans/pipeline.py) materializes (subj, pred, obj)
+triples; a production KG deployment then runs a standard battery of
+statistics and pattern queries over that table. This module implements
+that battery over a DERIVED triple view built deterministically from
+the driver's testdata tables (documents + events), so every query has
+a full value-hash DuckDB oracle:
+
+  (doc:<id>,  has_term,    term:<t>)   — t from a fixed 6-term vocab,
+                                         token-exact containment
+  (doc:<id>,  in_lang,     lang:<l>)
+  (doc:<id>,  from_source, src:<s>)
+  (user:<id>, <event_type>, item:<k>)  — distinct engagement edges
+
+Queries:
+
+``kg_predicate_stats`` — per-predicate cardinality profile: triple
+count, distinct subjects/objects, max subject fanout, and the
+functional-predicate flag (max fanout == 1). This is the statistics
+table a KG query planner keeps per predicate (selectivity estimation)
+and the integrity monitor a build pipeline re-checks per ingest (a
+predicate that silently stops being functional is a data bug). Scale
+shape: one (pred, subj) partial agg + one per-pred rollup, plus one
+distinct-obj agg — all map-side combinable; output is |predicates|
+rows.
+
+``kg_star_join`` — SPARQL-style basic-graph-pattern evaluation:
+?d has_term 'term:spark' AND ?d has_term 'term:vector' AND
+?d in_lang ?l, grouped per binding of ?l. Evaluated the way a
+predicate-partitioned triple store does it: constant-bound patterns
+become filtered scans (Catalyst folds the pred literal into each
+union branch and prunes non-matching branches to empty relations),
+joined on the shared subject variable. At 100x the two bound-pattern
+sides are the small sides (one row per matching doc) and broadcast;
+the join key is the subject, never the full triple.
+
+``kg_characteristic_sets`` — Neumann & Moerkotte's characteristic
+sets (ICDE 2011): group subjects by their exact set of emitted
+predicates, count entities and triples per set. THE published RDF
+statistic for star-query cardinality estimation, and simultaneously
+the KG schema-discovery report (each row is an inferred entity
+class: docs that mention vocab terms vs docs that don't; users per
+combination of event types). Scale: one (subj) agg building the
+sorted predicate set, one agg over set strings — both shuffles carry
+one fixed-width row per subject, not per triple.
+
+``kg_degree_topk`` — top-25 entities by total degree (subject role +
+object role). The super-node detector: the entities this query
+surfaces are exactly the join keys that need salting / AQE skew
+splitting in every downstream traversal (hot items in the engagement
+graph, ubiquitous vocab terms). Two partial-agg degree counts and a
+full-outer merge on entity id; output is 25 rows.
+
+Reference parity: the reference materializes its duplicate graph in
+Chroma and answers only fixed lookups (github_similarity_service.py
+find_similar / find_all_duplicates); these four queries are the
+standard triple-table analytics a real KG deployment adds on top —
+cited in SURVEY.md §2 as the round-3 KG-analytics extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deja_view_spark.sources.catalog import load_table
+
+# fixed vocab for has_term edges (token-exact containment, both engines)
+KG_VOCAB = ("spark", "vector", "hash", "merge", "stream", "window")
+STAR_TERM_A = "term:spark"
+STAR_TERM_B = "term:vector"
+DEGREE_TOP_K = 25
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived triple view (see module docstring). All-JVM column
+    expressions; the event branch dedupes engagement edges exactly as
+    operators/triples.py dedupes mention edges."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    vocab_arr = F.array(*[F.lit(t) for t in KG_VOCAB])
+    term = docs.select(
+        doc_subj.alias("subj"),
+        F.lit("has_term").alias("pred"),
+        F.explode(
+            F.array_intersect(F.array_distinct(F.split("text", " ")), vocab_arr)
+        ).alias("t"),
+    ).select("subj", "pred", F.concat(F.lit("term:"), F.col("t")).alias("obj"))
+    lang = docs.select(
+        doc_subj.alias("subj"),
+        F.lit("in_lang").alias("pred"),
+        F.concat(F.lit("lang:"), F.col("lang")).alias("obj"),
+    )
+    src = docs.select(
+        doc_subj.alias("subj"),
+        F.lit("from_source").alias("pred"),
+        F.concat(F.lit("src:"), F.col("source")).alias("obj"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias(
+                "subj"
+            ),
+            F.col("event_type").alias("pred"),
+            F.concat(
+                F.lit("item:"),
+                F.get_json_object("props", "$.k").cast("long").cast("string"),
+            ).alias("obj"),
+        )
+        .where(F.col("obj").isNotNull())
+        .distinct()
+    )
+    return term.unionByName(lang).unionByName(src).unionByName(act)
+
+
+SQL_KG_TRIPLES = """
+triples AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+         'has_term' AS pred,
+         'term:' || v.t AS obj
+  FROM documents
+  CROSS JOIN (SELECT unnest(['spark','vector','hash','merge','stream',
+                             'window']) AS t) v
+  WHERE list_contains(str_split(text, ' '), v.t)
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'in_lang', 'lang:' || lang
+  FROM documents
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'from_source',
+         'src:' || source
+  FROM documents
+  UNION ALL
+  SELECT DISTINCT 'user:' || CAST(user_id AS VARCHAR), event_type,
+         'item:' || CAST(CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) AS VARCHAR)
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+"""
+
+
+# ------------------------------------------------- predicate profile
+def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kg_triples(spark, sf_dir)
+    fan = t.groupBy("pred", "subj").agg(F.count("*").alias("fanout"))
+    per_pred = fan.groupBy("pred").agg(
+        F.sum("fanout").alias("n_triples"),
+        F.count("*").alias("n_subj"),
+        F.max("fanout").alias("max_fanout"),
+    )
+    nobj = t.groupBy("pred").agg(F.countDistinct("obj").alias("n_obj"))
+    return (
+        per_pred.join(F.broadcast(nobj), "pred")
+        .select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            "max_fanout",
+            (F.col("max_fanout") == 1).alias("functional"),
+        )
+        .orderBy("pred")
+    )
+
+
+ORACLE_KG_PREDICATE_STATS = f"""
+WITH {SQL_KG_TRIPLES},
+fan AS (
+  SELECT pred, subj, count(*) AS fanout FROM triples GROUP BY pred, subj),
+per_pred AS (
+  SELECT pred, CAST(sum(fanout) AS BIGINT) AS n_triples,
+         count(*) AS n_subj, CAST(max(fanout) AS BIGINT) AS max_fanout
+  FROM fan GROUP BY pred),
+nobj AS (
+  SELECT pred, count(DISTINCT obj) AS n_obj FROM triples GROUP BY pred)
+SELECT pred, n_triples, n_subj, n_obj, max_fanout,
+       max_fanout = 1 AS functional
+FROM per_pred JOIN nobj USING (pred)
+ORDER BY pred
+"""
+
+
+# ------------------------------------------- star-join BGP evaluation
+def q_kg_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kg_triples(spark, sf_dir)
+    p1 = t.where(
+        (F.col("pred") == "has_term") & (F.col("obj") == STAR_TERM_A)
+    ).select("subj")
+    p2 = t.where(
+        (F.col("pred") == "has_term") & (F.col("obj") == STAR_TERM_B)
+    ).select("subj")
+    p3 = t.where(F.col("pred") == "in_lang").select(
+        "subj", F.col("obj").alias("lang")
+    )
+    return (
+        p1.join(p2, "subj")
+        .join(p3, "subj")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_KG_STAR_JOIN = f"""
+WITH {SQL_KG_TRIPLES}
+SELECT p3.obj AS lang, count(*) AS n_docs
+FROM (SELECT subj FROM triples
+      WHERE pred = 'has_term' AND obj = '{STAR_TERM_A}') p1
+JOIN (SELECT subj FROM triples
+      WHERE pred = 'has_term' AND obj = '{STAR_TERM_B}') p2 USING (subj)
+JOIN (SELECT subj, obj FROM triples WHERE pred = 'in_lang') p3
+     USING (subj)
+GROUP BY p3.obj
+ORDER BY lang
+"""
+
+
+# ------------------------------------------------ characteristic sets
+def q_kg_characteristic_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kg_triples(spark, sf_dir)
+    cs = t.groupBy("subj").agg(
+        F.array_join(F.array_sort(F.collect_set("pred")), ",").alias(
+            "charset"
+        ),
+        F.count("*").alias("nt"),
+    )
+    return (
+        cs.groupBy("charset")
+        .agg(F.count("*").alias("n_subjects"), F.sum("nt").alias("n_triples"))
+        .select(
+            "charset",
+            "n_subjects",
+            "n_triples",
+            F.expr("n_triples * 1000000 DIV n_subjects").alias(
+                "avg_fanout_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_subjects"), F.asc("charset"))
+    )
+
+
+ORACLE_KG_CHARACTERISTIC_SETS = f"""
+WITH {SQL_KG_TRIPLES},
+cs AS (
+  SELECT subj,
+         array_to_string(list_sort(list_distinct(list(pred))), ',')
+           AS charset,
+         count(*) AS nt
+  FROM triples GROUP BY subj)
+SELECT charset, count(*) AS n_subjects,
+       CAST(sum(nt) AS BIGINT) AS n_triples,
+       CAST(sum(nt) * 1000000 // count(*) AS BIGINT) AS avg_fanout_ppm
+FROM cs GROUP BY charset
+ORDER BY n_subjects DESC, charset ASC
+"""
+
+
+# ------------------------------------------------ super-node detector
+def q_kg_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kg_triples(spark, sf_dir)
+    out_deg = t.groupBy(F.col("subj").alias("entity")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_deg = t.groupBy(F.col("obj").alias("entity")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        out_deg.join(in_deg, "entity", "full_outer")
+        .select(
+            "entity",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (
+                F.coalesce("out_deg", F.lit(0))
+                + F.coalesce("in_deg", F.lit(0))
+            ).alias("degree"),
+        )
+        .orderBy(F.desc("degree"), F.asc("entity"))
+        .limit(DEGREE_TOP_K)
+    )
+
+
+ORACLE_KG_DEGREE_TOPK = f"""
+WITH {SQL_KG_TRIPLES},
+o AS (SELECT subj AS entity, count(*) AS out_deg FROM triples
+      GROUP BY subj),
+i AS (SELECT obj AS entity, count(*) AS in_deg FROM triples
+      GROUP BY obj)
+SELECT coalesce(o.entity, i.entity) AS entity,
+       coalesce(out_deg, 0) AS out_deg,
+       coalesce(in_deg, 0) AS in_deg,
+       coalesce(out_deg, 0) + coalesce(in_deg, 0) AS degree
+FROM o FULL OUTER JOIN i ON o.entity = i.entity
+ORDER BY degree DESC, entity ASC
+LIMIT {DEGREE_TOP_K}
+"""
+
+
+QUERIES = {
+    "kg_predicate_stats": q_kg_predicate_stats,
+    "kg_star_join": q_kg_star_join,
+    "kg_characteristic_sets": q_kg_characteristic_sets,
+    "kg_degree_topk": q_kg_degree_topk,
+}
+
+ORACLES = {
+    "kg_predicate_stats": ORACLE_KG_PREDICATE_STATS,
+    "kg_star_join": ORACLE_KG_STAR_JOIN,
+    "kg_characteristic_sets": ORACLE_KG_CHARACTERISTIC_SETS,
+    "kg_degree_topk": ORACLE_KG_DEGREE_TOPK,
+}

@@ -1366,3 +1366,334 @@ QUERIES["nation_market_share"] = q_nation_market_share
 ORACLES["nation_market_share"] = ORACLE_NATION_MARKET_SHARE
 QUERIES["returned_item_revenue"] = q_returned_item_revenue
 ORACLES["returned_item_revenue"] = ORACLE_RETURNED_ITEM_REVENUE
+
+
+# ==================================================================
+# Round-3 closing wave: the five TPC-H shapes not yet in the registry
+# (Q9, Q11, Q12, Q16, Q20 analogues on this schema — the testdata has
+# no partsupp table, so supplycost/availqty-dependent predicates are
+# restated over part.p_retailprice and lineitem-derived part-supplier
+# pairs; every money/share figure stays in exact integer cents / ppm
+# so the cross-engine hash has no float-order term).
+# ==================================================================
+
+# Q9 shape — product-type profit by (supplier nation, order year).
+# Profit proxy: revenue cents minus a unit-cost proxy of 10% of the
+# part's retail price (supplycost stand-in; p_retailprice is the only
+# cost-bearing column in this schema). Cost cents are computed as
+# round(p_retailprice*10) * l_quantity — both factors BIGINT (quantity
+# is integral by generation), so the sum is order-independent.
+# Scale shape: ONE fact-sized shuffle (lineitem ⋈ orders on orderkey);
+# part/supplier/nation broadcast; group-by output is |nations|×|years|.
+Q9_PART_LIKE = "%bolt%"
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like(Q9_PART_LIKE)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+                    " AS BIGINT)"
+                )
+                - F.expr(
+                    "CAST(round(p_retailprice * 10, 0) AS BIGINT)"
+                    " * CAST(l_quantity AS BIGINT)"
+                )
+            ).alias("profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit_cents").alias("cents"))
+        .select(
+            "nation",
+            "o_year",
+            F.expr("CAST(cents AS DOUBLE) / 100").alias("profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation,
+       extract(year FROM o_orderdate) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)
+                - CAST(round(p_retailprice * 10, 0) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100 AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '{Q9_PART_LIKE}'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# Q11 shape — "important stock": parts whose revenue exceeds a
+# threshold derived from a scalar subquery over the whole fact table
+# (Q11's HAVING sum(...) > scalar-threshold). Q11 scales its fraction
+# by 1/SF; here the equivalent scale-free rule keeps parts above
+# 1.5x the MEAN per-part revenue (part_cents * n_parts * 2 >
+# 3 * total_cents — pure BIGINT, no division), so the query is
+# non-degenerate at every sf dir. The global (total, count) is a
+# one-row broadcast; share_ppm is integer ppm over exact cents.
+# Scale: per-part partial agg (one shuffle keyed on partkey),
+# threshold join is a broadcast of one row.
+Q11_MULT_NUM, Q11_MULT_DEN = 3, 2  # keep parts > (NUM/DEN) x mean
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = li.select(
+        "l_partkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    ).groupBy("l_partkey").agg(F.sum("cents").alias("part_cents"))
+    total = rev.agg(
+        F.sum("part_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(
+            F.expr(
+                f"part_cents * n_parts * {Q11_MULT_DEN}"
+                f" > {Q11_MULT_NUM} * total_cents"
+            )
+        )
+        .select(
+            "l_partkey",
+            "part_cents",
+            F.expr("part_cents * 1000000 DIV total_cents").alias("share_ppm"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "l_partkey",
+            F.col("p_name").alias("part_name"),
+            F.expr("CAST(part_cents AS DOUBLE) / 100").alias("revenue"),
+            "share_ppm",
+        )
+        .orderBy(F.desc("share_ppm"), F.asc("l_partkey"))
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS part_cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents,
+               count(*) AS n_parts FROM rev)
+SELECT l_partkey, p_name AS part_name,
+       CAST(part_cents AS DOUBLE) / 100 AS revenue,
+       CAST(part_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+FROM rev CROSS JOIN tot
+JOIN part ON l_partkey = p_partkey
+WHERE part_cents * n_parts * {Q11_MULT_DEN}
+      > {Q11_MULT_NUM} * total_cents
+ORDER BY share_ppm DESC, l_partkey ASC
+"""
+
+
+# Q12 shape — shipping-class vs order-priority matrix: per lineitem
+# class (l_linestatus stands in for l_shipmode, absent here), count
+# lines on URGENT/HIGH orders vs the rest, within a shipdate year.
+# The canonical conditional-aggregation (CASE inside sum) shape; one
+# fact-fact join, group-by output is |classes| rows.
+Q12_DATE_LO, Q12_DATE_HI = "1997-01-01", "1998-01-01"
+
+
+def q_shipclass_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q12_DATE_LO)
+        & (F.col("l_shipdate") < Q12_DATE_HI)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("high_line_count"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0
+                ).otherwise(1)
+            ).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+ORACLE_SHIPCLASS_PRIORITY = f"""
+SELECT l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_DATE_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q12_DATE_HI}'
+GROUP BY l_linestatus
+ORDER BY ship_class
+"""
+
+
+# Q16 shape — supplier count by part attribute, with a NOT-IN
+# supplier exclusion (negative-balance suppliers stand in for Q16's
+# complaint suppliers). Part-supplier pairs are DERIVED from lineitem
+# (distinct partkey/suppkey — this schema's partsupp), the exclusion
+# is a broadcast anti-join, and the count-distinct groups on part
+# attributes. Scale: the distinct pair build is the one fact shuffle.
+Q16_BRAND_NOT = "Brand#13"
+Q16_TYPE_NOT_LIKE = "PROMO%"
+Q16_SIZES = (1, 7, 14, 21, 28, 35, 42, 49)
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_BRAND_NOT)
+        & ~F.col("p_type").like(Q16_TYPE_NOT_LIKE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad_sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_sup),
+            pairs.l_suppkey == bad_sup.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_PART_COUNTS = f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND_NOT}'
+  AND p_type NOT LIKE '{Q16_TYPE_NOT_LIKE}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# Q20 shape — suppliers holding an outsized share of a part's flow:
+# for parts matching the name pattern, keep (supplier, part) pairs
+# whose shipped-quantity share of the part's total exceeds the ppm
+# threshold, then emit the distinct suppliers (semi-join) with their
+# nation. Q20's availqty>0.5*sum(qty) correlated subquery restated as
+# an integer-ppm share over lineitem-derived totals. Scale: two
+# partial aggs on (part) and (supp, part) — the second reuses the
+# first's shuffle key prefix — and broadcast dims for the finish.
+Q20_PART_LIKE = "%gear%"
+Q20_SHARE_PPM = 100_000  # supplier ships >10% of the part's quantity
+
+
+def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like(Q20_PART_LIKE)
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    flow = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    per_pair = flow.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").alias("pair_qty")
+    )
+    per_part = flow.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    excess = (
+        per_pair.join(per_part, "l_partkey")
+        .where(
+            F.expr("pair_qty * 1000000 DIV part_qty") > Q20_SHARE_PPM
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(F.broadcast(sup), excess.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("supplier")
+    )
+
+
+ORACLE_EXCESS_SHARE_SUPPLIERS = f"""
+WITH flow AS (
+  SELECT l_suppkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '{Q20_PART_LIKE}'),
+per_pair AS (
+  SELECT l_suppkey, l_partkey, CAST(sum(qty) AS BIGINT) AS pair_qty
+  FROM flow GROUP BY l_suppkey, l_partkey),
+per_part AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS part_qty
+  FROM flow GROUP BY l_partkey),
+excess AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_pair JOIN per_part USING (l_partkey)
+  WHERE pair_qty * 1000000 // part_qty > {Q20_SHARE_PPM})
+SELECT s_name AS supplier, n_name AS nation
+FROM excess
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+ORDER BY supplier
+"""
+
+
+QUERIES["product_profit"] = q_product_profit
+ORACLES["product_profit"] = ORACLE_PRODUCT_PROFIT
+QUERIES["important_parts"] = q_important_parts
+ORACLES["important_parts"] = ORACLE_IMPORTANT_PARTS
+QUERIES["shipclass_priority"] = q_shipclass_priority
+ORACLES["shipclass_priority"] = ORACLE_SHIPCLASS_PRIORITY
+QUERIES["supplier_part_counts"] = q_supplier_part_counts
+ORACLES["supplier_part_counts"] = ORACLE_SUPPLIER_PART_COUNTS
+QUERIES["excess_share_suppliers"] = q_excess_share_suppliers
+ORACLES["excess_share_suppliers"] = ORACLE_EXCESS_SHARE_SUPPLIERS
