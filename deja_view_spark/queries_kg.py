@@ -299,11 +299,82 @@ LIMIT {DEGREE_TOP_K}
 """
 
 
+# ------------------------------------------- predicate co-occurrence
+def q_kg_pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate co-occurrence matrix: for each unordered predicate
+    pair (p1 < p2), the number of subjects emitting BOTH, each side's
+    subject count, and the subject-set Jaccard in exact ppm. The
+    companion statistic to the characteristic sets: a KG planner uses
+    it to estimate star-pattern join selectivity between two bound
+    predicates, and schema discovery reads high-Jaccard pairs as
+    attributes of the same entity class (in_lang/from_source at 1e6)
+    vs near-zero pairs as disjoint classes (doc vs user predicates).
+    Scale shape: the (subj, pred) distinct projection is one shuffle
+    of fixed-width rows; the self-join is subject-local (a subject
+    holds at most |predicates| rows, so pair generation is bounded
+    per key like the LSH bucket join); per-pred counts broadcast."""
+    t = kg_triples(spark, sf_dir)
+    sp = t.select("subj", "pred").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.subj") == F.col("b.subj"))
+            & (F.col("a.pred") < F.col("b.pred")),
+        )
+        .groupBy(
+            F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    per = sp.groupBy("pred").agg(F.count("*").alias("n_subj"))
+    pa = per.select(
+        F.col("pred").alias("pred_a"), F.col("n_subj").alias("n_a")
+    )
+    pb = per.select(
+        F.col("pred").alias("pred_b"), F.col("n_subj").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "pred_a")
+        .join(F.broadcast(pb), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 1000000 DIV (n_a + n_b - n_both)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_both"), F.asc("pred_a"), F.asc("pred_b"))
+    )
+
+
+ORACLE_KG_PRED_COOCCURRENCE = f"""
+WITH {SQL_KG_TRIPLES},
+sp AS (SELECT DISTINCT subj, pred FROM triples),
+pairs AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_both
+  FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+  GROUP BY a.pred, b.pred),
+per AS (SELECT pred, count(*) AS n_subj FROM sp GROUP BY pred)
+SELECT pred_a, pred_b, n_both, pa.n_subj AS n_a, pb.n_subj AS n_b,
+       CAST(n_both * 1000000 // (pa.n_subj + pb.n_subj - n_both)
+            AS BIGINT) AS jaccard_ppm
+FROM pairs
+JOIN per pa ON pred_a = pa.pred
+JOIN per pb ON pred_b = pb.pred
+ORDER BY n_both DESC, pred_a ASC, pred_b ASC
+"""
+
+
 QUERIES = {
     "kg_predicate_stats": q_kg_predicate_stats,
     "kg_star_join": q_kg_star_join,
     "kg_characteristic_sets": q_kg_characteristic_sets,
     "kg_degree_topk": q_kg_degree_topk,
+    "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
 }
 
 ORACLES = {
@@ -311,4 +382,5 @@ ORACLES = {
     "kg_star_join": ORACLE_KG_STAR_JOIN,
     "kg_characteristic_sets": ORACLE_KG_CHARACTERISTIC_SETS,
     "kg_degree_topk": ORACLE_KG_DEGREE_TOPK,
+    "kg_pred_cooccurrence": ORACLE_KG_PRED_COOCCURRENCE,
 }

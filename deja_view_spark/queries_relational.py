@@ -1697,3 +1697,108 @@ QUERIES["supplier_part_counts"] = q_supplier_part_counts
 ORACLES["supplier_part_counts"] = ORACLE_SUPPLIER_PART_COUNTS
 QUERIES["excess_share_suppliers"] = q_excess_share_suppliers
 ORACLES["excess_share_suppliers"] = ORACLE_EXCESS_SHARE_SUPPLIERS
+
+
+# ==================================================================
+# Q2 shape — the last of the 22 TPC-H query shapes: minimum-cost
+# supplier per part in a region (the correlated MIN subquery).
+# This schema has no partsupp, so the pair supply cost is DERIVED:
+# per (part, supplier) the minimum observed unit price over lineitem,
+# in exact integer cents (round(extendedprice*100/quantity) — per-row
+# double math identical in both engines, then BIGINT min, which is
+# order-independent). Decorrelation: one (part, supp) partial agg off
+# the fact table, region suppliers broadcast into it, the per-part
+# MIN re-aggregates the pair table (shares the partkey shuffle
+# prefix), and the winners come back via an equi-join on
+# (partkey, cents). The final sort keys (acctbal desc, supplier,
+# partkey) are a total order, so the LIMIT is deterministic.
+# ==================================================================
+Q2_REGION = "EUROPE"
+Q2_PTYPE = "ECONOMY"
+Q2_TOP_N = 100
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == Q2_PTYPE
+    ).select("p_partkey", "p_name")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q2_REGION
+    )
+    region_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pair_cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "CAST(round(l_extendedprice * 100 / l_quantity, 0)"
+                " AS BIGINT)"
+            ).alias("unit_cents"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cents").alias("cost_cents"))
+    )
+    rp = pair_cost.join(
+        F.broadcast(region_sup),
+        pair_cost.l_suppkey == region_sup.s_suppkey,
+    )
+    min_cost = rp.groupBy("l_partkey").agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    return (
+        rp.join(min_cost, "l_partkey")
+        .where(F.col("cost_cents") == F.col("min_cents"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.expr("CAST(cost_cents AS DOUBLE) / 100").alias("supply_cost"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("supplier"), F.asc("partkey"))
+        .limit(Q2_TOP_N)
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = f"""
+WITH pair_cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100 / l_quantity, 0)
+                       AS BIGINT)) AS BIGINT) AS cost_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{Q2_PTYPE}'
+  GROUP BY l_partkey, l_suppkey),
+region_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = '{Q2_REGION}'),
+rp AS (
+  SELECT * FROM pair_cost JOIN region_sup ON l_suppkey = s_suppkey),
+min_cost AS (
+  SELECT l_partkey, min(cost_cents) AS min_cents
+  FROM rp GROUP BY l_partkey)
+SELECT s_acctbal AS acctbal, s_name AS supplier, n_name AS nation,
+       l_partkey AS partkey, p_name AS part_name,
+       CAST(cost_cents AS DOUBLE) / 100 AS supply_cost
+FROM rp
+JOIN min_cost USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE cost_cents = min_cents
+ORDER BY acctbal DESC, supplier ASC, partkey ASC
+LIMIT {Q2_TOP_N}
+"""
+
+
+QUERIES["cheapest_supplier"] = q_cheapest_supplier
+ORACLES["cheapest_supplier"] = ORACLE_CHEAPEST_SUPPLIER

@@ -569,3 +569,111 @@ ORDER BY anchor_id, rank
 
 QUERIES["embeddings_hard_negatives"] = q_embeddings_hard_negatives
 ORACLES["embeddings_hard_negatives"] = ORACLE_EMBEDDINGS_HARD_NEGATIVES
+
+
+# ------------------------------------------- int8 scalar quantization
+# The third leg of the vector-index compression story (alongside
+# embeddings_pq and ann_ivf_topk): int8 scalar quantization of the
+# whole embedding table — a 512-byte double vector becomes 64 signed
+# bytes — and top-k retrieval by EXACT INTEGER dot product over the
+# codes. This is the SQ8 storage mode every production vector store
+# offers (faiss ScalarQuantizer, Milvus/qdrant int8). Construction
+# follows the cosine-preserving recipe: L2-NORMALIZE first (dot of
+# normalized vectors == cosine), then ONE symmetric global scale
+# 127/gmax (gmax = max |component| over the normalized corpus) so the
+# integer dot product is a monotone proxy of cosine up to quantization
+# error — a per-dimension affine quantizer would add per-dim offsets
+# that break rank equivalence, which is why faiss's cosine mode does
+# exactly this. Scale shape: normalization and code generation are
+# map-side transform()s in codegen; gmax is a single-row aggregate
+# crossJoin-broadcast back (never collected); probes broadcast; the
+# BIGINT dot folds in codegen and is order-independent, so the value
+# hash covers the SCORES themselves, not just ranks (the float cosine
+# queries can only hash ranks).
+SQ8_LEVELS = 127
+SQ8_PROBE_MAX = 10  # probes: vec_id < 10
+SQ8_TOP_K = 3
+
+
+def q_embeddings_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.functions.similarity import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    withn = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    n = withn.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("nx"),
+    )
+    g = n.agg(
+        F.max(F.array_max(F.transform("nx", lambda x: F.abs(x)))).alias(
+            "gmax"
+        )
+    )
+    q = n.crossJoin(F.broadcast(g)).select(
+        "vec_id",
+        F.transform(
+            "nx",
+            lambda x: F.floor(
+                x * (F.lit(float(SQ8_LEVELS)) / F.col("gmax"))
+            ).cast("long"),
+        ).alias("q"),
+    )
+    probes = q.where(F.col("vec_id") < SQ8_PROBE_MAX).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("qp")
+    )
+    scored = q.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("q", "qp", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SQ8_TOP_K)
+        .select("probe_id", "neighbor_id", "rank", "dot_q")
+        .orderBy("probe_id", "rank")
+    )
+
+
+ORACLE_EMBEDDINGS_SQ8 = f"""
+WITH pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+withn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pts),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS nx FROM withn),
+g AS (
+  SELECT max(list_max(list_transform(nx, x -> abs(x)))) AS gmax FROM n),
+q AS (
+  SELECT vec_id,
+         list_transform(nx, x -> CAST(floor(x * ({float(SQ8_LEVELS)}
+                                             / gmax)) AS BIGINT)) AS q
+  FROM n CROSS JOIN g),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(p.q::DOUBLE[], c.q::DOUBLE[])
+              AS BIGINT) AS dot_q
+  FROM q p JOIN q c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id < {SQ8_PROBE_MAX})
+SELECT probe_id, neighbor_id, rank, dot_q FROM (
+  SELECT probe_id, neighbor_id, dot_q,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {SQ8_TOP_K}
+ORDER BY probe_id, rank
+"""
+
+
+QUERIES["embeddings_sq8_topk"] = q_embeddings_sq8_topk
+ORACLES["embeddings_sq8_topk"] = ORACLE_EMBEDDINGS_SQ8

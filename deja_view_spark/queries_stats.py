@@ -676,3 +676,88 @@ ORDER BY source
 
 QUERIES["docs_length_ks"] = q_docs_length_ks
 ORACLES["docs_length_ks"] = ORACLE_DOCS_LENGTH_KS
+
+
+# --------------------------------------------------- ANALYZE statistics
+# The cost-based-optimizer statistics collection pass (ANALYZE TABLE /
+# Iceberg's column stats): one row per column of the documents table —
+# row count, null count, exact NDV, min/max (display-truncated), and
+# the average serialized width in exact centichars. These are the
+# numbers join reordering, broadcast-threshold decisions and file
+# pruning run on; the engine computes them as ONE aggregate pass
+# (count-distinct over k columns plans as a single Expand + hash agg),
+# then unpivots the 1-row result into the stats-table shape with a
+# metadata-sized explode. Exact NDV is right here because stats are a
+# per-ingest batch job; the streaming/monitoring path uses the KMV
+# sketch (docs_kmv_distinct) instead.
+STATS_COLUMNS = ("doc_id", "lang", "n_chars", "source", "text")
+STATS_DISPLAY_CHARS = 20
+
+
+def q_docs_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in STATS_COLUMNS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.substring(F.min(c).cast("string"), 1, STATS_DISPLAY_CHARS)
+            .alias(f"min_{c}"),
+            F.substring(F.max(c).cast("string"), 1, STATS_DISPLAY_CHARS)
+            .alias(f"max_{c}"),
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"len_{c}"),
+        ]
+    row = docs.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("nn"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                F.col(f"min_{c}").alias("min_val"),
+                F.col(f"max_{c}").alias("max_val"),
+                F.col(f"len_{c}").alias("len_sum"),
+            )
+            for c in STATS_COLUMNS
+        ]
+    )
+    return (
+        row.select("n_rows", F.explode(per_col).alias("s"))
+        .select(
+            F.col("s.col_name").alias("col_name"),
+            "n_rows",
+            (F.col("n_rows") - F.col("s.nn")).alias("n_null"),
+            F.col("s.ndv").alias("ndv"),
+            F.col("s.min_val").alias("min_val"),
+            F.col("s.max_val").alias("max_val"),
+            F.expr("s.len_sum * 100 DIV greatest(s.nn, 1)").alias(
+                "avg_width_centichars"
+            ),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _oracle_table_stats() -> str:
+    branches = []
+    for c in STATS_COLUMNS:
+        branches.append(f"""
+SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS ndv,
+       substr(CAST(min({c}) AS VARCHAR), 1, {STATS_DISPLAY_CHARS})
+         AS min_val,
+       substr(CAST(max({c}) AS VARCHAR), 1, {STATS_DISPLAY_CHARS})
+         AS max_val,
+       CAST(sum(length(CAST({c} AS VARCHAR))) * 100
+            // greatest(count({c}), 1) AS BIGINT)
+         AS avg_width_centichars
+FROM documents""")
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY col_name"
+
+
+ORACLE_DOCS_TABLE_STATS = _oracle_table_stats()
+
+QUERIES["docs_table_stats"] = q_docs_table_stats
+ORACLES["docs_table_stats"] = ORACLE_DOCS_TABLE_STATS

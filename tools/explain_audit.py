@@ -839,6 +839,36 @@ CHECKS = [
         [r"Union", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Q2 shape: one fact-sized pair agg; every dim + the per-part min
+    # enters as a broadcast at this SF; no cartesian, no Python
+    (
+        "cheapest_supplier",
+        [r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # SQ8: normalization/quantization in codegen (no Python), gmax is
+    # a 1-row broadcast, probes broadcast into the scoring join
+    (
+        "embeddings_sq8_topk",
+        [r"BroadcastNestedLoopJoin|BroadcastHashJoin", PARTIAL_AGG,
+         r"Window"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # predicate co-occurrence: subject-local pair join + broadcast
+    # per-pred counts; never a cartesian of the triple table
+    (
+        "kg_pred_cooccurrence",
+        [PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # ANALYZE stats: ONE aggregate pass (count-distincts share a
+    # single Expand), metadata-sized explode after; no join, no window
+    (
+        "docs_table_stats",
+        [r"Expand", PARTIAL_AGG, r"Generate"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
