@@ -596,30 +596,7 @@ SQ8_TOP_K = 3
 
 
 def q_embeddings_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deja_view_spark.functions.similarity import l2_norm
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    withn = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
-    n = withn.select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("nrm")).alias("nx"),
-    )
-    g = n.agg(
-        F.max(F.array_max(F.transform("nx", lambda x: F.abs(x)))).alias(
-            "gmax"
-        )
-    )
-    q = n.crossJoin(F.broadcast(g)).select(
-        "vec_id",
-        F.transform(
-            "nx",
-            lambda x: F.floor(
-                x * (F.lit(float(SQ8_LEVELS)) / F.col("gmax"))
-            ).cast("long"),
-        ).alias("q"),
-    )
+    q = _sq8_codes(spark, sf_dir)
     probes = q.where(F.col("vec_id") < SQ8_PROBE_MAX).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("qp")
     )
@@ -677,3 +654,147 @@ ORDER BY probe_id, rank
 
 QUERIES["embeddings_sq8_topk"] = q_embeddings_sq8_topk
 ORACLES["embeddings_sq8_topk"] = ORACLE_EMBEDDINGS_SQ8
+
+
+# --------------------------------------- two-stage SQ8 -> exact rerank
+# The production retrieval pattern the SQ8 codes exist to serve:
+# stage 1 scans the COMPRESSED table (integer dot over int8 codes,
+# 8x less memory traffic) and keeps a small pool per probe; stage 2
+# re-scores ONLY the pool with the exact float cosine and emits the
+# final top-k. At 100 TB the exact vectors for stage 2 come from a
+# point-lookup of pool-sized row ids — here the pool join IS that
+# lookup. Recall is governed by the pool width (pool >> k soaks up
+# quantization rank noise); correctness of the fused plan is oracle-
+# checked end-to-end. Scale shape: stage 1 is the SQ8 plan (map-side
+# codes, broadcast probes, BIGINT dot in codegen, per-probe window
+# over pool-sized data); stage 2 joins the pool (|probes| x POOL rows,
+# broadcast) back to the vector table — the expensive float cosine
+# runs POOL times per probe, never corpus times.
+SQ8_RERANK_POOL = 25
+SQ8_RERANK_TOP_K = 3
+
+
+def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SQ8 code builder (see q_embeddings_sq8_topk)."""
+    from deja_view_spark.functions.similarity import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    withn = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    n = withn.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("nx"),
+    )
+    g = n.agg(
+        F.max(F.array_max(F.transform("nx", lambda x: F.abs(x)))).alias(
+            "gmax"
+        )
+    )
+    return n.crossJoin(F.broadcast(g)).select(
+        "vec_id",
+        F.transform(
+            "nx",
+            lambda x: F.floor(
+                x * (F.lit(float(SQ8_LEVELS)) / F.col("gmax"))
+            ).cast("long"),
+        ).alias("q"),
+    )
+
+
+def q_embeddings_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _sq8_codes(spark, sf_dir)
+    probes = q.where(F.col("vec_id") < SQ8_PROBE_MAX).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("qp")
+    )
+    pooled = (
+        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("q", "qp", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.desc("dot_q"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("prank") <= SQ8_RERANK_POOL)
+        .select("probe_id", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = pooled.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        "neighbor_id",
+    )
+    pv = emb.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    ).where(F.col("probe_id") < SQ8_PROBE_MAX)
+    rescored = cand.join(F.broadcast(pv), "probe_id").select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("cv"), F.col("pv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SQ8_RERANK_TOP_K)
+        .select("probe_id", "neighbor_id", "rank", "cos")
+        .orderBy("probe_id", "rank")
+    )
+
+
+ORACLE_EMBEDDINGS_SQ8_RERANK = f"""
+WITH pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+withn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pts),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS nx FROM withn),
+g AS (
+  SELECT max(list_max(list_transform(nx, x -> abs(x)))) AS gmax FROM n),
+q AS (
+  SELECT vec_id,
+         list_transform(nx, x -> CAST(floor(x * ({float(SQ8_LEVELS)}
+                                             / gmax)) AS BIGINT)) AS q
+  FROM n CROSS JOIN g),
+pooled AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY CAST(list_dot_product(p.q::DOUBLE[], c.q::DOUBLE[])
+                           AS BIGINT) DESC,
+                      c.vec_id ASC) AS prank
+    FROM q p JOIN q c ON c.vec_id <> p.vec_id
+    WHERE p.vec_id < {SQ8_PROBE_MAX}) t
+  WHERE prank <= {SQ8_RERANK_POOL})
+SELECT probe_id, neighbor_id, rank, cos FROM (
+  SELECT probe_id, neighbor_id,
+         round({duckdb_cosine_sql('c.embedding', 'p.embedding')}, 4)
+           AS cos,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY round({duckdb_cosine_sql('c.embedding', 'p.embedding')},
+                          4) DESC,
+                    neighbor_id ASC) AS rank
+  FROM pooled
+  JOIN embeddings c ON neighbor_id = c.vec_id
+  JOIN embeddings p ON probe_id = p.vec_id) t
+WHERE rank <= {SQ8_RERANK_TOP_K}
+ORDER BY probe_id, rank
+"""
+
+
+QUERIES["embeddings_sq8_rerank"] = q_embeddings_sq8_rerank
+ORACLES["embeddings_sq8_rerank"] = ORACLE_EMBEDDINGS_SQ8_RERANK

@@ -869,6 +869,14 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
          r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # two-stage rerank: SQ8 pool stage + broadcast pool-to-vector
+    # joins; exact cosine confined to pool-sized data; no Python
+    (
+        "embeddings_sq8_rerank",
+        [r"BroadcastNestedLoopJoin|BroadcastHashJoin", r"Window",
+         PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
