@@ -194,6 +194,7 @@ def main() -> None:
     ap.add_argument("--skip-kg", action="store_true")
     ap.add_argument("--events-rows", type=int, default=1_000_000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--sq8-stress", action="store_true")
     ap.add_argument(
         "--queries",
         default=None,
@@ -224,7 +225,7 @@ def main() -> None:
         result["gen_sec"] = round(time.time() - t0, 1)
         log(f"generated {args.docs_rows} docs in {result['gen_sec']}s")
 
-        if any(q.startswith("events_") for q in stress_queries):
+        if any(q.startswith(("events_", "kg_")) for q in stress_queries):
             t0 = time.time()
             make_events(spark, args.events_rows, out_dir)
             result["events_rows"] = args.events_rows
@@ -244,6 +245,49 @@ def main() -> None:
             timings[name] = {"sec": round(time.time() - t0, 1), "rows": n}
             log(f"{name}: {timings[name]}")
         result["queries"] = timings
+
+        if args.sq8_stress:
+            # SQ8 quantize + integer-dot top-k at 100x: the registry
+            # query's `vec_id < 10` probe predicate assumes the
+            # testdata id domain (stress ids are xxhash64 — half are
+            # negative), so probes are minted as ~1/1000 of the hashed
+            # ids and the scoring stage is replayed directly on the
+            # shared code builder.
+            from pyspark.sql import Window
+
+            from deja_view_spark.queries_retrieval import _sq8_codes
+
+            t0 = time.time()
+            codes = _sq8_codes(spark, out_dir)
+            probes = codes.where("vec_id % 1000 = 0").select(
+                F.col("vec_id").alias("probe_id"), F.col("q").alias("qp")
+            )
+            n_probes = probes.count()
+            scored = codes.join(
+                F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+            ).select(
+                "probe_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.aggregate(
+                    F.zip_with("q", "qp", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dot_q"),
+            )
+            w = Window.partitionBy("probe_id").orderBy(
+                F.desc("dot_q"), F.asc("neighbor_id")
+            )
+            n = (
+                scored.withColumn("r", F.row_number().over(w))
+                .where("r <= 3")
+                .count()
+            )
+            result["sq8_stress"] = {
+                "n_probes": n_probes,
+                "sec": round(time.time() - t0, 1),
+                "rows": n,
+            }
+            log(f"sq8_stress: {result['sq8_stress']}")
 
         if args.queries:
             # explicit --queries run: the operator-family extras below
