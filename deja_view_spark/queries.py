@@ -960,7 +960,8 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # supplier_part_counts, excess_share_suppliers, kg_predicate_stats,
 # kg_star_join, kg_characteristic_sets, kg_degree_topk — and the
 # wave-16 closers: cheapest_supplier, embeddings_sq8_topk,
-# kg_pred_cooccurrence, docs_table_stats, embeddings_sq8_rerank. All
+# kg_pred_cooccurrence, docs_table_stats, embeddings_sq8_rerank,
+# kg_type_signatures, docs_tokenizer_fertility, events_cuped. All
 # carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.

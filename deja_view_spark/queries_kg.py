@@ -369,12 +369,74 @@ ORDER BY n_both DESC, pred_a ASC, pred_b ASC
 """
 
 
+# ------------------------------------------------- type signatures
+def q_kg_type_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed domain/range signature per predicate: the
+    (subject-type, object-type) distribution with exact-ppm share of
+    the predicate's triples — entity types read off the id prefix
+    (doc:/user:/term:/lang:/src:/item:), the KG convention the
+    pipeline's triple ids follow. This is schema induction (RDFS
+    domain/range inference from data) AND the integrity monitor's
+    baseline: a predicate suddenly emitting a second signature row is
+    an extraction bug surfacing as data. Scale shape: prefix parsing
+    is map-side, one (pred, types) partial agg, per-pred totals
+    re-aggregate from the signature rows (never a second scan) and
+    broadcast back; output is |predicates| x |type pairs| rows."""
+    t = kg_triples(spark, sf_dir)
+    sig = t.select(
+        "pred",
+        F.split_part(F.col("subj"), F.lit(":"), F.lit(1)).alias(
+            "subj_type"
+        ),
+        F.split_part(F.col("obj"), F.lit(":"), F.lit(1)).alias("obj_type"),
+    )
+    rows = sig.groupBy("pred", "subj_type", "obj_type").agg(
+        F.count("*").alias("n_triples")
+    )
+    totals = rows.groupBy("pred").agg(
+        F.sum("n_triples").alias("pred_total")
+    )
+    return (
+        rows.join(F.broadcast(totals), "pred")
+        .select(
+            "pred",
+            "subj_type",
+            "obj_type",
+            "n_triples",
+            F.expr("n_triples * 1000000 DIV pred_total").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("pred", F.desc("n_triples"), "subj_type", "obj_type")
+    )
+
+
+ORACLE_KG_TYPE_SIGNATURES = f"""
+WITH {SQL_KG_TRIPLES},
+sig AS (
+  SELECT pred, split_part(subj, ':', 1) AS subj_type,
+         split_part(obj, ':', 1) AS obj_type
+  FROM triples),
+rows_ AS (
+  SELECT pred, subj_type, obj_type, count(*) AS n_triples
+  FROM sig GROUP BY pred, subj_type, obj_type),
+totals AS (
+  SELECT pred, CAST(sum(n_triples) AS BIGINT) AS pred_total
+  FROM rows_ GROUP BY pred)
+SELECT pred, subj_type, obj_type, n_triples,
+       CAST(n_triples * 1000000 // pred_total AS BIGINT) AS share_ppm
+FROM rows_ JOIN totals USING (pred)
+ORDER BY pred, n_triples DESC, subj_type, obj_type
+"""
+
+
 QUERIES = {
     "kg_predicate_stats": q_kg_predicate_stats,
     "kg_star_join": q_kg_star_join,
     "kg_characteristic_sets": q_kg_characteristic_sets,
     "kg_degree_topk": q_kg_degree_topk,
     "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
+    "kg_type_signatures": q_kg_type_signatures,
 }
 
 ORACLES = {
@@ -383,4 +445,5 @@ ORACLES = {
     "kg_characteristic_sets": ORACLE_KG_CHARACTERISTIC_SETS,
     "kg_degree_topk": ORACLE_KG_DEGREE_TOPK,
     "kg_pred_cooccurrence": ORACLE_KG_PRED_COOCCURRENCE,
+    "kg_type_signatures": ORACLE_KG_TYPE_SIGNATURES,
 }

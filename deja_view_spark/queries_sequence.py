@@ -583,3 +583,133 @@ FROM cells
 
 QUERIES["events_abtest"] = q_events_abtest
 ORACLES["events_abtest"] = ORACLE_EVENTS_ABTEST
+
+
+# --------------------------------------------------- CUPED adjustment
+# CUPED variance-reduced A/B evaluation (Deng, Xu, Kohavi & Walker,
+# WSDM 2013): adjust each user's metric y by a pre-determined
+# covariate x — here y = purchase spend in exact cents, x = the
+# user's engagement count (views+clicks) — with the pooled
+# theta = cov(x,y)/var(x), then report per-cohort raw and adjusted
+# means plus the variance-reduction factor (1 - corr^2). This is THE
+# standard industry estimator for shrinking experiment confidence
+# intervals without touching the point estimate (adjusted cohort means
+# preserve the treatment effect because theta is cohort-independent).
+# Determinism discipline: all sufficient statistics (n, Sx, Sy, Sxx,
+# Sxy, Syy — pooled and per cohort) are EXACT BIGINT sums
+# (order-independent), and theta / means / var-reduction are
+# closed-form doubles over those identical integers with
+# token-identical expression trees in both engines (the
+# docs_quality_regression / events_abtest discipline). Scale shape:
+# one per-user partial agg over the fact table, then two
+# metadata-sized aggregates (pooled + per-cohort); the 1-row pooled
+# moments broadcast into the 2-row cohort table.
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100, 0) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    cohorts = per_user.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias(
+            "cohort"
+        )
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("cx"),
+        F.sum("y").alias("cy"),
+    )
+    theta = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    )
+    vr = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    )
+    return (
+        cohorts.crossJoin(F.broadcast(pooled))
+        .select(
+            "cohort",
+            "n_users",
+            "cy",
+            F.round(F.expr("CAST(cy AS DOUBLE) / n_users / 100"), 4).alias(
+                "mean_y"
+            ),
+            F.round(
+                F.expr(
+                    f"(CAST(cy AS DOUBLE) - ({theta})"
+                    " * (CAST(cx AS DOUBLE) - CAST(n_users AS DOUBLE)"
+                    "    * sx / n))"
+                    " / n_users / 100"
+                ),
+                4,
+            ).alias("mean_y_adj"),
+            F.round(F.expr(theta), 4).alias("theta"),
+            F.round(F.expr(f"1.0 - ({vr})"), 4).alias("var_ratio"),
+        )
+        .orderBy("cohort")
+    )
+
+
+ORACLE_EVENTS_CUPED = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type IN ('view', 'click')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+pooled AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user),
+cohorts AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+         count(*) AS n_users,
+         CAST(sum(x) AS BIGINT) AS cx, CAST(sum(y) AS BIGINT) AS cy
+  FROM per_user GROUP BY 1)
+SELECT cohort, n_users, cy,
+       round(CAST(cy AS DOUBLE) / n_users / 100, 4) AS mean_y,
+       round((CAST(cy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * (CAST(cx AS DOUBLE)
+                   - CAST(n_users AS DOUBLE) * sx / n))
+             / n_users / 100, 4) AS mean_y_adj,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+         AS theta,
+       round(1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / ((CAST(n AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy)), 4) AS var_ratio
+FROM cohorts CROSS JOIN pooled
+ORDER BY cohort
+"""
+
+QUERIES["events_cuped"] = q_events_cuped
+ORACLES["events_cuped"] = ORACLE_EVENTS_CUPED

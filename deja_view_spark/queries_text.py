@@ -1891,3 +1891,71 @@ ORACLE_DOCS_RAKE = _oracle_rake()
 
 QUERIES["docs_rake_keyphrases"] = q_docs_rake_keyphrases
 ORACLES["docs_rake_keyphrases"] = ORACLE_DOCS_RAKE
+
+
+# ------------------------------------------------ tokenizer fertility
+# The mT5/XLM-R tokenizer-equity statistic: per language, BPE tokens
+# per whitespace word (fertility) and bytes per BPE token — the
+# numbers that decide whether a tokenizer under-serves a language
+# (high fertility = more tokens per word = shorter effective context
+# and higher training cost for that language). Uses the same GPT-2
+# pre-tokenizer regex as docs_bpe_token_stats. All ratios in exact
+# integer ppm over exact BIGINT sums — zero float on the comparison
+# path. Scale shape: two map-side array sizes per doc, one partial-agg
+# groupBy on lang; output is |languages| rows.
+def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+        ).cast("long").alias("n_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            F.expr("total_tokens * 1000000 DIV total_words").alias(
+                "fertility_ppm"
+            ),
+            F.expr("total_bytes * 1000000 DIV total_tokens").alias(
+                "bytes_per_token_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOCS_TOKENIZER_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(str_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))
+           AS n_tokens,
+         strlen(text) AS n_bytes
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT)
+         AS fertility_ppm,
+       CAST(sum(n_bytes) * 1000000 // sum(n_tokens) AS BIGINT)
+         AS bytes_per_token_ppm
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["docs_tokenizer_fertility"] = q_docs_tokenizer_fertility
+ORACLES["docs_tokenizer_fertility"] = ORACLE_DOCS_TOKENIZER_FERTILITY

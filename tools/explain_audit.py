@@ -877,6 +877,30 @@ CHECKS = [
          PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # type signatures: map-side prefix parse, one partial agg, totals
+    # re-aggregated from signature rows + broadcast back; no window
+    (
+        "kg_type_signatures",
+        [PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # fertility: per-doc array sizes map-side, one lang-keyed partial
+    # agg; no join, no window, no Python
+    (
+        "docs_tokenizer_fertility",
+        [PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # CUPED: one per-user partial agg + two metadata-sized aggregates,
+    # pooled moments broadcast into the 2-row cohort table
+    (
+        "events_cuped",
+        [PARTIAL_AGG, r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        [r"SortMergeJoin", r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
