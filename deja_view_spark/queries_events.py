@@ -1740,3 +1740,71 @@ ORDER BY r_seg, f_seg, m_seg
 
 QUERIES["events_rfm"] = q_events_rfm
 ORACLES["events_rfm"] = ORACLE_EVENTS_RFM
+
+
+# ------------------------------------------- native session windows
+# Spark's DEDICATED session-window aggregation (F.session_window — the
+# UpdatingSessions/MergingSessions physical operators, a different
+# execution path from the lag-window sessionizer in events_sessions):
+# per (user, session) the merged window bounds, event count and exact
+# spend cents, with a 30-minute inactivity gap. Session semantics:
+# each event opens [ts, ts+gap) and overlapping intervals merge, so
+# two events exactly gap apart do NOT merge (end-exclusive) — the
+# DuckDB twin's island detection therefore breaks on gap >= 1800s,
+# and session_end is last_ts + gap. In streaming this same operator
+# runs with watermark-bounded state; the batch form here is what the
+# driver can oracle-check. Scale shape: one user-keyed shuffle, then
+# in-partition session merging; output is one row per session.
+SESSION_GAP_SEC = 1800
+
+
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_EVENTS_SESSION_WINDOWS = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, cents,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_SEC} SECOND AS session_end,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+QUERIES["events_session_windows"] = q_events_session_windows
+ORACLES["events_session_windows"] = ORACLE_EVENTS_SESSION_WINDOWS

@@ -901,6 +901,14 @@ CHECKS = [
         [r"SortMergeJoin", r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # native session windows: the dedicated MergingSessions operator —
+    # one user-keyed exchange, in-partition merge; no join, no Python
+    (
+        "events_session_windows",
+        [r"MergingSessions|UpdatingSessions|SessionWindow"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
