@@ -962,7 +962,8 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # wave-16 closers: cheapest_supplier, embeddings_sq8_topk,
 # kg_pred_cooccurrence, docs_table_stats, embeddings_sq8_rerank,
 # kg_type_signatures, docs_tokenizer_fertility, events_cuped,
-# events_session_windows. All
+# events_session_windows, docs_mad_outliers,
+# events_dow_seasonality. All
 # carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.

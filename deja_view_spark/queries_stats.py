@@ -761,3 +761,149 @@ ORACLE_DOCS_TABLE_STATS = _oracle_table_stats()
 
 QUERIES["docs_table_stats"] = q_docs_table_stats
 ORACLES["docs_table_stats"] = ORACLE_DOCS_TABLE_STATS
+
+
+# ------------------------------------------------ robust MAD outliers
+# Median-absolute-deviation outlier detection per language over doc
+# length — the robust alternative to z-scores (a handful of giant
+# crawl artifacts inflate a mean/stddev gate but cannot move the
+# median). Exact-integer discipline: medians are LOWER medians picked
+# by rank (never interpolated floats), MAD is the lower median of
+# |x - med|, and the outlier test |x - med| * 10000 > 44780 * mad is
+# the integer form of |x - med| > 3 * 1.4826 * MAD (the normal-
+# consistency constant). Scale shape: two rank windows ride (lang,
+# n_chars) projections — per-group exact medians fundamentally sort
+# the group; the fixed-memory histogram sketch
+# (docs_length_hist_quantiles) is the documented 100-TB alternative,
+# this is the exact batch audit. Output is |languages| rows.
+MAD_K_X10000 = 44_780  # 3 * 1.4826, scaled
+
+
+def q_docs_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    med = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("lang", F.col("n_chars").alias("med"))
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang", "n_chars", "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("adev"),
+    )
+    wd = Window.partitionBy("lang").orderBy("adev")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("lang", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("med").alias("median_chars"),
+            F.min("mad").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.col("adev") * 10_000 > MAD_K_X10000 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOCS_MAD_OUTLIERS = f"""
+WITH d AS (SELECT lang, n_chars FROM documents),
+med AS (
+  SELECT lang, n_chars AS med FROM (
+    SELECT lang, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM d) t
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)),
+dev AS (
+  SELECT lang, n_chars, med, abs(n_chars - med) AS adev
+  FROM d JOIN med USING (lang)),
+mad AS (
+  SELECT lang, adev AS mad FROM (
+    SELECT lang, adev,
+           row_number() OVER (PARTITION BY lang ORDER BY adev) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM dev) t
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT))
+SELECT lang, count(*) AS n_docs,
+       CAST(min(med) AS BIGINT) AS median_chars,
+       CAST(min(mad) AS BIGINT) AS mad_chars,
+       CAST(sum(CASE WHEN adev * 10000 > {MAD_K_X10000} * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (lang)
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["docs_mad_outliers"] = q_docs_mad_outliers
+ORACLES["docs_mad_outliers"] = ORACLE_DOCS_MAD_OUTLIERS
+
+
+# ------------------------------------------ day-of-week seasonality
+# Weekly seasonality profile per event type: the day-of-week activity
+# histogram in exact-ppm shares plus a chi-square uniformity statistic
+# — the signal that separates organic human traffic (strong weekday/
+# weekend structure) from automation (flat profile), and the
+# pre-check before any day-aligned forecast (events_forecast_eval's
+# season length). Exact-integer discipline: counts and ppm shares are
+# pure BIGINT; chi2 = sum((o - n/7)^2) * 7 / n is ONE token-identical
+# float expression over identical integers (the abtest/assortativity
+# rule). Scale shape: one (type, dow) partial agg — output is
+# |types| x 7 rows; per-type totals re-aggregate from those counts.
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n").alias("n_type"),
+        # chi2 numerator needs sum of squared deviations from n/7:
+        # expand (o - n/7)^2 = o^2 - 2*o*n/7 + (n/7)^2 so the sums
+        # stay integer until ONE final float expression
+        F.sum(F.expr("n * n")).alias("soo"),
+    )
+    chi2 = (
+        "(CAST(soo AS DOUBLE) * 7.0 / n_type) - CAST(n_type AS DOUBLE)"
+    )
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.expr("n * 1000000 DIV n_type").alias("share_ppm"),
+            F.round(F.expr(chi2), 4).alias("chi2_uniform"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_EVENTS_DOW_SEASONALITY = """
+WITH cnt AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type,
+         CAST(sum(n * n) AS BIGINT) AS soo
+  FROM cnt GROUP BY event_type)
+SELECT event_type, dow, n,
+       CAST(n * 1000000 // n_type AS BIGINT) AS share_ppm,
+       round((CAST(soo AS DOUBLE) * 7.0 / n_type)
+             - CAST(n_type AS DOUBLE), 4) AS chi2_uniform
+FROM cnt JOIN tot USING (event_type)
+ORDER BY event_type, dow
+"""
+
+QUERIES["events_dow_seasonality"] = q_events_dow_seasonality
+ORACLES["events_dow_seasonality"] = ORACLE_EVENTS_DOW_SEASONALITY

@@ -909,6 +909,21 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # MAD outliers: rank windows over narrow (lang, chars) projections,
+    # medians broadcast back; the exact audit of the histogram sketch
+    (
+        "docs_mad_outliers",
+        [r"Window", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # DOW seasonality: one (type, dow) partial agg, totals re-agg from
+    # counts and broadcast; no window, no Python
+    (
+        "events_dow_seasonality",
+        [PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
