@@ -301,3 +301,47 @@ def test_cli_wave45_verbs(spark, capsys):
             cli.main(["corpus", verb, "--data", SF_DIR, "--limit", "3"]) == 0
         )
         assert marker in capsys.readouterr().out
+
+
+def test_cli_wave14_20_verbs(capsys):
+    """The wave-14-20 UX verbs: KG analytics, SQ8 retrieval, CUPED,
+    sessionization, robust stats — each routes to its oracle-checked
+    registry operator."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    assert (
+        cli.main(
+            ["corpus", "kg-signatures", "--data", SF_DIR, "--limit", "3"]
+        )
+        == 0
+    )
+    assert "'subj_type'" in capsys.readouterr().out
+
+    assert cli.main(["corpus", "cuped", "--data", SF_DIR]) == 0
+    text = capsys.readouterr().out
+    assert "'theta'" in text and "'var_ratio'" in text
+
+    assert (
+        cli.main(["corpus", "sq8-rerank", "--data", SF_DIR, "--limit", "3"])
+        == 0
+    )
+    assert "'cos'" in capsys.readouterr().out
+
+    assert (
+        cli.main(
+            ["corpus", "mad-outliers", "--data", SF_DIR, "--limit", "3"]
+        )
+        == 0
+    )
+    assert "'n_outliers'" in capsys.readouterr().out
+
+    assert (
+        cli.main(
+            ["corpus", "seasonality", "--data", SF_DIR, "--limit", "3"]
+        )
+        == 0
+    )
+    assert "'chi2_uniform'" in capsys.readouterr().out

@@ -252,6 +252,24 @@ CORPUS_OPS = {
     "eff-diameter": "events_effective_diameter",
     "skew-report": "events_skew_report",
     "method-eval": "docs_dedup_method_eval",
+    # waves 14-20 (drift / KG analytics / retrieval / experiment eval)
+    "ks-drift": "docs_length_ks",
+    "rfm": "events_rfm",
+    "rake": "docs_rake_keyphrases",
+    "kg-pred-stats": "kg_predicate_stats",
+    "kg-star": "kg_star_join",
+    "kg-charsets": "kg_characteristic_sets",
+    "kg-degree": "kg_degree_topk",
+    "kg-cooccur": "kg_pred_cooccurrence",
+    "kg-signatures": "kg_type_signatures",
+    "table-stats": "docs_table_stats",
+    "sq8": "embeddings_sq8_topk",
+    "sq8-rerank": "embeddings_sq8_rerank",
+    "fertility": "docs_tokenizer_fertility",
+    "cuped": "events_cuped",
+    "sessions": "events_session_windows",
+    "mad-outliers": "docs_mad_outliers",
+    "seasonality": "events_dow_seasonality",
 }
 
 
