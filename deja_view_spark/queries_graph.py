@@ -2277,3 +2277,62 @@ ORACLE_EVENTS_EFFECTIVE_DIAMETER = _oracle_effective_diameter()
 
 QUERIES["events_effective_diameter"] = q_events_effective_diameter
 ORACLES["events_effective_diameter"] = ORACLE_EVENTS_EFFECTIVE_DIAMETER
+
+
+# ----------------------------------------------- skip-gram pair census
+# DeepWalk/node2vec step 2: turn the generated walks into the
+# (center, context) co-occurrence counts a skip-gram embedding trainer
+# consumes — every ordered pair of nodes within SG_WINDOW positions of
+# each other on the same walk, exact counts. Composes
+# q_events_random_walks UNCHANGED (the census can never drift from the
+# walk generator it feeds); with events_negative_samples this
+# completes the word2vec-style training-set story: positives here,
+# negatives there. Scale shape: two Generates expand each walk to its
+# O(L * W) in-window pairs map-side (L = walk length, both small
+# constants), then ONE (center, context) partial agg; dead-end NULL
+# tails drop in the filter.
+SG_WINDOW = 2
+
+
+def q_events_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    walks = q_events_random_walks(spark, sf_dir)
+    arr = F.array(*[f"step{t}" for t in range(WALK_STEPS + 1)])
+    a = walks.select(arr.alias("a")).select(
+        "a", F.posexplode("a").alias("i", "center")
+    )
+    pairs = (
+        a.select("i", "center", F.posexplode("a").alias("j", "context"))
+        .where(
+            F.col("center").isNotNull()
+            & F.col("context").isNotNull()
+            & (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= SG_WINDOW)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return pairs.orderBy(
+        F.desc("n_pairs"), F.asc("center"), F.asc("context")
+    )
+
+
+def _oracle_skipgram() -> str:
+    positions = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS i, step{t} AS node FROM walks"
+        for t in range(WALK_STEPS + 1)
+    )
+    return f"""
+WITH walks AS ({ORACLES["events_random_walks"]}),
+pos AS ({positions})
+SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+FROM pos a
+JOIN pos b ON a.walk_id = b.walk_id AND a.i <> b.i
+          AND abs(a.i - b.i) <= {SG_WINDOW}
+WHERE a.node IS NOT NULL AND b.node IS NOT NULL
+GROUP BY a.node, b.node
+ORDER BY n_pairs DESC, center ASC, context ASC
+"""
+
+
+QUERIES["events_skipgram_pairs"] = q_events_skipgram_pairs
+ORACLES["events_skipgram_pairs"] = _oracle_skipgram()

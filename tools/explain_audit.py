@@ -924,6 +924,13 @@ CHECKS = [
         [r"SortMergeJoin", r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # skip-gram census: the walk plan plus two map-side Generates and
+    # ONE (center, context) partial agg; no cartesian, no Python
+    (
+        "events_skipgram_pairs",
+        [r"Generate", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
