@@ -1937,3 +1937,96 @@ ORDER BY fold, lang
 
 QUERIES["docs_crossval_folds"] = q_docs_crossval_folds
 ORACLES["docs_crossval_folds"] = ORACLE_DOCS_CROSSVAL_FOLDS
+
+
+# --------------------------------------------------- CDC snapshot diff
+# Change-data-capture between two corpus snapshots: the MERGE-source
+# computation every incremental ingest runs before writing (Iceberg's
+# changelog view / Delta CDF shape). The "next" snapshot is derived
+# deterministically from the corpus so the driver can oracle it:
+# every 53rd doc is DELETED, every 41st (surviving) doc's text is
+# UPDATED (a marker suffix — new sha, same id), and one INSERT per
+# 97th doc arrives under a shifted id. The diff itself is the
+# operator under test: FULL OUTER join on the key, change class from
+# null-ness + content-sha comparison, per-class census plus the
+# per-row change list a MERGE would consume. Scale shape: one
+# key-keyed shuffle join of two corpus-sized sides (the unavoidable
+# CDC cost), sha comparison in codegen; census re-aggregates from the
+# classified rows.
+def _snapshot_next(docs):
+    survivors = docs.where(F.col("doc_id") % 53 != 0)
+    updated = survivors.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    inserts = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("new: "), F.col("text")).alias("text"),
+    )
+    return updated.unionByName(inserts)
+
+
+def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("old_sha")
+    )
+    new = _snapshot_next(docs).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("new_sha")
+    )
+    classified = (
+        old.join(new, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("old_sha").isNull(), "insert")
+            .when(F.col("new_sha").isNull(), "delete")
+            .when(F.col("old_sha") != F.col("new_sha"), "update")
+            .otherwise("unchanged")
+            .alias("change_type"),
+        )
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("change_type")
+    )
+
+
+ORACLE_DOCS_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, sha256(text) AS old_sha FROM documents),
+next_snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 41 = 0 THEN text || ' [rev2]'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 53 <> 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, 'new: ' || text AS text
+  FROM documents WHERE doc_id % 97 = 0),
+new_s AS (
+  SELECT doc_id, sha256(text) AS new_sha FROM next_snap),
+classified AS (
+  SELECT coalesce(old.doc_id, new_s.doc_id) AS doc_id,
+         CASE WHEN old_sha IS NULL THEN 'insert'
+              WHEN new_sha IS NULL THEN 'delete'
+              WHEN old_sha <> new_sha THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM old FULL OUTER JOIN new_s ON old.doc_id = new_s.doc_id)
+SELECT change_type, count(*) AS n_rows,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM classified
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+QUERIES["docs_snapshot_diff"] = q_docs_snapshot_diff
+ORACLES["docs_snapshot_diff"] = ORACLE_DOCS_SNAPSHOT_DIFF

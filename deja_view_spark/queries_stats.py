@@ -907,3 +907,104 @@ ORDER BY event_type, dow
 
 QUERIES["events_dow_seasonality"] = q_events_dow_seasonality
 ORACLES["events_dow_seasonality"] = ORACLE_EVENTS_DOW_SEASONALITY
+
+
+# ------------------------------------------------- winsorized means
+# Winsorized robust statistics per language: clip doc lengths at the
+# exact p05/p95 RANK boundaries (picked by row_number like the MAD
+# medians — never interpolated floats) and report the clipped mean in
+# exact centichars plus how many rows each tail clamped. The
+# companion to docs_mad_outliers: MAD flags outliers, winsorization
+# bounds their influence on the headline mean — the robust pair a
+# data-quality dashboard runs per ingest. Scale shape: one rank
+# window over the narrow (lang, n_chars) projection, the 2-value
+# bounds table broadcast back, one partial agg.
+WINSOR_LO_PPM = 50_000   # p05
+WINSOR_HI_PPM = 950_000  # p95
+
+
+def q_docs_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("lang"))
+    )
+    # rank of the p-th percentile (lower, 1-based): max(1, ceil(p*n))
+    lo_rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n") * WINSOR_LO_PPM / 1_000_000),
+    )
+    hi_rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n") * WINSOR_HI_PPM / 1_000_000),
+    )
+    bounds = (
+        ranked.where(
+            (F.col("rn") == lo_rank) | (F.col("rn") == hi_rank)
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+    clipped = docs.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")).alias(
+            "clipped"
+        ),
+        (F.col("n_chars") < F.col("lo")).cast("int").alias("clamped_lo"),
+        (F.col("n_chars") > F.col("hi")).cast("int").alias("clamped_hi"),
+    )
+    return (
+        clipped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("lo").alias("p05_chars"),
+            F.min("hi").alias("p95_chars"),
+            F.expr(
+                "CAST(sum(clipped) * 100 DIV count(*) AS BIGINT)"
+            ).alias("winsor_mean_centichars"),
+            F.sum("clamped_lo").alias("n_clamped_lo"),
+            F.sum("clamped_hi").alias("n_clamped_hi"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOCS_WINSORIZED_STATS = f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+bounds AS (
+  SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
+  FROM ranked
+  WHERE rn = greatest(1, CAST(ceil(n * {WINSOR_LO_PPM} / 1000000.0)
+                              AS BIGINT))
+     OR rn = greatest(1, CAST(ceil(n * {WINSOR_HI_PPM} / 1000000.0)
+                              AS BIGINT))
+  GROUP BY lang),
+clipped AS (
+  SELECT d.lang, lo, hi,
+         least(greatest(n_chars, lo), hi) AS clipped,
+         CASE WHEN n_chars < lo THEN 1 ELSE 0 END AS clamped_lo,
+         CASE WHEN n_chars > hi THEN 1 ELSE 0 END AS clamped_hi
+  FROM documents d JOIN bounds USING (lang))
+SELECT lang, count(*) AS n_docs,
+       CAST(min(lo) AS BIGINT) AS p05_chars,
+       CAST(min(hi) AS BIGINT) AS p95_chars,
+       CAST(sum(clipped) * 100 // count(*) AS BIGINT)
+         AS winsor_mean_centichars,
+       CAST(sum(clamped_lo) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(clamped_hi) AS BIGINT) AS n_clamped_hi
+FROM clipped
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["docs_winsorized_stats"] = q_docs_winsorized_stats
+ORACLES["docs_winsorized_stats"] = ORACLE_DOCS_WINSORIZED_STATS

@@ -931,6 +931,20 @@ CHECKS = [
         [r"Generate", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # CDC diff: one FULL OUTER key join (the unavoidable CDC shuffle),
+    # sha compare in codegen, census partial-agg'd; no Python
+    (
+        "docs_snapshot_diff",
+        [r"SortMergeJoin|ShuffledHashJoin", r"FullOuter", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # winsorized stats: one rank window over (lang, chars), 2-value
+    # bounds broadcast back, one partial agg; no Python
+    (
+        "docs_winsorized_stats",
+        [r"Window", r"BroadcastHashJoin", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
