@@ -1808,3 +1808,105 @@ ORDER BY user_id, session_start
 
 QUERIES["events_session_windows"] = q_events_session_windows
 ORACLES["events_session_windows"] = ORACLE_EVENTS_SESSION_WINDOWS
+
+
+# ------------------------------------------- multi-touch attribution
+# Linear multi-touch attribution — the companion to the last-touch
+# window in events_attribution: each purchase's credit (1e6 ppm)
+# splits EQUALLY across all of the same user's clicks in the
+# preceding 7-day window, with the integer remainder (1e6 mod k)
+# pinned to the most recent click so every purchase's credit sums to
+# exactly 1e6 and the whole ledger is exact-integer. Unlike
+# last-touch, multi-touch fundamentally needs the (purchase, click)
+# PAIRS — a user-keyed interval self-join (the J5 range-join shape) —
+# because each click's share depends on the per-purchase touch count.
+# Scale shape: one user-keyed shuffle, pairs bounded by per-user
+# activity × window (AQE skew-join covers hot users), per-purchase
+# ranking windows ride the pair table, final census is one item agg.
+MT_WINDOW_S = 7 * 86400
+
+
+def q_events_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    item = F.get_json_object("props", "$.k").cast("long")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        us.alias("click_us"),
+        F.col("event_id").alias("click_id"),
+        item.alias("item"),
+    ).where(F.col("item").isNotNull())
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("p_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.cu)
+        & (clicks.click_us < purchases.p_us)
+        & (
+            purchases.p_us - clicks.click_us
+            <= F.lit(MT_WINDOW_S).cast("long") * 1_000_000
+        ),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_us"), F.desc("click_id")
+    )
+    credited = (
+        pairs.withColumn("k", F.count("*").over(Window.partitionBy("purchase_id")))
+        .withColumn("r", F.row_number().over(w))
+        .select(
+            "item",
+            (
+                F.expr("1000000 DIV k")
+                + F.when(
+                    F.col("r") == 1, F.expr("1000000 % k")
+                ).otherwise(F.lit(0))
+            ).alias("credit_ppm"),
+        )
+    )
+    return (
+        credited.groupBy("item")
+        .agg(
+            F.sum("credit_ppm").alias("credit_ppm"),
+            F.count("*").alias("n_touches"),
+        )
+        .orderBy(F.desc("credit_ppm"), F.asc("item"))
+    )
+
+
+ORACLE_EVENTS_MULTITOUCH = f"""
+WITH clicks AS (
+  SELECT user_id AS cu, epoch_us(ts) AS click_us, event_id AS click_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT purchase_id, item, click_us, click_id
+  FROM purchases JOIN clicks
+    ON user_id = cu AND click_us < p_us
+   AND p_us - click_us <= {MT_WINDOW_S}::BIGINT * 1000000),
+credited AS (
+  SELECT item,
+         1000000 // k
+         + CASE WHEN r = 1 THEN 1000000 % k ELSE 0 END AS credit_ppm
+  FROM (
+    SELECT item,
+           count(*) OVER (PARTITION BY purchase_id) AS k,
+           row_number() OVER (PARTITION BY purchase_id
+                              ORDER BY click_us DESC, click_id DESC) AS r
+    FROM pairs) t)
+SELECT item, CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm,
+       count(*) AS n_touches
+FROM credited
+GROUP BY item
+ORDER BY credit_ppm DESC, item ASC
+"""
+
+QUERIES["events_multitouch"] = q_events_multitouch
+ORACLES["events_multitouch"] = ORACLE_EVENTS_MULTITOUCH

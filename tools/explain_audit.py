@@ -945,6 +945,13 @@ CHECKS = [
         [r"Window", r"BroadcastHashJoin", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # multi-touch: user-keyed interval self-join (J5 range-join shape),
+    # per-purchase windows on the pair table, one item agg; no Python
+    (
+        "events_multitouch",
+        [r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
