@@ -964,7 +964,8 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # kg_type_signatures, docs_tokenizer_fertility, events_cuped,
 # events_session_windows, docs_mad_outliers,
 # events_dow_seasonality, events_skipgram_pairs, docs_snapshot_diff,
-# docs_winsorized_stats, events_multitouch. All
+# docs_winsorized_stats, events_multitouch, docs_k_anonymity,
+# docs_expectations. All
 # carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.

@@ -309,3 +309,160 @@ ORACLES = {
     "docs_repetition": ORACLE_DOCS_REPETITION,
     "docs_pii_scrub": ORACLE_DOCS_PII_SCRUB,
 }
+
+
+# ---------------------------------------------------- k-anonymity audit
+# Privacy audit before a data release: treat (lang, source,
+# length-bucket) as the quasi-identifier and report, per equivalence
+# class size band, how many classes and rows fall below the k=5
+# anonymity floor — the table a release reviewer reads to decide
+# whether the QI columns need further coarsening. Sweeney's k-anonymity
+# reframed as the aggregation it is: one QI partial agg (class sizes),
+# one metadata-sized band rollup. The length bucket (floor(n_chars /
+# 100)) is the coarsening knob; at 100 TB both aggs stay
+# map-side-combining and the output is |bands| rows.
+K_ANON_FLOOR = 5
+
+
+def q_docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.expr("n_chars DIV 100").alias("len_bucket"),
+    ).agg(F.count("*").alias("class_size"))
+    banded = classes.select(
+        F.when(F.col("class_size") == 1, "1 (unique)")
+        .when(F.col("class_size") < K_ANON_FLOOR, f"2-{K_ANON_FLOOR - 1}")
+        .otherwise(f">={K_ANON_FLOOR}")
+        .alias("size_band"),
+        "class_size",
+    )
+    return (
+        banded.groupBy("size_band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+            (F.min("class_size") >= K_ANON_FLOOR).alias("k_anonymous"),
+        )
+        .orderBy("size_band")
+    )
+
+
+ORACLE_DOCS_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket,
+         count(*) AS class_size
+  FROM documents GROUP BY 1, 2, 3),
+banded AS (
+  SELECT CASE WHEN class_size = 1 THEN '1 (unique)'
+              WHEN class_size < {K_ANON_FLOOR} THEN '2-{K_ANON_FLOOR - 1}'
+              ELSE '>={K_ANON_FLOOR}' END AS size_band,
+         class_size
+  FROM classes)
+SELECT size_band, count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       min(class_size) >= {K_ANON_FLOOR} AS k_anonymous
+FROM banded
+GROUP BY size_band
+ORDER BY size_band
+"""
+
+QUERIES["docs_k_anonymity"] = q_docs_k_anonymity
+ORACLES["docs_k_anonymity"] = ORACLE_DOCS_K_ANONYMITY
+
+
+# ------------------------------------------------- expectation suite
+# Data-contract checks (the dbt-test / Great-Expectations shape) as
+# ONE aggregate pass: each rule is a conditional count over the same
+# scan, so adding a rule costs a column, not a job. Rules cover the
+# contract the rest of the engine assumes: key not-null and unique,
+# lang in the accepted set, n_chars positive, and the n_chars ==
+# length(text) consistency every length-based operator (percentiles,
+# MAD, winsorized means) silently relies on. Output is one row per
+# rule with violation count and verdict — the CI gate an ingest runs
+# before promoting a snapshot.
+EXPECT_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+def q_docs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ", ".join(f"'{x}'" for x in EXPECT_LANGS)
+    row = docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+        ).alias("v_notnull"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("v_unique"),
+        F.sum(
+            F.when(~F.expr(f"lang IN ({langs})"), 1).otherwise(0)
+        ).alias("v_accepted"),
+        F.sum(
+            F.when(F.col("n_chars") <= 0, 1).otherwise(0)
+        ).alias("v_range"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("v_consistent"),
+    )
+    rules = [
+        ("doc_id_not_null", "v_notnull"),
+        ("doc_id_unique", "v_unique"),
+        ("lang_accepted_values", "v_accepted"),
+        ("n_chars_positive", "v_range"),
+        ("n_chars_matches_text", "v_consistent"),
+    ]
+    stacked = row.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(col).alias("n_violations"),
+                    )
+                    for name, col in rules
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        F.col("s.rule").alias("rule"),
+        "n_rows",
+        F.col("s.n_violations").alias("n_violations"),
+        (F.col("s.n_violations") == 0).alias("passed"),
+    ).orderBy("rule")
+
+
+def _oracle_expectations() -> str:
+    langs = ", ".join(f"'{x}'" for x in EXPECT_LANGS)
+    branches = {
+        "doc_id_not_null":
+            "CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT)",
+        "doc_id_unique": "count(*) - count(DISTINCT doc_id)",
+        "lang_accepted_values":
+            f"CAST(sum(CASE WHEN lang NOT IN ({langs}) THEN 1 ELSE 0 END)"
+            " AS BIGINT)",
+        "n_chars_positive":
+            "CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)",
+        "n_chars_matches_text":
+            "CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)"
+            " AS BIGINT)",
+    }
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{rule}' AS rule, count(*) AS n_rows, {expr} AS "
+        f"n_violations FROM documents"
+        for rule, expr in branches.items()
+    )
+    return f"""
+SELECT rule, n_rows, n_violations, n_violations = 0 AS passed
+FROM ({selects})
+ORDER BY rule
+"""
+
+
+ORACLE_DOCS_EXPECTATIONS = _oracle_expectations()
+
+QUERIES["docs_expectations"] = q_docs_expectations
+ORACLES["docs_expectations"] = ORACLE_DOCS_EXPECTATIONS

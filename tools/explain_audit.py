@@ -952,6 +952,21 @@ CHECKS = [
         [r"Window", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # k-anonymity: one QI partial agg + a band rollup; no join/window
+    (
+        "docs_k_anonymity",
+        [PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # expectations: every rule a conditional count in ONE agg pass +
+    # metadata-sized explode; no join, no window, no Python
+    (
+        "docs_expectations",
+        [PARTIAL_AGG, r"Generate"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
