@@ -1910,3 +1910,91 @@ ORDER BY credit_ppm DESC, item ASC
 
 QUERIES["events_multitouch"] = q_events_multitouch
 ORACLES["events_multitouch"] = ORACLE_EVENTS_MULTITOUCH
+
+
+# ----------------------------------------------- numeric band join
+# The band-join decorrelation pattern: a non-equi |a - b| <= delta
+# predicate turned into an EQUI-join by bucketing both sides at width
+# delta and exploding one side to its {bucket-1, bucket, bucket+1}
+# neighborhood — every true pair shares an exploded bucket (|a-b| <=
+# delta spans at most adjacent buckets), so the O(n^2) inequality join
+# becomes one hash shuffle + a cheap verify filter. Semantics here:
+# "price-anchored conversions" — purchases whose value sits within
+# BAND_DELTA of a preceding view by the same user within 7 days.
+# Value compared in exact integer cents. Scale shape: 3x explode on
+# the view side only, equi-join on (user, bucket), residual time +
+# band verify in codegen; per-(user, bucket) cardinalities bound the
+# pair fan-out the way LSH buckets do.
+BAND_DELTA_CENTS = 500  # |purchase - view| <= $5.00
+
+
+def q_events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("us").alias("v_us"),
+        F.col("cents").alias("v_cents"),
+        F.explode(
+            F.array(
+                F.expr(f"cents DIV {BAND_DELTA_CENTS} - 1"),
+                F.expr(f"cents DIV {BAND_DELTA_CENTS}"),
+                F.expr(f"cents DIV {BAND_DELTA_CENTS} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("p_us"),
+        F.col("cents").alias("p_cents"),
+        F.expr(f"cents DIV {BAND_DELTA_CENTS}").alias("bucket"),
+    )
+    pairs = purchases.join(
+        views,
+        (purchases.user_id == views.vu)
+        & (purchases.bucket == views.bucket)
+        & (views.v_us < purchases.p_us)
+        & (purchases.p_us - views.v_us <= F.lit(MT_WINDOW_S).cast("long") * 1_000_000)
+        & (F.abs(purchases.p_cents - views.v_cents) <= BAND_DELTA_CENTS),
+    ).select("purchase_id", "p_cents", "v_cents").distinct()
+    return (
+        pairs.groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_anchor_views"),
+            F.min(F.abs(F.col("p_cents") - F.col("v_cents"))).alias(
+                "closest_gap_cents"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_EVENTS_BAND_JOIN = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+pairs AS (
+  SELECT DISTINCT p.event_id AS purchase_id, p.cents AS p_cents,
+         v.cents AS v_cents
+  FROM ev p JOIN ev v
+    ON p.event_type = 'purchase' AND v.event_type = 'view'
+   AND p.user_id = v.user_id
+   AND v.us < p.us
+   AND p.us - v.us <= {MT_WINDOW_S}::BIGINT * 1000000
+   AND abs(p.cents - v.cents) <= {BAND_DELTA_CENTS})
+SELECT purchase_id, count(*) AS n_anchor_views,
+       CAST(min(abs(p_cents - v_cents)) AS BIGINT) AS closest_gap_cents
+FROM pairs
+GROUP BY purchase_id
+ORDER BY purchase_id
+"""
+
+QUERIES["events_band_join"] = q_events_band_join
+ORACLES["events_band_join"] = ORACLE_EVENTS_BAND_JOIN

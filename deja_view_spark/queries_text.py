@@ -1959,3 +1959,81 @@ ORDER BY lang
 
 QUERIES["docs_tokenizer_fertility"] = q_docs_tokenizer_fertility
 ORACLES["docs_tokenizer_fertility"] = ORACLE_DOCS_TOKENIZER_FERTILITY
+
+
+# ------------------------------------------- classifier eval metrics
+# Per-class precision / recall / F1 (exact ppm) for the heuristic
+# language classifier, computed FROM the confusion matrix the
+# oracle-checked docs_lang_id emits — composing that query unchanged,
+# so the scorecard can never drift from the classifier it grades.
+# The evaluation-harness shape every model-backed filter needs
+# (quality classifiers, lang-id, PII detectors): tp/fp/fn as
+# conditional sums over the |classes|^2 confusion table (metadata-
+# sized), F1 as the exact-integer harmonic mean 2·P·R·1e6 DIV (P+R).
+def q_docs_lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = q_docs_lang_id(spark, sf_dir)
+    per_label = conf.groupBy(F.col("labeled").alias("klass")).agg(
+        F.sum("n").alias("n_labeled"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("labeled"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).alias("tp"),
+    )
+    per_pred = conf.groupBy(F.col("predicted").alias("klass")).agg(
+        F.sum("n").alias("n_predicted")
+    )
+    return (
+        per_label.join(F.broadcast(per_pred), "klass", "left")
+        .select(
+            "klass",
+            "n_labeled",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            "tp",
+            F.expr(
+                "CASE WHEN coalesce(n_predicted, 0) > 0"
+                " THEN tp * 1000000 DIV n_predicted ELSE 0 END"
+            ).alias("precision_ppm"),
+            F.expr("tp * 1000000 DIV n_labeled").alias("recall_ppm"),
+        )
+        .withColumn(
+            "f1_ppm",
+            F.expr(
+                "CASE WHEN precision_ppm + recall_ppm > 0"
+                " THEN 2 * precision_ppm * recall_ppm"
+                "      DIV (precision_ppm + recall_ppm)"
+                " ELSE 0 END"
+            ),
+        )
+        .orderBy("klass")
+    )
+
+
+ORACLE_DOCS_LANG_ID_METRICS = f"""
+WITH conf AS ({ORACLE_DOCS_LANG_ID}),
+per_label AS (
+  SELECT labeled AS klass, CAST(sum(n) AS BIGINT) AS n_labeled,
+         CAST(sum(CASE WHEN predicted = labeled THEN n ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM conf GROUP BY labeled),
+per_pred AS (
+  SELECT predicted AS klass, CAST(sum(n) AS BIGINT) AS n_predicted
+  FROM conf GROUP BY predicted),
+m AS (
+  SELECT klass, n_labeled, coalesce(n_predicted, 0) AS n_predicted, tp,
+         CASE WHEN coalesce(n_predicted, 0) > 0
+              THEN tp * 1000000 // n_predicted ELSE 0 END AS precision_ppm,
+         tp * 1000000 // n_labeled AS recall_ppm
+  FROM per_label LEFT JOIN per_pred USING (klass))
+SELECT klass, n_labeled, n_predicted, tp,
+       CAST(precision_ppm AS BIGINT) AS precision_ppm,
+       CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                 THEN 2 * precision_ppm * recall_ppm
+                      // (precision_ppm + recall_ppm)
+                 ELSE 0 END AS BIGINT) AS f1_ppm
+FROM m
+ORDER BY klass
+"""
+
+QUERIES["docs_lang_id_metrics"] = q_docs_lang_id_metrics
+ORACLES["docs_lang_id_metrics"] = ORACLE_DOCS_LANG_ID_METRICS

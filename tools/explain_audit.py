@@ -967,6 +967,23 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
          r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # lang-id scorecard: the classifier's own plan + two metadata-sized
+    # aggs over the confusion table; no Python
+    (
+        "docs_lang_id_metrics",
+        [PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # band join: the |a-b|<=delta predicate MUST plan as an equi-join
+    # (hash/merge on (user, bucket)) — never a nested-loop inequality
+    # join over purchases x views
+    (
+        "events_band_join",
+        [r"Generate", PARTIAL_AGG,
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
