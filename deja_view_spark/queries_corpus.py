@@ -2030,3 +2030,49 @@ ORDER BY change_type
 
 QUERIES["docs_snapshot_diff"] = q_docs_snapshot_diff
 ORACLES["docs_snapshot_diff"] = ORACLE_DOCS_SNAPSHOT_DIFF
+
+
+# ----------------------------------------- exact-k per-group sampler
+# Exactly min(k, group size) documents per language, drawn by salted
+# md5 rank — the per-group companion to the global weighted draw
+# (docs_weighted_sample, A-ES) and the rate-based stratified sampler
+# (docs_stratified_sample): a training-mix builder that wants "give me
+# exactly 20 eval docs per language" needs the EXACT-k form, and the
+# hash-rank draw keeps it partition-invariant and reproducible (the
+# no-rand() discipline). Scale shape: one rank window per group over
+# the narrow (lang, doc_id) projection — the window rides hash-ordered
+# ids, never the text; output is at most |langs| * k rows.
+GROUP_SAMPLE_K = 20
+GROUP_SAMPLE_SALT = "gsample-r3"
+
+
+def q_docs_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    pri = F.md5(
+        F.concat(
+            F.lit(GROUP_SAMPLE_SALT), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("draw_rank", F.row_number().over(w))
+        .where(F.col("draw_rank") <= GROUP_SAMPLE_K)
+        .select("lang", "draw_rank", "doc_id")
+        .orderBy("lang", "draw_rank")
+    )
+
+
+ORACLE_DOCS_GROUP_SAMPLE = f"""
+SELECT lang, draw_rank, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{GROUP_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS draw_rank
+  FROM documents) t
+WHERE draw_rank <= {GROUP_SAMPLE_K}
+ORDER BY lang, draw_rank
+"""
+
+QUERIES["docs_group_sample"] = q_docs_group_sample
+ORACLES["docs_group_sample"] = ORACLE_DOCS_GROUP_SAMPLE

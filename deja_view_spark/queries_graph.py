@@ -2336,3 +2336,75 @@ ORDER BY n_pairs DESC, center ASC, context ASC
 
 QUERIES["events_skipgram_pairs"] = q_events_skipgram_pairs
 ORACLES["events_skipgram_pairs"] = _oracle_skipgram()
+
+
+# ------------------------------------------- degree power-law MLE fit
+# Degree-distribution diagnosis for both edge directions: node/edge
+# counts, max degree, and the Clauset–Shalizi–Newman continuous MLE
+# exponent alpha = 1 + n / sum(ln(d / 0.5)) at xmin = 1 — the number
+# that says whether the graph is scale-free enough to need hot-key
+# salting before any key-partitioned traversal (alpha < ~2.5 means
+# the hub tail dominates; events_skew_report is the per-key view,
+# this is the distribution-level one). Float discipline: the log
+# terms are evaluated ONCE PER DISTINCT DEGREE over the metadata-
+# sized histogram (round(ln(2d), 6) — identical few evaluations in
+# both engines), weighted by exact BIGINT counts, so the sum has a
+# few hundred terms instead of |V| and the 4dp output grid sits ~8
+# orders above any fold-order noise. Scale shape: one degree partial
+# agg per side + a histogram agg; output is 2 rows.
+def q_events_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _chain_edges(spark, sf_dir)
+    sides = []
+    for side, key in (("out", "src"), ("in", "dst")):
+        deg = edges.groupBy(F.col(key).alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        hist = deg.groupBy("degree").agg(F.count("*").alias("cnt"))
+        sides.append(
+            hist.agg(
+                F.lit(side).alias("side"),
+                F.sum("cnt").alias("n_nodes"),
+                F.sum(F.expr("cnt * degree")).alias("n_edges"),
+                F.max("degree").alias("max_degree"),
+                F.sum(
+                    F.col("cnt")
+                    * F.round(F.log(2.0 * F.col("degree")), 6)
+                ).alias("_sum_ln"),
+            )
+        )
+    both = sides[0].unionByName(sides[1])
+    return both.select(
+        "side",
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        F.round(
+            F.lit(1.0) + F.col("n_nodes") / F.col("_sum_ln"), 4
+        ).alias("alpha_mle"),
+    ).orderBy("side")
+
+
+def _oracle_degree_powerlaw() -> str:
+    branches = []
+    for side, key in (("out", "src"), ("in", "dst")):
+        branches.append(f"""
+SELECT '{side}' AS side, CAST(sum(cnt) AS BIGINT) AS n_nodes,
+       CAST(sum(cnt * degree) AS BIGINT) AS n_edges,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       round(1.0 + sum(cnt) / sum(cnt * round(ln(2.0 * degree), 6)), 4)
+         AS alpha_mle
+FROM (
+  SELECT degree, count(*) AS cnt FROM (
+    SELECT {key}, count(*) AS degree FROM edges GROUP BY {key})
+  GROUP BY degree)""")
+    return (
+        f"WITH {SQL_CHAIN_EDGES_CTES}\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\nORDER BY side"
+    )
+
+
+ORACLE_EVENTS_DEGREE_POWERLAW = _oracle_degree_powerlaw()
+
+QUERIES["events_degree_powerlaw"] = q_events_degree_powerlaw
+ORACLES["events_degree_powerlaw"] = ORACLE_EVENTS_DEGREE_POWERLAW

@@ -984,6 +984,21 @@ CHECKS = [
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # power-law fit: per-side degree partial aggs + histogram aggs,
+    # log terms evaluated on the metadata-sized histogram; no window
+    (
+        "events_degree_powerlaw",
+        [PARTIAL_AGG, r"Union"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # group sampler: one rank window over the narrow (lang, id)
+    # projection; no join, no Python
+    (
+        "docs_group_sample",
+        [r"Window"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
