@@ -798,3 +798,135 @@ ORDER BY probe_id, rank
 
 QUERIES["embeddings_sq8_rerank"] = q_embeddings_sq8_rerank
 ORACLES["embeddings_sq8_rerank"] = ORACLE_EMBEDDINGS_SQ8_RERANK
+
+
+# ------------------------------------------- label-coherence report
+# Embedding-space health check against the labeled embeddings table:
+# per label, the 4dp-quantized mean vector (the kmeans/semdedup
+# centroid discipline — quantization makes the iteration-free centroid
+# bit-reproducible cross-engine), each member's cosine to its OWN
+# centroid averaged in exact integer ppm-of-4dp terms, and the most
+# confusable OTHER centroid (highest centroid-centroid cosine). This
+# is the supervision-signal audit run before trusting labels for
+# classifier training or semdedup eps tuning: low own-cosine = noisy
+# label, high cross-centroid cosine = mergeable classes. Scale shape:
+# centroids are ONE per-label partial agg (k rows, broadcast back);
+# member scoring is map-side; the centroid-centroid matrix is k^2
+# metadata.
+def q_embeddings_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64
+    cents = emb.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.element_at("v", i + 1)), 4)
+                for i in range(dim)
+            ]
+        ).alias("cvec"),
+        F.count("*").alias("n_members"),
+    )
+    own = (
+        emb.join(F.broadcast(cents), "label")
+        .select(
+            "label",
+            F.expr(
+                "CAST(round(" + _COS_SQL.format(a="v", b="cvec")
+                + " * 10000, 0) AS BIGINT)"
+            ).alias("cos4"),
+        )
+        .groupBy("label")
+        .agg(
+            F.expr("sum(cos4) * 100 DIV count(*)").alias(
+                "own_cos_ppm"
+            )
+        )
+    )
+    a = cents.select(
+        F.col("label").alias("label"), F.col("cvec").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("other"), F.col("cvec").alias("cb")
+    )
+    confus = (
+        a.join(F.broadcast(b), F.col("label") != F.col("other"))
+        .select(
+            "label",
+            "other",
+            F.expr(
+                "CAST(round(" + _COS_SQL.format(a="ca", b="cb")
+                + " * 10000, 0) AS BIGINT)"
+            ).alias("cc4"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max(F.struct("cc4", F.col("other"))).alias("_m"),
+        )
+        .select(
+            "label",
+            F.col("_m.other").alias("nearest_label"),
+            F.col("_m.cc4").alias("nearest_cos_x1e4"),
+        )
+    )
+    return (
+        cents.select("label", "n_members")
+        .join(F.broadcast(own), "label")
+        .join(F.broadcast(confus), "label")
+        .orderBy("label")
+    )
+
+
+# cosine as a dialect-neutral SQL fragment over double arrays — same
+# sequential-fold semantics as functions/similarity (aggregate <->
+# list_dot_product equivalence established there)
+_COS_SQL = (
+    "(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+    " (acc, x) -> acc + x)"
+    " / (sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+    "    * sqrt(aggregate({b}, 0.0D, (acc, x) -> acc + x * x))))"
+)
+
+
+def _oracle_label_coherence() -> str:
+    dim = 64
+    means = ", ".join(
+        f"round(avg(v[{i + 1}]), 4)" for i in range(dim)
+    )
+    cos = (
+        "(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        "    * sqrt(list_dot_product({b}, {b}))))"
+    )
+    own_cos = cos.format(a="e.v", b="c.cvec")
+    cc = cos.format(a="a.cvec", b="b.cvec")
+    return f"""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT label, [{means}]::DOUBLE[] AS cvec, count(*) AS n_members
+  FROM e GROUP BY label),
+own AS (
+  SELECT e.label,
+         CAST(sum(CAST(round({own_cos} * 10000, 0) AS BIGINT)) * 100
+              // count(*) AS BIGINT) AS own_cos_ppm
+  FROM e JOIN c USING (label) GROUP BY e.label),
+confus AS (
+  SELECT label, nearest_label, nearest_cos_x1e4 FROM (
+    SELECT a.label, b.label AS nearest_label,
+           CAST(round({cc} * 10000, 0) AS BIGINT) AS nearest_cos_x1e4,
+           row_number() OVER (PARTITION BY a.label
+             ORDER BY CAST(round({cc} * 10000, 0) AS BIGINT) DESC,
+                      b.label DESC) AS r
+    FROM c a JOIN c b ON a.label <> b.label) t
+  WHERE r = 1)
+SELECT label, n_members, own_cos_ppm, nearest_label, nearest_cos_x1e4
+FROM c JOIN own USING (label) JOIN confus USING (label)
+ORDER BY label
+"""
+
+
+ORACLE_EMBEDDINGS_LABEL_COHERENCE = _oracle_label_coherence()
+
+QUERIES["embeddings_label_coherence"] = q_embeddings_label_coherence
+ORACLES["embeddings_label_coherence"] = ORACLE_EMBEDDINGS_LABEL_COHERENCE

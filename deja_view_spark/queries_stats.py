@@ -1008,3 +1008,76 @@ ORDER BY lang
 
 QUERIES["docs_winsorized_stats"] = q_docs_winsorized_stats
 ORACLES["docs_winsorized_stats"] = ORACLE_DOCS_WINSORIZED_STATS
+
+
+# ------------------------------------------------- one-way ANOVA
+# Parametric drift test across sources: one-way ANOVA F statistic for
+# doc length by source — the mean-shift complement to the
+# distribution-free KS test (docs_length_ks): KS sees any shape
+# change, ANOVA pinpoints mean separation with df-adjusted power.
+# Exact-integer discipline: group sums/sumsq are BIGINT; SS_between
+# and SS_within come from the closed forms k·Σ(T_g²/n_g) − T²/N
+# evaluated as ONE token-identical float expression over identical
+# integers (the OLS/CUPED rule). Scale shape: one per-source partial
+# agg (k rows), then a metadata-sized rollup; output is 1 row.
+def q_docs_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n_g"),
+        F.sum("n_chars").alias("t_g"),
+        F.sum(F.expr("n_chars * n_chars")).alias("ss_g"),
+    )
+    return g.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n_g").alias("n_total"),
+        F.round(
+            F.expr(
+                "sum(CAST(t_g AS DOUBLE) * t_g / n_g)"
+                " - CAST(sum(t_g) AS DOUBLE) * sum(t_g) / sum(n_g)"
+            ),
+            4,
+        ).alias("ss_between"),
+        F.round(
+            F.expr(
+                "CAST(sum(ss_g) AS DOUBLE)"
+                " - sum(CAST(t_g AS DOUBLE) * t_g / n_g)"
+            ),
+            4,
+        ).alias("ss_within"),
+    ).select(
+        "k_groups",
+        "n_total",
+        "ss_between",
+        "ss_within",
+        F.round(
+            F.expr(
+                "(ss_between / (k_groups - 1))"
+                " / (ss_within / (n_total - k_groups))"
+            ),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+ORACLE_DOCS_LENGTH_ANOVA = """
+WITH g AS (
+  SELECT source, count(*) AS n_g,
+         CAST(sum(n_chars) AS BIGINT) AS t_g,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss_g
+  FROM documents GROUP BY source),
+agg AS (
+  SELECT count(*) AS k_groups, CAST(sum(n_g) AS BIGINT) AS n_total,
+         round(sum(CAST(t_g AS DOUBLE) * t_g / n_g)
+               - CAST(sum(t_g) AS DOUBLE) * sum(t_g) / sum(n_g), 4)
+           AS ss_between,
+         round(CAST(sum(ss_g) AS DOUBLE)
+               - sum(CAST(t_g AS DOUBLE) * t_g / n_g), 4) AS ss_within
+  FROM g)
+SELECT k_groups, n_total, ss_between, ss_within,
+       round((ss_between / (k_groups - 1))
+             / (ss_within / (n_total - k_groups)), 4) AS f_stat
+FROM agg
+"""
+
+QUERIES["docs_length_anova"] = q_docs_length_anova
+ORACLES["docs_length_anova"] = ORACLE_DOCS_LENGTH_ANOVA

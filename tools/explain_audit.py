@@ -999,6 +999,21 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # label coherence: one per-label centroid agg (k rows broadcast),
+    # member scoring map-side, k^2 centroid matrix metadata; no Python
+    (
+        "embeddings_label_coherence",
+        [PARTIAL_AGG, r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # ANOVA: one per-source partial agg + a 1-row rollup; no
+    # join/window/Python
+    (
+        "docs_length_anova",
+        [PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
