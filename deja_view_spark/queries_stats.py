@@ -1081,3 +1081,228 @@ FROM agg
 
 QUERIES["docs_length_anova"] = q_docs_length_anova
 ORACLES["docs_length_anova"] = ORACLE_DOCS_LENGTH_ANOVA
+
+
+# ------------------------------------------------ Mann-Whitney U test
+# Nonparametric two-sample location test between the id-parity
+# cohorts (the events_abtest/cuped cohort convention) on per-user
+# event counts: the rank-sum U statistic with exact tie handling —
+# average ranks kept EXACT by working in DOUBLED rank units (2x the
+# midrank is always an integer), so U arrives as a pure BIGINT and
+# the normal z approximation (with the standard tie correction) is
+# one token-identical float expression over identical integers.
+# Completes the drift/test battery: KS (any shape), ANOVA (means,
+# parametric), Mann-Whitney (location, rank-based). Scale shape: one
+# per-user partial agg, one rank window over the (value) projection,
+# tie table re-aggregated from value counts; output is 1 row.
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    ranked = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        "x",
+        # doubled midrank: 2*avg rank of the tie block containing x =
+        # (first_rank + last_rank) over the global value order
+        (
+            F.row_number().over(Window.orderBy("x", "user_id"))
+        ).alias("_rn"),
+    )
+    # doubled midrank per value: min(rn) + max(rn) within the tie block
+    blocks = ranked.groupBy("x").agg(
+        (F.min("_rn") + F.max("_rn")).alias("dbl_midrank"),
+        F.count("*").alias("t"),
+    )
+    joined = ranked.join(F.broadcast(blocks), "x")
+    agg = joined.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("dbl_midrank")).otherwise(0)
+        ).alias("dbl_rank_sum_a"),
+    )
+    ties = blocks.agg(
+        F.sum(F.expr("t * t * t - t")).alias("tie_term")
+    )
+    z = (
+        "(CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)"
+        " / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)"
+        "        * ((CAST(n_a AS DOUBLE) + n_b + 1)"
+        "           - CAST(tie_term AS DOUBLE)"
+        "             / ((CAST(n_a AS DOUBLE) + n_b)"
+        "                * (CAST(n_a AS DOUBLE) + n_b - 1))))"
+    )
+    return (
+        agg.crossJoin(F.broadcast(ties))
+        .select(
+            "n_a",
+            "n_b",
+            # 2*U_a = 2*rank_sum_a - n_a*(n_a+1); dbl_rank_sum_a is
+            # already 2*rank_sum_a
+            F.expr("dbl_rank_sum_a - n_a * (n_a + 1)").alias("u2"),
+            "tie_term",
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "u2",
+            "tie_term",
+            F.round(F.expr(z), 4).alias("z_stat"),
+        )
+    )
+
+
+ORACLE_EVENTS_MANN_WHITNEY = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+ranked AS (
+  SELECT user_id % 2 = 0 AS is_a, x,
+         row_number() OVER (ORDER BY x, user_id) AS rn
+  FROM per_user),
+blocks AS (
+  SELECT x, min(rn) + max(rn) AS dbl_midrank, count(*) AS t
+  FROM ranked GROUP BY x),
+agg AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN is_a THEN dbl_midrank ELSE 0 END)
+              AS BIGINT) AS dbl_rank_sum_a
+  FROM ranked JOIN blocks USING (x)),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM blocks),
+u AS (
+  SELECT n_a, n_b,
+         dbl_rank_sum_a - n_a * (n_a + 1) AS u2, tie_term
+  FROM agg CROSS JOIN ties)
+SELECT n_a, n_b, u2, tie_term,
+       round((CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+             / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+                    * ((CAST(n_a AS DOUBLE) + n_b + 1)
+                       - CAST(tie_term AS DOUBLE)
+                         / ((CAST(n_a AS DOUBLE) + n_b)
+                            * (CAST(n_a AS DOUBLE) + n_b - 1)))), 4)
+         AS z_stat
+FROM u
+"""
+
+QUERIES["events_mann_whitney"] = q_events_mann_whitney
+ORACLES["events_mann_whitney"] = ORACLE_EVENTS_MANN_WHITNEY
+
+
+# ---------------------------------------------- Poisson bootstrap CI
+# Distributed bootstrap confidence interval for the mean doc length —
+# the Poisson bootstrap (each replicate weights each row by an
+# independent Poisson(1) count, the classical resample's streaming-
+# friendly form: no global n needed at draw time, one pass for ALL
+# replicates). Determinism: the Poisson draw is an inverse-CDF lookup
+# on a 20-bit md5 prefix (integer thresholds at the Poisson(1) CDF,
+# capped at 5) — reproducible at any parallelism and token-identical
+# in both engines, the same no-rand() discipline as the samplers.
+# Each replicate's mean is an exact integer centichar ratio; the CI
+# is the 1st/31st order statistic of the 32 replicate means (a ~94%
+# percentile interval). Scale shape: one map-side explode to
+# B=32 (replicate, weight) terms per row, one partial agg to 32 rows,
+# a metadata-sized rank for the CI. At 100 TB this is THE way to put
+# error bars on corpus statistics without a second pass.
+BOOT_B = 32
+# P(X<=k) for Poisson(1), scaled to 2^20 (floor), k = 0..4; >=5 capped
+_POIS_CDF_Q20 = (385749, 771499, 964373, 1028665, 1044738)
+
+
+def _poisson_weight_sql(col_expr: str) -> str:
+    """Dialect-neutral: 20-bit hash prefix -> Poisson(1) count."""
+    cases = " ".join(
+        f"WHEN {col_expr} < {thr} THEN {k}"
+        for k, thr in enumerate(_POIS_CDF_Q20)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def q_docs_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(BOOT_B)])
+        ).alias("b"),
+    )
+    u20 = (
+        "CAST(conv(substring(md5(CAST(concat('boot', b, ':', doc_id)"
+        " AS BINARY)), 1, 5), 16, 10) AS BIGINT)"
+    )
+    weighted = reps.select(
+        "b",
+        "n_chars",
+        F.expr(_poisson_weight_sql(u20)).alias("w"),
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.expr("w * n_chars")).alias("tot"),
+        )
+        .where(F.col("n_eff") > 0)
+        .select(
+            "b",
+            F.expr("tot * 100 DIV n_eff").alias("mean_centichars"),
+        )
+    )
+    ranked = means.select(
+        "mean_centichars",
+        F.row_number()
+        .over(Window.orderBy("mean_centichars", "b"))
+        .alias("r"),
+    )
+    return (
+        ranked.agg(
+            F.count("*").alias("n_replicates"),
+            F.min(
+                F.when(F.col("r") == 2, F.col("mean_centichars"))
+            ).alias("ci_lo_centichars"),
+            F.min(
+                F.when(F.col("r") == BOOT_B - 1, F.col("mean_centichars"))
+            ).alias("ci_hi_centichars"),
+            F.expr(
+                "CAST(sum(mean_centichars) DIV count(*) AS BIGINT)"
+            ).alias("boot_mean_centichars"),
+        )
+    )
+
+
+def _oracle_bootstrap() -> str:
+    u20 = (
+        "CAST(('0x' || substring(md5('boot' || CAST(b AS VARCHAR) || ':'"
+        " || CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT AS BIGINT)"
+    )
+    w = _poisson_weight_sql(u20)
+    return f"""
+WITH reps AS (
+  SELECT doc_id, n_chars, unnest(range(0, {BOOT_B})) AS b
+  FROM documents),
+weighted AS (
+  SELECT b, n_chars, {w} AS w FROM reps),
+means AS (
+  SELECT b, CAST(sum(w * n_chars) * 100 // sum(w) AS BIGINT)
+           AS mean_centichars
+  FROM weighted GROUP BY b HAVING sum(w) > 0),
+ranked AS (
+  SELECT mean_centichars,
+         row_number() OVER (ORDER BY mean_centichars, b) AS r
+  FROM means)
+SELECT count(*) AS n_replicates,
+       min(CASE WHEN r = 2 THEN mean_centichars END)
+         AS ci_lo_centichars,
+       min(CASE WHEN r = {BOOT_B - 1} THEN mean_centichars END)
+         AS ci_hi_centichars,
+       CAST(sum(mean_centichars) // count(*) AS BIGINT)
+         AS boot_mean_centichars
+FROM ranked
+"""
+
+
+ORACLE_DOCS_BOOTSTRAP_CI = _oracle_bootstrap()
+
+QUERIES["docs_bootstrap_ci"] = q_docs_bootstrap_ci
+ORACLES["docs_bootstrap_ci"] = ORACLE_DOCS_BOOTSTRAP_CI

@@ -1014,6 +1014,21 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
          r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Mann-Whitney: per-user partial agg, ONE rank window over the
+    # counts projection, tie table broadcast back; no Python
+    (
+        "events_mann_whitney",
+        [PARTIAL_AGG, r"Window", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # bootstrap: B-way map-side explode + ONE partial agg to B rows,
+    # metadata-sized rank; no join against data, no Python
+    (
+        "docs_bootstrap_ci",
+        [r"Generate", PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
