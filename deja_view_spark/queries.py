@@ -968,7 +968,8 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # docs_expectations, docs_lang_id_metrics, events_band_join,
 # events_degree_powerlaw, docs_group_sample,
 # embeddings_label_coherence, docs_length_anova,
-# events_mann_whitney, docs_bootstrap_ci. All
+# events_mann_whitney, docs_bootstrap_ci, events_top_paths,
+# docs_term_pmi. All
 # carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.

@@ -713,3 +713,66 @@ ORDER BY cohort
 
 QUERIES["events_cuped"] = q_events_cuped
 ORACLES["events_cuped"] = ORACLE_EVENTS_CUPED
+
+
+# ------------------------------------------------- top event paths
+# Most common session-opening paths: each user's first PATH_LEN event
+# types in (ts, event_id) order, folded to a path string and counted —
+# the Sankey/flow-diagram source and the input to funnel design
+# (events_funnel checks ONE hypothesized order; this DISCOVERS the
+# orders that actually happen). Scale shape: one user-keyed rank
+# window over the narrow (user, ts, id, type) projection, a per-user
+# sorted-collect of at most PATH_LEN rows, one path partial agg +
+# TakeOrdered — never a corpus-wide sort.
+PATH_LEN = 3
+PATH_TOP_K = 20
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= PATH_LEN)
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("r", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+ORACLE_EVENTS_TOP_PATHS = f"""
+WITH firsts AS (
+  SELECT user_id, event_type, r FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS r
+    FROM events) t
+  WHERE r <= {PATH_LEN}),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, ' > ' ORDER BY r) AS path
+  FROM firsts GROUP BY user_id)
+SELECT path, count(*) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+QUERIES["events_top_paths"] = q_events_top_paths
+ORACLES["events_top_paths"] = ORACLE_EVENTS_TOP_PATHS

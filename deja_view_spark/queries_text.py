@@ -2037,3 +2037,119 @@ ORDER BY klass
 
 QUERIES["docs_lang_id_metrics"] = q_docs_lang_id_metrics
 ORACLES["docs_lang_id_metrics"] = ORACLE_DOCS_LANG_ID_METRICS
+
+
+# -------------------------------------------------- PMI collocations
+# Collocation mining over the corpus vocabulary: normalized pointwise
+# mutual information for pairs of the PMI_VOCAB_K most frequent
+# terms, by document co-occurrence — the statistic that separates
+# phrases ("machine learning") from chance co-occurrence, used for
+# tokenizer-merge seeding and feature engineering. Pipeline: ONE
+# tokenize pass -> distinct (doc, term) -> df census -> top-K vocab
+# (broadcast) -> doc-local pair generation bounded by <= K terms per
+# doc (the LSH bucket-local discipline) -> pair census. npmi =
+# ln(N·c_xy/(c_x·c_y)) / ln(N/c_xy) evaluated ONCE per pair row on
+# the metadata-sized pair table (token-identical float over exact
+# integers), reported in ppm. Scale shape: the only corpus-sized
+# shuffles are the distinct projection and the df census; everything
+# after is vocab-bounded.
+PMI_VOCAB_K = 40
+PMI_MIN_PAIRS = 3
+
+
+def q_docs_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.lower("text"), F.lit(TOKEN_RE), 0
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    df_census = dt.groupBy("term").agg(F.count("*").alias("c"))
+    vocab = (
+        df_census.orderBy(F.desc("c"), F.asc("term"))
+        .limit(PMI_VOCAB_K)
+        .select("term", "c")
+    )
+    in_vocab = dt.join(F.broadcast(vocab), "term").select(
+        "doc_id", "term", "c"
+    )
+    a = in_vocab.select(
+        "doc_id", F.col("term").alias("x"), F.col("c").alias("cx")
+    )
+    b = in_vocab.select(
+        "doc_id", F.col("term").alias("y"), F.col("c").alias("cy")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("c_xy"),
+            F.min("cx").alias("c_x"),
+            F.min("cy").alias("c_y"),
+        )
+        .where(F.col("c_xy") >= PMI_MIN_PAIRS)
+    )
+    npmi = (
+        f"ln(CAST({n_docs} AS DOUBLE) * c_xy / (CAST(c_x AS DOUBLE) * c_y))"
+        f" / ln(CAST({n_docs} AS DOUBLE) / c_xy)"
+    )
+    return (
+        pairs.select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                f"CAST(round(({npmi}) * 1000000, 0) AS BIGINT)"
+            ).alias("npmi_ppm"),
+        )
+        .orderBy(F.desc("npmi_ppm"), F.asc("x"), F.asc("y"))
+        .limit(50)
+    )
+
+
+def _oracle_term_pmi(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    npmi = (
+        f"ln(CAST(n AS DOUBLE) * c_xy / (CAST(c_x AS DOUBLE) * c_y))"
+        f" / ln(CAST(n AS DOUBLE) / c_xy)"
+    )
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS term
+  FROM documents),
+census AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+vocab AS (
+  SELECT term, c FROM census
+  ORDER BY c DESC, term ASC LIMIT {PMI_VOCAB_K}),
+iv AS (
+  SELECT doc_id, term, c FROM dt JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS x, b.term AS y, count(*) AS c_xy,
+         min(a.c) AS c_x, min(b.c) AS c_y
+  FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {PMI_MIN_PAIRS}),
+nn AS (SELECT {n_docs_expr} AS n)
+SELECT x, y, c_xy, CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+       CAST(round(({npmi}) * 1000000, 0) AS BIGINT) AS npmi_ppm
+FROM pairs CROSS JOIN nn
+ORDER BY npmi_ppm DESC, x ASC, y ASC
+LIMIT 50
+"""
+
+
+ORACLE_DOCS_TERM_PMI = _oracle_term_pmi()
+
+QUERIES["docs_term_pmi"] = q_docs_term_pmi
+ORACLES["docs_term_pmi"] = ORACLE_DOCS_TERM_PMI

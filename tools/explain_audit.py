@@ -1029,6 +1029,20 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # top paths: rank window + sorted-collect + path agg + TakeOrdered;
+    # never a corpus-wide sort, no Python
+    (
+        "events_top_paths",
+        [r"Window", PARTIAL_AGG, r"TakeOrdered"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # PMI: distinct projection + df census are the only corpus-sized
+    # shuffles; vocab broadcast, doc-local pairs, TakeOrdered finish
+    (
+        "docs_term_pmi",
+        [PARTIAL_AGG, r"BroadcastHashJoin", r"TakeOrdered"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
