@@ -2076,3 +2076,76 @@ ORDER BY lang, draw_rank
 
 QUERIES["docs_group_sample"] = q_docs_group_sample
 ORACLES["docs_group_sample"] = ORACLE_DOCS_GROUP_SAMPLE
+
+
+# ---------------------------------------------- dedup savings census
+# The "why dedup matters" report: over the exact-dedup corpus view
+# (corpus + the deterministic replica slice, the docs_exact_dedup
+# convention), per duplicate-cluster-size band: clusters, total rows,
+# redundant rows (size - 1 per cluster) and exact redundant BYTES —
+# the storage/compute bill a keep-one-per-cluster pass saves. This is
+# the number that justifies the dedup stage's own cost at 100 TB and
+# the per-ingest trend a data-platform dashboard tracks. Scale shape:
+# one content-sha partial agg (the dedup shuffle itself), one
+# metadata-sized band rollup.
+def q_docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    replicas = base.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(replicas)
+    groups = corpus.groupBy(
+        F.sha2(F.col("text"), 256).alias("h")
+    ).agg(
+        F.count("*").alias("n_copies"),
+        F.sum(F.length("text")).alias("bytes_all"),
+        F.min(F.length("text")).alias("bytes_one"),
+    )
+    return (
+        groups.select(
+            F.when(F.col("n_copies") == 1, "unique")
+            .when(F.col("n_copies") == 2, "pair")
+            .otherwise("3+")
+            .alias("band"),
+            "n_copies",
+            "bytes_all",
+            "bytes_one",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_copies").alias("n_rows"),
+            F.sum(F.expr("n_copies - 1")).alias("redundant_rows"),
+            F.sum(F.expr("bytes_all - bytes_one")).alias(
+                "redundant_bytes"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_DOCS_DEDUP_SAVINGS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 37 = 0),
+groups AS (
+  SELECT sha256(text) AS h, count(*) AS n_copies,
+         CAST(sum(length(text)) AS BIGINT) AS bytes_all,
+         CAST(min(length(text)) AS BIGINT) AS bytes_one
+  FROM corpus GROUP BY 1)
+SELECT CASE WHEN n_copies = 1 THEN 'unique'
+            WHEN n_copies = 2 THEN 'pair'
+            ELSE '3+' END AS band,
+       count(*) AS n_clusters,
+       CAST(sum(n_copies) AS BIGINT) AS n_rows,
+       CAST(sum(n_copies - 1) AS BIGINT) AS redundant_rows,
+       CAST(sum(bytes_all - bytes_one) AS BIGINT) AS redundant_bytes
+FROM groups
+GROUP BY 1
+ORDER BY band
+"""
+
+QUERIES["docs_dedup_savings"] = q_docs_dedup_savings
+ORACLES["docs_dedup_savings"] = ORACLE_DOCS_DEDUP_SAVINGS

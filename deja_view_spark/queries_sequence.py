@@ -776,3 +776,76 @@ LIMIT {PATH_TOP_K}
 
 QUERIES["events_top_paths"] = q_events_top_paths
 ORACLES["events_top_paths"] = ORACLE_EVENTS_TOP_PATHS
+
+
+# --------------------------------------------- CUSUM changepoint scan
+# Mean-shift changepoint detection on the daily event-count series:
+# the CUSUM statistic S_t = sum_{i<=t}(x_i - mean) peaks at the most
+# likely shift day (Page 1954 / the at-most-one-changepoint scan).
+# Exact-integer discipline: with T = total events over N days, the
+# deviation is scaled to N*x_i - T (integer) so the running sum and
+# its argmax carry NO float at all; the magnitude is reported back in
+# micro-day-units (DIV N). The production monitor for "when did the
+# pipeline's input change" — pairing with events_dow_seasonality
+# (expected weekly structure) and docs_split_drift (content drift).
+# Scale shape: one (day) partial agg off the fact table; the cumsum
+# window and argmax ride the |days| table — metadata-sized.
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    tot = daily.agg(
+        F.sum("x").alias("t_all"), F.count("*").alias("n_days")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s",
+            F.sum(
+                F.expr("x * n_days - t_all")
+            ).over(w),
+        )
+        .select("d", "x", "s", "n_days", "t_all")
+    )
+    peak = cusum.orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("d")
+    ).limit(1)
+    return peak.select(
+        F.col("d").alias("changepoint_day"),
+        F.col("x").alias("day_count"),
+        F.expr("CAST(abs(s) DIV n_days AS BIGINT)").alias(
+            "peak_cusum_events"
+        ),
+        "n_days",
+        F.expr("CAST(t_all DIV n_days AS BIGINT)").alias(
+            "mean_daily_events"
+        ),
+    )
+
+
+ORACLE_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(x) AS BIGINT) AS t_all, count(*) AS n_days
+  FROM daily),
+cusum AS (
+  SELECT d, x,
+         sum(x * n_days - t_all) OVER (ORDER BY d
+           ROWS UNBOUNDED PRECEDING) AS s,
+         n_days, t_all
+  FROM daily CROSS JOIN tot)
+SELECT d AS changepoint_day, x AS day_count,
+       CAST(abs(s) // n_days AS BIGINT) AS peak_cusum_events,
+       n_days,
+       CAST(t_all // n_days AS BIGINT) AS mean_daily_events
+FROM cusum
+ORDER BY abs(s) DESC, d ASC
+LIMIT 1
+"""
+
+QUERIES["events_changepoint"] = q_events_changepoint
+ORACLES["events_changepoint"] = ORACLE_EVENTS_CHANGEPOINT

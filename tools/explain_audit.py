@@ -1043,6 +1043,22 @@ CHECKS = [
         [PARTIAL_AGG, r"BroadcastHashJoin", r"TakeOrdered"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # CUSUM: one day partial agg; cumsum window + argmax ride the
+    # metadata-sized day table; no Python
+    (
+        "events_changepoint",
+        [PARTIAL_AGG, r"Window", r"TakeOrdered"],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # dedup savings: the content-sha dedup shuffle + a band rollup;
+    # no join, no window, no Python
+    (
+        "docs_dedup_savings",
+        [PARTIAL_AGG, r"Union"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
