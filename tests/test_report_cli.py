@@ -345,3 +345,24 @@ def test_cli_wave14_20_verbs(capsys):
         == 0
     )
     assert "'chi2_uniform'" in capsys.readouterr().out
+
+
+def test_cli_wave21_30_verbs(capsys):
+    """Spot-check the wave-21-30 verbs route to their operators."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import cli
+
+    for verb, col in [
+        ("expectations", "'passed'"),
+        ("powerlaw", "'alpha_mle'"),
+        ("bootstrap-ci", "'ci_lo_centichars'"),
+        ("changepoint", "'peak_cusum_events'"),
+        ("top-paths", "'n_users'"),
+    ]:
+        assert (
+            cli.main(["corpus", verb, "--data", SF_DIR, "--limit", "3"])
+            == 0
+        )
+        assert col in capsys.readouterr().out

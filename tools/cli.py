@@ -270,6 +270,26 @@ CORPUS_OPS = {
     "sessions": "events_session_windows",
     "mad-outliers": "docs_mad_outliers",
     "seasonality": "events_dow_seasonality",
+    # waves 21-30 (training-set prep / CDC / robust stats / experiment
+    # eval / graph diagnostics / monitoring)
+    "skipgram": "events_skipgram_pairs",
+    "snapshot-diff": "docs_snapshot_diff",
+    "winsorize": "docs_winsorized_stats",
+    "multitouch": "events_multitouch",
+    "k-anonymity": "docs_k_anonymity",
+    "expectations": "docs_expectations",
+    "lang-metrics": "docs_lang_id_metrics",
+    "band-join": "events_band_join",
+    "powerlaw": "events_degree_powerlaw",
+    "group-sample": "docs_group_sample",
+    "label-coherence": "embeddings_label_coherence",
+    "anova": "docs_length_anova",
+    "mann-whitney": "events_mann_whitney",
+    "bootstrap-ci": "docs_bootstrap_ci",
+    "top-paths": "events_top_paths",
+    "pmi": "docs_term_pmi",
+    "changepoint": "events_changepoint",
+    "dedup-savings": "docs_dedup_savings",
 }
 
 
