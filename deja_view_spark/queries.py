@@ -969,7 +969,8 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # events_degree_powerlaw, docs_group_sample,
 # embeddings_label_coherence, docs_length_anova,
 # events_mann_whitney, docs_bootstrap_ci, events_top_paths,
-# docs_term_pmi, events_changepoint, docs_dedup_savings. All
+# docs_term_pmi, events_changepoint, docs_dedup_savings,
+# docs_src_lang_independence, docs_partition_advisor. All
 # carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.

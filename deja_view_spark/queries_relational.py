@@ -1802,3 +1802,64 @@ LIMIT {Q2_TOP_N}
 
 QUERIES["cheapest_supplier"] = q_cheapest_supplier
 ORACLES["cheapest_supplier"] = ORACLE_CHEAPEST_SUPPLIER
+
+
+# ------------------------------------------------ partition advisor
+# The layout-planning query a 100-TB table ingest runs before writing:
+# from exact byte totals (text payload + fixed per-row overhead for
+# the scalar columns), recommend shuffle-partition and output-file
+# counts against the standard targets (128 MiB in-flight partitions,
+# 1 GiB parquet files), with ceil-division so recommendations never
+# round to zero. Pure arithmetic over ONE aggregate row — the planner
+# consumes docs_table_stats-style numbers; this emits the decision.
+ADVISOR_PARTITION_BYTES = 128 * 1024 * 1024
+ADVISOR_FILE_BYTES = 1024 * 1024 * 1024
+ADVISOR_ROW_OVERHEAD = 64  # scalar columns + layout overhead per row
+
+
+def q_docs_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("text")).alias("text_bytes"),
+    )
+    return agg.select(
+        "n_rows",
+        "text_bytes",
+        F.expr(
+            f"text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD}"
+        ).alias("est_bytes"),
+        F.expr(
+            f"CAST(ceil((text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD})"
+            f" / CAST({ADVISOR_PARTITION_BYTES} AS DOUBLE)) AS BIGINT)"
+        ).alias("rec_shuffle_partitions"),
+        F.expr(
+            f"CAST(ceil((text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD})"
+            f" / CAST({ADVISOR_FILE_BYTES} AS DOUBLE)) AS BIGINT)"
+        ).alias("rec_output_files"),
+        F.expr(
+            f"(text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD}) DIV n_rows"
+        ).alias("avg_row_bytes"),
+    )
+
+
+ORACLE_DOCS_PARTITION_ADVISOR = f"""
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(length(text)) AS BIGINT) AS text_bytes
+  FROM documents)
+SELECT n_rows, text_bytes,
+       text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD} AS est_bytes,
+       CAST(ceil((text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD})
+                 / CAST({ADVISOR_PARTITION_BYTES} AS DOUBLE)) AS BIGINT)
+         AS rec_shuffle_partitions,
+       CAST(ceil((text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD})
+                 / CAST({ADVISOR_FILE_BYTES} AS DOUBLE)) AS BIGINT)
+         AS rec_output_files,
+       (text_bytes + n_rows * {ADVISOR_ROW_OVERHEAD}) // n_rows
+         AS avg_row_bytes
+FROM agg
+"""
+
+QUERIES["docs_partition_advisor"] = q_docs_partition_advisor
+ORACLES["docs_partition_advisor"] = ORACLE_DOCS_PARTITION_ADVISOR

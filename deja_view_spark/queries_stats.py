@@ -1306,3 +1306,83 @@ ORACLE_DOCS_BOOTSTRAP_CI = _oracle_bootstrap()
 
 QUERIES["docs_bootstrap_ci"] = q_docs_bootstrap_ci
 ORACLES["docs_bootstrap_ci"] = ORACLE_DOCS_BOOTSTRAP_CI
+
+
+# ------------------------------------- chi-square independence (r x c)
+# General r x c categorical independence test: is document language
+# independent of source? The contingency generalization of the 2x2
+# abtest chi-square — the ingest-mix alarm (a crawl source suddenly
+# skewing toward one language is a pipeline change upstream).
+# Exact-integer discipline: observed cells and margins are BIGINT;
+# each cell's (o*n - r*c)^2 / (r*c*n) term is ONE token-identical
+# float expression over identical integers, summed over the
+# metadata-sized contingency table (r*c rows — NEVER corpus-sized).
+# Scale shape: one (source, lang) partial agg; margins re-aggregate
+# from the cells; output is 1 row.
+def q_docs_src_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    row_m = cells.groupBy("source").agg(F.sum("o").alias("r_tot"))
+    col_m = cells.groupBy("lang").agg(F.sum("o").alias("c_tot"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(F.broadcast(row_m), "source")
+        .join(F.broadcast(col_m), "lang")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.expr(
+                "(CAST(o AS DOUBLE) * n - CAST(r_tot AS DOUBLE) * c_tot)"
+                " * (CAST(o AS DOUBLE) * n - CAST(r_tot AS DOUBLE) * c_tot)"
+                " / (CAST(r_tot AS DOUBLE) * c_tot * n)"
+            ).alias("term"),
+            "n",
+        )
+    )
+    dims = cells.agg(
+        F.countDistinct("source").alias("r_dims"),
+        F.countDistinct("lang").alias("c_dims"),
+    )
+    return (
+        terms.groupBy()
+        .agg(
+            F.round(F.sum(F.expr("term / n")), 4).alias("chi2"),
+            F.min("n").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_docs",
+            "r_dims",
+            "c_dims",
+            ((F.col("r_dims") - 1) * (F.col("c_dims") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+ORACLE_DOCS_SRC_LANG_INDEPENDENCE = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+row_m AS (SELECT source, CAST(sum(o) AS BIGINT) AS r_tot
+          FROM cells GROUP BY source),
+col_m AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c_tot
+          FROM cells GROUP BY lang),
+n_tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+dims AS (SELECT count(DISTINCT source) AS r_dims,
+                count(DISTINCT lang) AS c_dims FROM cells),
+terms AS (
+  SELECT (CAST(o AS DOUBLE) * n - CAST(r_tot AS DOUBLE) * c_tot)
+         * (CAST(o AS DOUBLE) * n - CAST(r_tot AS DOUBLE) * c_tot)
+         / (CAST(r_tot AS DOUBLE) * c_tot * n) AS term, n
+  FROM cells
+  JOIN row_m USING (source)
+  JOIN col_m USING (lang)
+  CROSS JOIN n_tot)
+SELECT min(n) AS n_docs, r_dims, c_dims,
+       (r_dims - 1) * (c_dims - 1) AS dof,
+       round(sum(term / n), 4) AS chi2
+FROM terms CROSS JOIN dims
+GROUP BY r_dims, c_dims
+"""
+
+QUERIES["docs_src_lang_independence"] = q_docs_src_lang_independence
+ORACLES["docs_src_lang_independence"] = ORACLE_DOCS_SRC_LANG_INDEPENDENCE

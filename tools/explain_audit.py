@@ -1059,6 +1059,22 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"Window",
          r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # r x c independence: one (source, lang) partial agg, margins
+    # broadcast back into the metadata-sized cell table; no window
+    (
+        "docs_src_lang_independence",
+        [PARTIAL_AGG, r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # partition advisor: ONE aggregate row + pure arithmetic; nothing
+    # else in the plan
+    (
+        "docs_partition_advisor",
+        [PARTIAL_AGG],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"Window", r"Generate",
+         r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
