@@ -849,3 +849,112 @@ LIMIT 1
 
 QUERIES["events_changepoint"] = q_events_changepoint
 ORACLES["events_changepoint"] = ORACLE_EVENTS_CHANGEPOINT
+
+
+# ------------------------------------------- Markov stationary state
+# Long-run state mix of the first-order chain events_transitions
+# estimates: MARKOV_ROUNDS synchronous power-iteration steps
+# pi' = pi.P in integer micro-units (pi'_j = sum_i floor(pi_i * n_ij /
+# rowtotal_i)) — the same order-independent BIGINT fixed-point
+# discipline as events_pagerank, so the whole iteration value-hashes.
+# The chain runs on the states with outgoing transitions (every event
+# type here); floor division leaks ppm-scale mass per round, reported
+# rather than renormalized (the PageRank convention). Output compares
+# the stationary estimate against the EMPIRICAL state share — the
+# "will tomorrow look like today" drift check for the event mix.
+# Scale shape: the count matrix is |types|^2 metadata; each round is
+# one broadcast join + partial agg over it; the corpus is touched
+# once (the lead() window in the shared transitions plan).
+MARKOV_ROUNDS = 16
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trans = q_events_transitions(spark, sf_dir).select(
+        "from_type", "to_type", "n_transitions"
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    mat = trans.join(F.broadcast(totals), "from_type")
+    states = mat.select(F.col("from_type").alias("state")).distinct()
+    k = states.count()  # |event types| — metadata
+    pi = states.select("state", F.lit(PPM // k).cast("long").alias("mass"))
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            mat.join(
+                F.broadcast(pi), mat.from_type == F.col("state")
+            )
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(
+                F.sum(
+                    F.expr("mass * n_transitions DIV row_total")
+                ).alias("mass")
+            )
+        )
+    ev = load_table(spark, sf_dir, "events")
+    emp = ev.groupBy(F.col("event_type").alias("state")).agg(
+        F.count("*").alias("n_events")
+    )
+    n_tot = emp.agg(F.sum("n_events").alias("n_all"))
+    return (
+        pi.join(F.broadcast(emp), "state")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "state",
+            F.col("mass").alias("stationary_ppm"),
+            F.expr(f"n_events * {PPM} DIV n_all").alias("empirical_ppm"),
+            "n_events",
+        )
+        .orderBy("state")
+    )
+
+
+def _oracle_markov_stationary() -> str:
+    rounds = []
+    prev = "r0"
+    for t in range(1, MARKOV_ROUNDS + 1):
+        rounds.append(f"""
+r{t} AS (
+  SELECT to_type AS state,
+         CAST(sum((mass * n_transitions) // row_total) AS BIGINT) AS mass
+  FROM mat JOIN {prev} ON mat.from_type = {prev}.state
+  GROUP BY to_type)""")
+        prev = f"r{t}"
+    chain = ",".join(rounds)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS to_type
+  FROM events),
+counts AS (
+  SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+  FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2),
+totals AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS row_total
+  FROM counts GROUP BY from_type),
+mat AS (SELECT * FROM counts JOIN totals USING (from_type)),
+states AS (SELECT DISTINCT from_type AS state FROM mat),
+kk AS (SELECT count(*) AS k FROM states),
+r0 AS (
+  SELECT state, CAST({PPM} // k AS BIGINT) AS mass
+  FROM states CROSS JOIN kk),{chain},
+emp AS (
+  SELECT event_type AS state, count(*) AS n_events
+  FROM events GROUP BY event_type),
+n_tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_all FROM emp)
+SELECT state, mass AS stationary_ppm,
+       CAST(n_events * {PPM} // n_all AS BIGINT) AS empirical_ppm,
+       n_events
+FROM {prev}
+JOIN emp USING (state)
+CROSS JOIN n_tot
+ORDER BY state
+"""
+
+
+ORACLE_EVENTS_MARKOV_STATIONARY = _oracle_markov_stationary()
+
+QUERIES["events_markov_stationary"] = q_events_markov_stationary
+ORACLES["events_markov_stationary"] = ORACLE_EVENTS_MARKOV_STATIONARY

@@ -1075,6 +1075,14 @@ CHECKS = [
         [r"SortMergeJoin", r"BroadcastHashJoin", r"Window", r"Generate",
          r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Markov stationary: corpus touched once (the transitions window);
+    # every iteration is a broadcast join + agg over the |types|^2
+    # matrix; no Python
+    (
+        "events_markov_stationary",
+        [r"Window", PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
