@@ -2153,3 +2153,175 @@ ORACLE_DOCS_TERM_PMI = _oracle_term_pmi()
 
 QUERIES["docs_term_pmi"] = q_docs_term_pmi
 ORACLES["docs_term_pmi"] = ORACLE_DOCS_TERM_PMI
+
+
+# ---------------------------------------------------- Heaps' law fit
+# Vocabulary growth V(N) = K * N^beta over the ingest order — THE
+# corpus-scaling statistic: the fitted (K, beta) extrapolates
+# vocabulary (and so tokenizer size, hash-domain width, dedup index
+# cardinality) from the measured corpus to the 100-TB one. Measured
+# without any sequential scan: docs are ranked by id (the ingest
+# order), each term contributes its FIRST-occurrence rank (one agg),
+# cumulative vocabulary per decile is then a counting exercise over
+# first-occurrence buckets, and cumulative tokens a running sum over
+# the 10-row decile table. The log-log OLS fit runs on 10 points with
+# logs rounded to 6dp (the established ln discipline) and OLS closed
+# forms token-identical in both engines. Scale shape: one tokenize
+# pass, one (term -> min rank) agg keyed on the term, ntile over the
+# doc-count table only; everything after is 10 rows.
+HEAPS_BUCKETS = 10
+
+
+def q_docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "text",
+        F.row_number()
+        .over(Window.orderBy("doc_id"))
+        .alias("rk"),
+    )
+    n_docs = docs.count()
+    bucket_of = F.least(
+        F.lit(HEAPS_BUCKETS),
+        F.ceil(F.col("rk") * HEAPS_BUCKETS / F.lit(float(n_docs))).cast(
+            "int"
+        ),
+    )
+    # vocabulary = 3-token shingles: the corpus's unigram vocabulary is
+    # a fixed sentence bank that saturates in the first decile (flat
+    # V(N) — a degenerate fit); shingles keep Heaps-style growth alive
+    # and are exactly what dedup/index cardinality planning consumes
+    toks = ranked.select(
+        bucket_of.alias("bucket"),
+        "rk",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "_t"
+        ),
+    ).select(
+        "bucket",
+        "rk",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(_t) - 2, 0)),"
+                " i -> concat_ws(' ', _t[i - 1], _t[i], _t[i + 1]))"
+            )
+        ).alias("term"),
+    )
+    per_bucket_tokens = toks.groupBy("bucket").agg(
+        F.count("*").alias("n_tokens")
+    )
+    first_occ = toks.groupBy("term").agg(F.min("rk").alias("first_rk"))
+    first_bucket = first_occ.select(
+        F.least(
+            F.lit(HEAPS_BUCKETS),
+            F.ceil(
+                F.col("first_rk") * HEAPS_BUCKETS / F.lit(float(n_docs))
+            ).cast("int"),
+        ).alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").alias("new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = (
+        per_bucket_tokens.join(first_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).alias("tokens_cum"),
+            F.sum(F.coalesce("new_terms", F.lit(0)))
+            .over(w)
+            .alias("vocab_cum"),
+        )
+    )
+    logged = pts.select(
+        "bucket",
+        "tokens_cum",
+        "vocab_cum",
+        F.round(F.log("tokens_cum"), 6).alias("lx"),
+        F.round(F.log("vocab_cum"), 6).alias("ly"),
+    )
+    fit = logged.agg(
+        F.count("*").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+    )
+    beta = (
+        "(CAST(m AS DOUBLE) * sxy - sx * sy)"
+        " / (CAST(m AS DOUBLE) * sxx - sx * sx)"
+    )
+    return (
+        logged.crossJoin(F.broadcast(fit))
+        .select(
+            "bucket",
+            "tokens_cum",
+            "vocab_cum",
+            (F.round(F.expr(beta), 4) + F.lit(0.0)).alias("heaps_beta"),
+            F.round(F.expr(f"exp((sy - ({beta}) * sx) / m)"), 4).alias(
+                "heaps_k"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_DOCS_HEAPS_LAW = f"""
+WITH ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY doc_id) AS rk,
+         count(*) OVER () AS n_docs
+  FROM documents),
+toks AS (
+  SELECT bucket, rk,
+         unnest(list_transform(
+           generate_series(1, greatest(len(_t) - 2, 0)),
+           i -> _t[i] || ' ' || _t[i + 1] || ' ' || _t[i + 2])) AS term
+  FROM (
+    SELECT least({HEAPS_BUCKETS},
+                 CAST(ceil(rk * {HEAPS_BUCKETS}
+                           / CAST(n_docs AS DOUBLE)) AS INT)) AS bucket,
+           rk,
+           regexp_extract_all(lower(text), '{TOKEN_RE}') AS _t
+    FROM ranked)),
+per_bucket AS (
+  SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket),
+first_occ AS (
+  SELECT term, min(rk) AS first_rk FROM toks GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+first_bucket AS (
+  SELECT least({HEAPS_BUCKETS},
+               CAST(ceil(first_rk * {HEAPS_BUCKETS}
+                         / CAST(n_docs AS DOUBLE)) AS INT)) AS bucket,
+         count(*) AS new_terms
+  FROM first_occ CROSS JOIN nd
+  GROUP BY 1),
+pts AS (
+  SELECT p.bucket,
+         CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+         CAST(sum(coalesce(f.new_terms, 0)) OVER (ORDER BY p.bucket
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+  FROM per_bucket p LEFT JOIN first_bucket f USING (bucket)),
+logged AS (
+  SELECT bucket, tokens_cum, vocab_cum,
+         round(ln(tokens_cum), 6) AS lx,
+         round(ln(vocab_cum), 6) AS ly
+  FROM pts),
+fit AS (
+  SELECT count(*) AS m, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+  FROM logged)
+SELECT bucket, tokens_cum, vocab_cum,
+       round((CAST(m AS DOUBLE) * sxy - sx * sy)
+             / (CAST(m AS DOUBLE) * sxx - sx * sx), 4) + 0.0
+         AS heaps_beta,
+       round(exp((sy - ((CAST(m AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(m AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / m), 4) AS heaps_k
+FROM logged CROSS JOIN fit
+ORDER BY bucket
+"""
+
+QUERIES["docs_heaps_law"] = q_docs_heaps_law
+ORACLES["docs_heaps_law"] = ORACLE_DOCS_HEAPS_LAW

@@ -1083,6 +1083,13 @@ CHECKS = [
         [r"Window", PARTIAL_AGG, r"BroadcastHashJoin"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Heaps fit: one tokenize pass + a (term -> min rank) agg; the
+    # cumulative windows and OLS ride the 10-row decile table
+    (
+        "docs_heaps_law",
+        [PARTIAL_AGG, r"Window", r"Generate"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
