@@ -2098,9 +2098,14 @@ def q_docs_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("c_xy") >= PMI_MIN_PAIRS)
     )
+    # c_xy == N (a pair present in EVERY document) drives the npmi
+    # denominator ln(N/c_xy) to 0; the limit is npmi = 1 — guard it
+    # (surfaced by the sf1 stress corpus, whose sentence-bank text
+    # makes top-vocab pairs universal)
     npmi = (
+        f"CASE WHEN c_xy = {n_docs} THEN 1.0 ELSE "
         f"ln(CAST({n_docs} AS DOUBLE) * c_xy / (CAST(c_x AS DOUBLE) * c_y))"
-        f" / ln(CAST({n_docs} AS DOUBLE) / c_xy)"
+        f" / ln(CAST({n_docs} AS DOUBLE) / c_xy) END"
     )
     return (
         pairs.select(
@@ -2120,8 +2125,9 @@ def q_docs_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_term_pmi(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
     npmi = (
+        f"CASE WHEN c_xy = n THEN 1.0 ELSE "
         f"ln(CAST(n AS DOUBLE) * c_xy / (CAST(c_x AS DOUBLE) * c_y))"
-        f" / ln(CAST(n AS DOUBLE) / c_xy)"
+        f" / ln(CAST(n AS DOUBLE) / c_xy) END"
     )
     return f"""
 WITH dt AS (

@@ -69,9 +69,12 @@ def test_term_pmi_matches_python(spark):
     for (x, y), c_xy in pair_counts.items():
         if c_xy < PMI_MIN_PAIRS:
             continue
-        npmi = math.log(n * c_xy / (vocab[x] * vocab[y])) / math.log(
-            n / c_xy
-        )
+        if c_xy == n:  # universal pair: npmi limit is 1
+            npmi = 1.0
+        else:
+            npmi = math.log(
+                n * c_xy / (vocab[x] * vocab[y])
+            ) / math.log(n / c_xy)
         scored.append(
             (int(round(npmi * 1_000_000)), x, y, c_xy, vocab[x], vocab[y])
         )
