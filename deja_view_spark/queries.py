@@ -971,7 +971,8 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # events_mann_whitney, docs_bootstrap_ci, events_top_paths,
 # docs_term_pmi, events_changepoint, docs_dedup_savings,
 # docs_src_lang_independence, docs_partition_advisor,
-# events_markov_stationary, docs_heaps_law. All
+# events_markov_stationary, docs_heaps_law, events_item_cf,
+# events_conversion_lag. All
 # carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.

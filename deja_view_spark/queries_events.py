@@ -1998,3 +1998,197 @@ ORDER BY purchase_id
 
 QUERIES["events_band_join"] = q_events_band_join
 ORACLES["events_band_join"] = ORACLE_EVENTS_BAND_JOIN
+
+
+# ------------------------------------------- item-item CF similarity
+# The collaborative-filtering bipartite projection: item-item cosine
+# over the binary user-item engagement matrix — n_shared /
+# sqrt(deg_i * deg_j), the similarity a classic item-to-item
+# recommender serves. Power-user discipline: users touching more than
+# CF_MAX_USER_ITEMS items are EXCLUDED from pair generation (the
+# standard CF move — a 10k-item user contributes 10k^2/2 pairs and no
+# signal; the cap bounds per-key fan-out exactly like the LSH bucket
+# salting threshold). Pair generation is user-local (item_a < item_b
+# over each kept user's item set), so the shuffle carries one
+# fixed-width row per co-engagement, never a cartesian. The cosine is
+# ONE token-identical float over exact integers, rounded to ppm.
+CF_MAX_USER_ITEMS = 50
+CF_MIN_SHARED = 2
+CF_TOP_K = 50
+
+
+def q_events_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    udeg = ui.groupBy("user_id").agg(F.count("*").alias("u_items"))
+    kept = ui.join(
+        F.broadcast(udeg.where(F.col("u_items") <= CF_MAX_USER_ITEMS)),
+        "user_id",
+    ).select("user_id", "item")
+    ideg = ui.groupBy("item").agg(F.count("*").alias("deg"))
+    a = kept.select("user_id", F.col("item").alias("item_a"))
+    b = kept.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= CF_MIN_SHARED)
+    )
+    da = ideg.select(F.col("item").alias("item_a"), F.col("deg").alias("deg_a"))
+    db = ideg.select(F.col("item").alias("item_b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "item_a")
+        .join(F.broadcast(db), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(round(CAST(n_shared AS DOUBLE) * 1000000"
+                " / sqrt(CAST(deg_a AS DOUBLE) * deg_b), 0) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+        .orderBy(F.desc("cos_ppm"), F.asc("item_a"), F.asc("item_b"))
+        .limit(CF_TOP_K)
+    )
+
+
+ORACLE_EVENTS_ITEM_CF = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+kept AS (
+  SELECT user_id, item FROM ui
+  WHERE user_id IN (
+    SELECT user_id FROM ui GROUP BY user_id
+    HAVING count(*) <= {CF_MAX_USER_ITEMS})),
+ideg AS (SELECT item, count(*) AS deg FROM ui GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {CF_MIN_SHARED})
+SELECT item_a, item_b, n_shared,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       CAST(round(CAST(n_shared AS DOUBLE) * 1000000
+                  / sqrt(CAST(da.deg AS DOUBLE) * db.deg), 0) AS BIGINT)
+         AS cos_ppm
+FROM pairs
+JOIN ideg da ON item_a = da.item
+JOIN ideg db ON item_b = db.item
+ORDER BY cos_ppm DESC, item_a ASC, item_b ASC
+LIMIT {CF_TOP_K}
+"""
+
+QUERIES["events_item_cf"] = q_events_item_cf
+ORACLES["events_item_cf"] = ORACLE_EVENTS_ITEM_CF
+
+
+# --------------------------------------------- conversion lag profile
+# Latency from a user's FIRST view to their FIRST purchase: per-user
+# conditional-min timestamps (one partial agg over the fact table),
+# then exact rank-picked p50/p90 of the lag distribution plus the
+# never-converted count — the activation-funnel health metric a
+# growth dashboard tracks per cohort/release. Lags in exact whole
+# seconds; percentiles by the same lower-rank convention as the MAD
+# medians (no float interpolation). Scale shape: per-user agg is the
+# only corpus shuffle; ranks ride the |converted users| lag table.
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", us)
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("first_purchase"),
+    )
+    lags = per_user.select(
+        F.when(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view")),
+            F.expr("(first_purchase - first_view) DIV 1000000"),
+        ).alias("lag_s")
+    )
+    conv = lags.where(F.col("lag_s").isNotNull())
+    w = Window.orderBy("lag_s")
+    ranked = conv.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy(F.lit(1)))
+    )
+    pcts = ranked.agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("CAST(floor((n + 1) / 2.0) AS BIGINT)"),
+                F.col("lag_s"),
+            )
+        ).alias("p50_lag_s"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.expr("greatest(CAST(ceil(n * 0.9) AS BIGINT), 1)"),
+                F.col("lag_s"),
+            )
+        ).alias("p90_lag_s"),
+        F.count("*").alias("n_converted"),
+    )
+    totals = lags.agg(F.count("*").alias("n_users_total"))
+    return pcts.crossJoin(F.broadcast(totals)).select(
+        "n_users_total",
+        "n_converted",
+        (F.col("n_users_total") - F.col("n_converted")).alias(
+            "n_not_converted"
+        ),
+        "p50_lag_s",
+        "p90_lag_s",
+    )
+
+
+ORACLE_EVENTS_CONVERSION_LAG = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'
+                  THEN epoch_us(ts) END) AS first_view,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS first_purchase
+  FROM events GROUP BY user_id),
+lags AS (
+  SELECT CASE WHEN first_view IS NOT NULL
+                AND first_purchase IS NOT NULL
+                AND first_purchase >= first_view
+              THEN (first_purchase - first_view) // 1000000
+         END AS lag_s
+  FROM per_user),
+conv AS (SELECT lag_s FROM lags WHERE lag_s IS NOT NULL),
+ranked AS (
+  SELECT lag_s, row_number() OVER (ORDER BY lag_s) AS rn,
+         count(*) OVER () AS n
+  FROM conv),
+pcts AS (
+  SELECT min(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                  THEN lag_s END) AS p50_lag_s,
+         min(CASE WHEN rn = greatest(CAST(ceil(n * 0.9) AS BIGINT), 1)
+                  THEN lag_s END) AS p90_lag_s,
+         count(*) AS n_converted
+  FROM ranked),
+totals AS (SELECT count(*) AS n_users_total FROM lags)
+SELECT n_users_total, n_converted,
+       n_users_total - n_converted AS n_not_converted,
+       p50_lag_s, p90_lag_s
+FROM pcts CROSS JOIN totals
+"""
+
+QUERIES["events_conversion_lag"] = q_events_conversion_lag
+ORACLES["events_conversion_lag"] = ORACLE_EVENTS_CONVERSION_LAG

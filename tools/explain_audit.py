@@ -1090,6 +1090,21 @@ CHECKS = [
         [PARTIAL_AGG, r"Window", r"Generate"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # item CF: user-local pair generation with the power-user cap,
+    # degree tables broadcast, TakeOrdered finish; no cartesian
+    (
+        "events_item_cf",
+        [PARTIAL_AGG, r"BroadcastHashJoin", r"TakeOrdered"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # conversion lag: one per-user partial agg, ranks ride the lag
+    # table; no Python
+    (
+        "events_conversion_lag",
+        [PARTIAL_AGG, r"Window"],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
