@@ -2192,3 +2192,68 @@ FROM pcts CROSS JOIN totals
 
 QUERIES["events_conversion_lag"] = q_events_conversion_lag
 ORACLES["events_conversion_lag"] = ORACLE_EVENTS_CONVERSION_LAG
+
+
+# ------------------------------------------------ DAU/WAU stickiness
+# The product-engagement headline: per ISO week, weekly active users
+# (exact distinct), average daily actives in exact centi-users, and
+# the stickiness ratio avg(DAU)/WAU in ppm — the "how often do weekly
+# users show up" number every growth report leads with. Non-
+# overlapping calendar buckets keep every distinct count exact (the
+# SLIDING-window variant is events_hll_sliding's register sketch —
+# this is the exact calendar twin). Scale shape: one (day, user)
+# distinct projection feeds both censuses; output is |weeks| rows.
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.col("ts").cast("date").alias("d"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("week", "d").agg(F.count("*").alias("dau"))
+    weekly_dau = dau.groupBy("week").agg(
+        F.sum("dau").alias("dau_sum"),
+        F.count("*").alias("n_days"),
+    )
+    wau = du.select("week", "user_id").distinct().groupBy("week").agg(
+        F.count("*").alias("wau")
+    )
+    return (
+        weekly_dau.join(wau, "week")
+        .select(
+            "week",
+            "wau",
+            F.expr("dau_sum * 100 DIV n_days").alias("avg_dau_centi"),
+            "n_days",
+            F.expr("dau_sum * 1000000 DIV (n_days * wau)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_EVENTS_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('week', ts) AS week,
+         CAST(ts AS DATE) AS d, user_id
+  FROM events),
+dau AS (
+  SELECT week, d, count(*) AS dau FROM du GROUP BY week, d),
+weekly_dau AS (
+  SELECT week, CAST(sum(dau) AS BIGINT) AS dau_sum,
+         count(*) AS n_days
+  FROM dau GROUP BY week),
+wau AS (
+  SELECT week, count(DISTINCT user_id) AS wau FROM du GROUP BY week)
+SELECT week, wau,
+       CAST(dau_sum * 100 // n_days AS BIGINT) AS avg_dau_centi,
+       n_days,
+       CAST(dau_sum * 1000000 // (n_days * wau) AS BIGINT)
+         AS stickiness_ppm
+FROM weekly_dau JOIN wau USING (week)
+ORDER BY week
+"""
+
+QUERIES["events_stickiness"] = q_events_stickiness
+ORACLES["events_stickiness"] = ORACLE_EVENTS_STICKINESS

@@ -1105,6 +1105,14 @@ CHECKS = [
         [r"SortMergeJoin", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # stickiness: one distinct projection feeds both censuses; no
+    # window, no Python
+    (
+        "events_stickiness",
+        [PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
