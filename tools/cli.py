@@ -290,6 +290,14 @@ CORPUS_OPS = {
     "pmi": "docs_term_pmi",
     "changepoint": "events_changepoint",
     "dedup-savings": "docs_dedup_savings",
+    # waves 31-35
+    "independence": "docs_src_lang_independence",
+    "partition-advisor": "docs_partition_advisor",
+    "markov-stationary": "events_markov_stationary",
+    "heaps": "docs_heaps_law",
+    "item-cf": "events_item_cf",
+    "conversion-lag": "events_conversion_lag",
+    "stickiness": "events_stickiness",
 }
 
 
