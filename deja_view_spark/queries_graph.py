@@ -2408,3 +2408,265 @@ ORACLE_EVENTS_DEGREE_POWERLAW = _oracle_degree_powerlaw()
 
 QUERIES["events_degree_powerlaw"] = q_events_degree_powerlaw
 ORACLES["events_degree_powerlaw"] = ORACLE_EVENTS_DEGREE_POWERLAW
+
+
+# --------------------------------------- Boruvka minimum spanning forest
+# The one classic distributed-graph primitive the battery lacked: a
+# minimum spanning forest over the weighted item co-engagement graph
+# (items = props $.k, edge weight = 1e6 // n_shared_users, so heavily
+# co-engaged item pairs are "close"). The MSF is the backbone a
+# single-linkage clustering / network-cost planner reads off.
+#
+# Algorithm (identical, fixed-round, in BOTH engines): Boruvka with
+# pointer-doubling contraction —
+#   each round: (1) relabel edges by current component, drop
+#   intra-component edges; (2) every component picks its minimum
+#   incident edge under the STRICT total order (w, a, b) — min-of-ROW
+#   lexicographic comparison, the same cross-engine struct-min used by
+#   docs_repetition; (3) the chosen-edge pointer graph has only
+#   2-cycles (weights strictly decrease along parent chains under a
+#   strict order), broken root-ward by keeping the smaller id; (4)
+#   MSF_K pointer-doubling steps contract every chain of length up to
+#   2^MSF_K to its root — a deterministic bound, unlike hash-min
+#   convergence-looping, so the SQL oracle can mirror it EXACTLY as
+#   unrolled CTEs.
+# MSF_ROUNDS rounds halve (at least) the component count each round,
+# so 7 rounds cover >= 128 initial components; MSF_K = 12 covers
+# chains to depth 4096. Both bounds are corpus-scale knobs that grow
+# LOGARITHMICALLY with graph size (at 1000x items: rounds 7 -> 10) —
+# the per-round work is two narrow joins + one struct-min aggregation
+# keyed on component id, and the component table shrinks
+# geometrically; edges stream through one relabel join per round with
+# no quadratic term anywhere. Safety: every edge Boruvka selects is an
+# MSF edge by the cut property, independent of the round bounds —
+# tests additionally pin the OUTPUT equal to a Python Kruskal
+# ground truth on real and adversarial-chain graphs.
+MSF_ROUNDS = 7
+MSF_K = 12  # pointer-doubling steps per round (chains to 2^12)
+MSF_W_NUM = 1_000_000
+
+
+def _cf_item_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted item-item co-engagement edges (a < b, BIGINT weight
+    ``1e6 // n_shared``) with the same power-user discipline as
+    ``events_item_cf`` (users over the item cap are excluded from the
+    user-local pair generation, bounding per-key fan-out)."""
+    from deja_view_spark.queries_events import (
+        CF_MAX_USER_ITEMS,
+        CF_MIN_SHARED,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    udeg = ui.groupBy("user_id").agg(F.count("*").alias("u_items"))
+    kept = ui.join(
+        F.broadcast(udeg.where(F.col("u_items") <= CF_MAX_USER_ITEMS)),
+        "user_id",
+    ).select("user_id", "item")
+    a = kept.select("user_id", F.col("item").alias("a"))
+    b = kept.select("user_id", F.col("item").alias("b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ns"))
+        .where(F.col("ns") >= CF_MIN_SHARED)
+        .select(
+            "a",
+            "b",
+            F.expr(f"CAST({MSF_W_NUM} DIV ns AS BIGINT)").alias("w"),
+        )
+    )
+
+
+def q_events_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cf_item_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # component label per item, initially itself
+    lab = (
+        edges.select(F.col("a").alias("item"))
+        .unionByName(edges.select(F.col("b").alias("item")))
+        .distinct()
+        .select("item", F.col("item").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    selected = None
+    for rnd in range(1, MSF_ROUNDS + 1):
+        la = lab.select(F.col("item").alias("a"), F.col("c").alias("ca"))
+        lb = lab.select(F.col("item").alias("b"), F.col("c").alias("cb"))
+        e2 = (
+            edges.join(F.broadcast(la), "a")
+            .join(F.broadcast(lb), "b")
+            .where(F.col("ca") != F.col("cb"))
+            .select("ca", "cb", "w", "a", "b")
+            .localCheckpoint(eager=True)
+        )
+        # early exit once no edge crosses components: the remaining
+        # oracle rounds select nothing and relabel nothing, so
+        # stopping here is output-identical (the fixed-round SQL twin
+        # just runs idempotent no-op rounds)
+        if e2.isEmpty():
+            break
+        inc = e2.select(
+            F.col("ca").alias("c"), F.col("cb").alias("partner"), "w", "a", "b"
+        ).unionByName(
+            e2.select(
+                F.col("cb").alias("c"), F.col("ca").alias("partner"),
+                "w", "a", "b",
+            )
+        )
+        choice = inc.groupBy("c").agg(
+            F.min(F.struct("w", "a", "b", "partner")).alias("m")
+        ).select(
+            "c",
+            F.col("m.w").alias("w"),
+            F.col("m.a").alias("a"),
+            F.col("m.b").alias("b"),
+            F.col("m.partner").alias("p"),
+        ).localCheckpoint(eager=True)
+        sel = choice.select(
+            F.lit(rnd).alias("round"), "a", "b", "w"
+        ).distinct()
+        selected = sel if selected is None else selected.unionByName(sel)
+        # 2-cycle root fix: smaller id of a mutual-min pair is root
+        q = choice.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+        ptr = (
+            choice.join(q, "p")
+            .select(
+                "c",
+                F.when(
+                    (F.col("pp") == F.col("c")) & (F.col("p") > F.col("c")),
+                    F.col("c"),
+                ).otherwise(F.col("p")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling, checkpointed EVERY step (the plan would
+        # otherwise double per step — 2^K nodes for Catalyst), with a
+        # fixpoint early-exit: once p == p(p) for every component the
+        # remaining steps are identity, so stopping is
+        # output-identical to the oracle's fixed K
+        for _ in range(MSF_K):
+            stepped = (
+                ptr.select("c", F.col("p").alias("pc"))
+                .join(
+                    F.broadcast(
+                        ptr.select(
+                            F.col("c").alias("pc"), F.col("p").alias("p2")
+                        )
+                    ),
+                    "pc",
+                )
+                .select("c", F.col("p2").alias("p"))
+                .localCheckpoint(eager=True)
+            )
+            converged = (
+                stepped.join(
+                    F.broadcast(
+                        ptr.select("c", F.col("p").alias("p_prev"))
+                    ),
+                    "c",
+                )
+                .where(F.col("p") != F.col("p_prev"))
+                .isEmpty()
+            )
+            ptr = stepped
+            if converged:
+                break
+        lab = (
+            lab.join(
+                F.broadcast(ptr.select(F.col("c"), F.col("p"))), "c", "left"
+            )
+            .select("item", F.coalesce("p", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    if selected is None:  # graph had no qualifying edges at all
+        return spark.createDataFrame(
+            [], "round INT, item_a BIGINT, item_b BIGINT, w BIGINT"
+        )
+    return (
+        selected.select("round", F.col("a").alias("item_a"),
+                        F.col("b").alias("item_b"), "w")
+        .distinct()
+        .orderBy("w", "item_a", "item_b")
+    )
+
+
+def _oracle_msf() -> str:
+    from deja_view_spark.queries_events import (
+        CF_MAX_USER_ITEMS,
+        CF_MIN_SHARED,
+    )
+
+    parts = [f"""
+WITH ui AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+kept AS MATERIALIZED (
+  SELECT user_id, item FROM ui
+  WHERE user_id IN (
+    SELECT user_id FROM ui GROUP BY user_id
+    HAVING count(*) <= {CF_MAX_USER_ITEMS})),
+edges AS MATERIALIZED (
+  SELECT a.item AS a, b.item AS b,
+         CAST({MSF_W_NUM} // count(*) AS BIGINT) AS w
+  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {CF_MIN_SHARED}),
+lab0 AS MATERIALIZED (
+  SELECT item, item AS c FROM (
+    SELECT a AS item FROM edges UNION SELECT b FROM edges))"""]
+    sel_names = []
+    for r in range(1, MSF_ROUNDS + 1):
+        p = f"r{r}"
+        prev = f"lab{r - 1}"
+        parts.append(f""",
+{p}_e AS MATERIALIZED (
+  SELECT la.c AS ca, lb.c AS cb, e.w, e.a, e.b
+  FROM edges e JOIN {prev} la ON e.a = la.item
+               JOIN {prev} lb ON e.b = lb.item
+  WHERE la.c <> lb.c),
+{p}_inc AS MATERIALIZED (
+  SELECT ca AS c, cb AS partner, w, a, b FROM {p}_e
+  UNION ALL
+  SELECT cb, ca, w, a, b FROM {p}_e),
+{p}_choice AS MATERIALIZED (
+  SELECT c, min({{'w': w, 'a': a, 'b': b, 'partner': partner}}) AS m
+  FROM {p}_inc GROUP BY c),
+{p}_sel AS (
+  SELECT DISTINCT {r} AS round, m['a'] AS a, m['b'] AS b, m['w'] AS w
+  FROM {p}_choice),
+{p}_d0 AS MATERIALIZED (
+  SELECT x.c,
+         CASE WHEN y.m['partner'] = x.c AND x.m['partner'] > x.c
+              THEN x.c ELSE x.m['partner'] END AS p
+  FROM {p}_choice x JOIN {p}_choice y ON x.m['partner'] = y.c)""")
+        for k in range(1, MSF_K + 1):
+            parts.append(f""",
+{p}_d{k} AS MATERIALIZED (
+  SELECT x.c, y.p FROM {p}_d{k - 1} x
+  JOIN {p}_d{k - 1} y ON x.p = y.c)""")
+        parts.append(f""",
+lab{r} AS MATERIALIZED (
+  SELECT l.item, coalesce(d.p, l.c) AS c
+  FROM {prev} l LEFT JOIN {p}_d{MSF_K} d ON l.c = d.c)""")
+        sel_names.append(f"{p}_sel")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM {s}" for s in sel_names)
+    parts.append(f"""
+SELECT DISTINCT CAST(round AS INT) AS round,
+       CAST(a AS BIGINT) AS item_a, CAST(b AS BIGINT) AS item_b,
+       CAST(w AS BIGINT) AS w
+FROM ({union})
+ORDER BY w, item_a, item_b""")
+    return "".join(parts)
+
+
+ORACLE_EVENTS_MSF = _oracle_msf()
+
+QUERIES["events_msf"] = q_events_msf
+ORACLES["events_msf"] = ORACLE_EVENTS_MSF

@@ -958,3 +958,129 @@ ORACLE_EVENTS_MARKOV_STATIONARY = _oracle_markov_stationary()
 
 QUERIES["events_markov_stationary"] = q_events_markov_stationary
 ORACLES["events_markov_stationary"] = ORACLE_EVENTS_MARKOV_STATIONARY
+
+
+# ------------------------------------------- Holt linear-trend smoothing
+# Double exponential smoothing (Holt 1957) over each event type's
+# daily-count series — the classic level+trend forecaster one rung
+# above the seasonal-naive baseline ``events_forecast_eval`` scores.
+# The recurrence
+#     l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1})
+#     b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+# with the textbook init l_2 = y_2, b_2 = y_2 - y_1 (Hyndman & # noqa
+# Athanasopoulos, fpp3 ch. 8), smoothing from t = 3 — under which a
+# purely linear series is tracked EXACTLY (zero one-step error), the
+# property the test suite pins.
+# is inherently SEQUENTIAL per series, which is exactly where a naive
+# port reaches for a Python loop. Here it is a higher-order-function
+# fold: Spark ``aggregate()`` over the sorted per-type day array,
+# twinned by a DuckDB linear recursive CTE carrying the same
+# recurrence — the cross-engine hash match proves lambda-fold parity,
+# a mechanism none of the other 200 oracles exercises. (DuckDB's own
+# ``list_reduce`` was measured and rejected: in 1.0 it assigns
+# accumulator-struct fields sequentially, so a later field sees the
+# already-updated ``l`` — see the oracle note.)
+# Determinism is engineered, not hoped for: the
+# inputs are exact integer day-counts, alpha = beta = 1/2 are exact
+# dyadic doubles, and the lambda bodies are written with the SAME
+# IEEE expression tree in both dialects, so every intermediate level/
+# trend/SSE double is bit-identical.
+#
+# Scale shape: one (type, day) partial-agg histogram (map-side
+# combinable), then ONE fixed-width row per series through the fold —
+# state per series is 3 doubles, series length is the day horizon
+# (bounded by retention, not corpus size), and series are independent
+# so the stage is embarrassingly parallel across the series key. No
+# window over raw events, no driver loop.
+HOLT_FORECAST_H = 7  # forecast horizon (days ahead)
+
+
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> CAST(s.n AS DOUBLE))"
+        ).alias("ys")
+    )
+    holt = series.where(F.expr("size(ys) >= 3")).select(
+        "event_type",
+        F.expr("size(ys)").alias("n_days"),
+        F.expr(
+            """
+            aggregate(
+              slice(ys, 3, size(ys) - 2),
+              named_struct(
+                'l', element_at(ys, 2),
+                'b', element_at(ys, 2) - element_at(ys, 1),
+                'sse', CAST(0 AS DOUBLE)),
+              (acc, y) -> named_struct(
+                'l', y * 0.5D + (acc.l + acc.b) * 0.5D,
+                'b', (y * 0.5D + (acc.l + acc.b) * 0.5D - acc.l) * 0.5D
+                     + acc.b * 0.5D,
+                'sse', acc.sse + (y - (acc.l + acc.b))
+                               * (y - (acc.l + acc.b))))
+            """
+        ).alias("h"),
+    )
+    return holt.select(
+        "event_type",
+        "n_days",
+        F.expr("round(h.l, 6)").alias("level"),
+        F.expr("round(h.b, 6)").alias("trend"),
+        F.expr(f"round(h.l + h.b * CAST({HOLT_FORECAST_H} AS DOUBLE), 6)")
+         .alias("forecast_h"),
+        F.expr(
+            "round(sqrt(h.sse / CAST(n_days - 2 AS DOUBLE)), 6)"
+        ).alias("rmse_1step"),
+    ).orderBy("event_type")
+
+
+# NOTE the oracle is a linear RECURSIVE CTE, not DuckDB's
+# ``list_reduce``: duckdb 1.0's list_reduce assigns the accumulator
+# struct's fields SEQUENTIALLY (a later field expression observes the
+# already-updated earlier fields — ``b`` would see the new ``l``),
+# while Spark's named_struct is simultaneous. The recursive CTE has
+# well-defined simultaneous semantics and carries the very same IEEE
+# expression tree, so the value hash still proves fold parity.
+ORACLE_EVENTS_HOLT_FORECAST = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily),
+init AS (
+  SELECT a.event_type, a.n_days, 2 AS t,
+         b.y AS l, b.y - a.y AS b, CAST(0 AS DOUBLE) AS sse
+  FROM idx a
+  JOIN idx b ON a.event_type = b.event_type AND b.rn = 2
+  WHERE a.rn = 1 AND a.n_days >= 3),
+holt AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT r.event_type, r.n_days, r.t + 1,
+         d.y * 0.5 + (r.l + r.b) * 0.5,
+         (d.y * 0.5 + (r.l + r.b) * 0.5 - r.l) * 0.5 + r.b * 0.5,
+         r.sse + (d.y - (r.l + r.b)) * (d.y - (r.l + r.b))
+  FROM holt r
+  JOIN idx d ON d.event_type = r.event_type AND d.rn = r.t + 1)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       round(l, 6) AS level,
+       round(b, 6) AS trend,
+       round(l + b * CAST({HOLT_FORECAST_H} AS DOUBLE), 6)
+         AS forecast_h,
+       round(sqrt(sse / CAST(n_days - 2 AS DOUBLE)), 6) AS rmse_1step
+FROM holt
+WHERE t = n_days
+ORDER BY event_type
+"""
+
+QUERIES["events_holt_forecast"] = q_events_holt_forecast
+ORACLES["events_holt_forecast"] = ORACLE_EVENTS_HOLT_FORECAST

@@ -298,6 +298,10 @@ CORPUS_OPS = {
     "item-cf": "events_item_cf",
     "conversion-lag": "events_conversion_lag",
     "stickiness": "events_stickiness",
+    # wave 36
+    "holt-forecast": "events_holt_forecast",
+    # wave 37
+    "msf": "events_msf",
 }
 
 

@@ -1113,6 +1113,15 @@ CHECKS = [
         [r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # Holt fold: per-series aggregate() lambda runs inside the
+    # projection — map-side-combinable daily histogram, no window
+    # over raw events, no Python on the path
+    (
+        "events_holt_forecast",
+        [PARTIAL_AGG, r"aggregate\("],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
@@ -1131,6 +1140,32 @@ def main(sf_dir: str) -> int:
         if present:
             print(f"  unexpected: {present}")
         failures += 0 if ok else 1
+    # Boruvka MSF: the returned frame's lineage is truncated by the
+    # per-round localCheckpoints, so audit the edge BUILDER (the only
+    # data-scale stage — user-local pair generation) directly: power-
+    # user cap applied via a broadcast join, pair census map-side
+    # combinable, no cartesian, no Python
+    from deja_view_spark.queries_graph import _cf_item_edges
+
+    plan = plan_of(_cf_item_edges(spark, sf_dir))
+    missing = [
+        p
+        for p in [r"BroadcastHashJoin", r"partial_count"]
+        if not re.search(p, plan)
+    ]
+    present = [
+        p
+        for p in [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"]
+        if re.search(p, plan)
+    ]
+    ok = not missing and not present
+    print(f"{'events_msf edge-builder':32s} {'OK' if ok else 'FAIL'}")
+    if missing:
+        print(f"  missing: {missing}")
+    if present:
+        print(f"  unexpected: {present}")
+    failures += 0 if ok else 1
+
     # scan pruning evidence: a 2-column projection reads a 2-column schema
     df = Q.QUERIES["events_top3_per_user"](spark, sf_dir)
     plan = plan_of(df)
