@@ -1084,3 +1084,172 @@ ORDER BY event_type
 
 QUERIES["events_holt_forecast"] = q_events_holt_forecast
 ORACLES["events_holt_forecast"] = ORACLE_EVENTS_HOLT_FORECAST
+
+
+# ------------------------------------------- burst-state segmentation
+# Kleinberg-style two-state burst automaton over each event type's
+# daily-count series, solved EXACTLY by min-plus Viterbi — the
+# trending/incident segmentation one rung above single-changepoint
+# CUSUM (``events_changepoint``): hysteresis via an entry toll means
+# one noisy day neither starts nor ends a burst.
+#
+# Integer formulation (no float anywhere): threshold thr =
+# floor(3*total / (2*T)) + 1 (strictly above 1.5x the mean day);
+# day-cost of the BASE state = max(0, n_t - thr) (pays for excess),
+# of the BURST state = max(0, thr - n_t) (pays for shortfall);
+# entering the burst state costs GAMMA = thr. Viterbi recurrence
+#   c0_t = base_t + min(c0, c1);          pred0 = argmin (ties: stay)
+#   c1_t = burst_t + min(c1, c0 + thr);   pred1 = argmin (ties: stay)
+# then a backward pass follows the argmin pointers from the cheaper
+# final state (ties: base). Everything is BIGINT min-plus algebra, so
+# both engines agree bit-for-bit with no expression-tree discipline
+# needed.
+#
+# Mechanism: the forward pass is a second aggregate() HOF fold (after
+# ``events_holt_forecast``) but carrying DP state + per-step
+# BACKPOINTER ARRAYS, and the backward pass is a second fold over the
+# reversed index range — i.e. a full per-series dynamic program in
+# pure DataFrame expressions. The DuckDB twin runs the identical
+# recurrence as two linear recursive CTEs (forward, then pointer-
+# following backtrack). Scale shape: one (type, day) partial-agg
+# histogram, then ONE row per series through the folds; series are
+# independent and state is O(T) per series (the day horizon, bounded
+# by retention) — embarrassingly parallel, no window over raw events.
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "array_sort(collect_list(struct(day, n)))"
+        ).alias("ds")
+    ).select(
+        "event_type",
+        F.expr("transform(ds, s -> s.day)").alias("days"),
+        F.expr("transform(ds, s -> s.n)").alias("ys"),
+        F.expr("size(ds)").alias("t_days"),
+        F.expr(
+            "CAST(3 * aggregate(ds, 0L, (a, s) -> a + s.n)"
+            " DIV (2 * size(ds)) + 1 AS BIGINT)"
+        ).alias("thr"),
+    )
+    fwd = series.select(
+        "event_type",
+        "days",
+        "ys",
+        "t_days",
+        "thr",
+        F.expr(
+            """
+            aggregate(
+              slice(ys, 2, t_days - 1),
+              named_struct(
+                'c0', greatest(element_at(ys, 1) - thr, 0L),
+                'c1', thr + greatest(thr - element_at(ys, 1), 0L),
+                'p0', CAST(array() AS ARRAY<INT>),
+                'p1', CAST(array() AS ARRAY<INT>)),
+              (acc, y) -> named_struct(
+                'c0', greatest(y - thr, 0L) + least(acc.c0, acc.c1),
+                'c1', greatest(thr - y, 0L)
+                      + least(acc.c1, acc.c0 + thr),
+                'p0', concat(acc.p0,
+                             array(IF(acc.c1 < acc.c0, 1, 0))),
+                'p1', concat(acc.p1,
+                             array(IF(acc.c0 + thr < acc.c1, 0, 1)))))
+            """
+        ).alias("v"),
+    )
+    # backward pass: state_T = argmin(c0,c1) (ties: base); walking t =
+    # T..2, state_{t-1} = p{state_t}[t-1] (pointer arrays are 1-based
+    # over steps 2..T, so step t's pointer sits at index t-1)
+    back = fwd.select(
+        "event_type",
+        "days",
+        "ys",
+        "t_days",
+        F.expr(
+            """
+            aggregate(
+              CASE WHEN t_days >= 2
+                   THEN sequence(CAST(t_days AS INT), 2)
+                   ELSE CAST(array() AS ARRAY<INT>) END,
+              named_struct(
+                'cur', IF(v.c1 < v.c0, 1, 0),
+                'rev', array(IF(v.c1 < v.c0, 1, 0))),
+              (acc, t) -> named_struct(
+                'cur', IF(acc.cur = 0,
+                          element_at(v.p0, t - 1),
+                          element_at(v.p1, t - 1)),
+                'rev', concat(acc.rev,
+                              array(IF(acc.cur = 0,
+                                       element_at(v.p0, t - 1),
+                                       element_at(v.p1, t - 1))))))
+            """
+        ).alias("b"),
+    )
+    return (
+        back.select(
+            "event_type",
+            F.expr(
+                """
+                posexplode(
+                  zip_with(days, reverse(b.rev),
+                           (d, s) -> struct(d AS day, s AS state)))
+                """
+            ).alias("_pos", "z"),
+            F.col("ys"),
+        )
+        .select(
+            "event_type",
+            F.col("z.day").alias("day"),
+            F.expr("element_at(ys, _pos + 1)").alias("n"),
+            F.col("z.state").cast("int").alias("burst"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_EVENTS_BURSTS = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS t_days,
+         CAST(3 * sum(n) OVER (PARTITION BY event_type)
+              // (2 * count(*) OVER (PARTITION BY event_type)) + 1
+              AS BIGINT) AS thr
+  FROM daily),
+fwd AS (
+  SELECT event_type, t, t_days, thr,
+         greatest(n - thr, 0) AS c0,
+         thr + greatest(thr - n, 0) AS c1,
+         0 AS p0, 0 AS p1
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT f.event_type, d.t, f.t_days, f.thr,
+         greatest(d.n - f.thr, 0) + least(f.c0, f.c1),
+         greatest(f.thr - d.n, 0) + least(f.c1, f.c0 + f.thr),
+         CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END,
+         CASE WHEN f.c0 + f.thr < f.c1 THEN 0 ELSE 1 END
+  FROM fwd f JOIN idx d ON d.event_type = f.event_type
+                       AND d.t = f.t + 1),
+back AS (
+  SELECT event_type, t,
+         CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS state
+  FROM fwd WHERE t = t_days
+  UNION ALL
+  SELECT b.event_type, b.t - 1,
+         CASE WHEN b.state = 0 THEN f.p0 ELSE f.p1 END
+  FROM back b JOIN fwd f ON f.event_type = b.event_type
+                        AND f.t = b.t
+  WHERE b.t > 1)
+SELECT i.event_type, i.day, i.n, CAST(b.state AS INT) AS burst
+FROM idx i JOIN back b ON i.event_type = b.event_type AND i.t = b.t
+ORDER BY i.event_type, i.day
+"""
+
+QUERIES["events_bursts"] = q_events_bursts
+ORACLES["events_bursts"] = ORACLE_EVENTS_BURSTS

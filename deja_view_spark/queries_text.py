@@ -2331,3 +2331,152 @@ ORDER BY bucket
 
 QUERIES["docs_heaps_law"] = q_docs_heaps_law
 ORACLES["docs_heaps_law"] = ORACLE_DOCS_HEAPS_LAW
+
+
+# ---------------------------------------- cluster-quality silhouette
+# Simplified (centroid-based) silhouette over the quantized k-means
+# assignment — the cluster-quality audit a curation pipeline runs
+# before trusting cluster-local operations (SemDeDup's blocks, IVF's
+# probe lists): s_i = 1 - d1_i/d2_i where d1/d2 are the distances from
+# point i to its two NEAREST centroids (b_i = min over other clusters
+# reduces to the second-nearest centroid when a_i is the nearest —
+# the classic O(n*k) simplification of the O(n^2) pairwise
+# silhouette, the only version that scales).
+#
+# Determinism: centroids come from the same quantized Lloyd's rounds
+# as ``embeddings_kmeans`` (4dp-rounded each update, bit-reproducible
+# across engines); d^2 uses the shared token-identical expression; the
+# two nearest are picked by sorting (d2, bucket) structs; and the
+# per-point silhouette is scaled to an exact ppm BIGINT before any
+# aggregation, so cluster means are order-independent integer sums.
+#
+# Scale shape: the k-row centroid table broadcasts; the n x k expand
+# is map-side (collect_list of k=8 structs per point, bounded);
+# one partial-agg groupBy bucket finishes. No window, no n^2 term.
+def q_embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.operators.kmeans import _d2, lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lloyd_kmeans(
+        emb, k=KMEANS_K, rounds=KMEANS_ROUNDS,
+        dim=KMEANS_DIM, decimals=KMEANS_DECIMALS,
+    )
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    expanded = pts.crossJoin(F.broadcast(cents)).select(
+        "id",
+        F.struct(
+            _d2(F.col("v"), F.col("cvec")).alias("d2"),
+            F.col("bucket").alias("bucket"),
+        ).alias("dc"),
+    )
+    per_point = (
+        expanded.groupBy("id")
+        .agg(F.expr("sort_array(collect_list(dc))").alias("arr"))
+        .select(
+            "id",
+            F.expr("element_at(arr, 1).bucket").alias("bucket"),
+            # a collapsed clustering (k_effective == 1, e.g. an
+            # all-identical corpus) has no second centroid: the CASE
+            # guard defines silhouette = 0 there, mirrored in SQL
+            F.expr(
+                """
+                CASE WHEN size(arr) >= 2
+                      AND sqrt(greatest(try_element_at(arr, 2).d2, 0D)) > 0D
+                THEN CAST(round(
+                  (1.0D - sqrt(greatest(element_at(arr, 1).d2, 0D))
+                        / sqrt(greatest(try_element_at(arr, 2).d2, 0D)))
+                  * 1000000, 0) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END
+                """
+            ).alias("sil_ppm"),
+        )
+    )
+    return (
+        per_point.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.expr(
+                "CAST(sum(sil_ppm) DIV count(*) AS BIGINT)"
+            ).alias("mean_sil_ppm"),
+            F.min("sil_ppm").alias("min_sil_ppm"),
+            F.max("sil_ppm").alias("max_sil_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _oracle_silhouette() -> str:
+    d2 = (
+        "(list_dot_product({v}, {v})"
+        " - 2.0 * list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c})"
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        dd = d2.format(v="p.v", c="c.cvec")
+        return f"""{name} AS (
+  SELECT id, v, bucket FROM (
+    SELECT p.id, p.v, c.bucket,
+           row_number() OVER (PARTITION BY p.id
+             ORDER BY {dd} ASC, c.bucket ASC) AS _r
+    FROM pts p CROSS JOIN {cents} c) t
+  WHERE _r = 1)"""
+
+    def update_cte(name: str, assigned: str) -> str:
+        means = ", ".join(
+            f"round(avg(v[{i + 1}]), {KMEANS_DECIMALS})"
+            for i in range(KMEANS_DIM)
+        )
+        return f"""{name} AS (
+  SELECT bucket, [{means}]::DOUBLE[] AS cvec
+  FROM {assigned} GROUP BY bucket)"""
+
+    ctes = [
+        """pts AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS bucket,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {KMEANS_K})""",
+    ]
+    for r in range(KMEANS_ROUNDS):
+        ctes.append(assign_cte(f"a{r}", f"c{r}"))
+        ctes.append(update_cte(f"c{r + 1}", f"a{r}"))
+    dd = d2.format(v="p.v", c="c.cvec")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+expanded AS (
+  SELECT p.id, {{'d2': {dd}, 'bucket': c.bucket}} AS dc
+  FROM pts p CROSS JOIN c{KMEANS_ROUNDS} c),
+scored AS (
+  SELECT id,
+         arr[1].bucket AS bucket,
+         CASE WHEN len(arr) >= 2
+               AND sqrt(greatest(arr[2].d2, 0)) > 0
+         THEN CAST(round(
+           (1.0 - sqrt(greatest(arr[1].d2, 0))
+                / sqrt(greatest(arr[2].d2, 0))) * 1000000, 0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS sil_ppm
+  FROM (SELECT id, list_sort(list(dc)) AS arr FROM expanded GROUP BY id))
+SELECT bucket,
+       count(*) AS n_points,
+       CAST(sum(sil_ppm) // count(*) AS BIGINT) AS mean_sil_ppm,
+       min(sil_ppm) AS min_sil_ppm,
+       max(sil_ppm) AS max_sil_ppm
+FROM scored
+GROUP BY bucket
+ORDER BY bucket
+"""
+    )
+
+
+ORACLE_EMBEDDINGS_SILHOUETTE = _oracle_silhouette()
+
+QUERIES["embeddings_silhouette"] = q_embeddings_silhouette
+ORACLES["embeddings_silhouette"] = ORACLE_EMBEDDINGS_SILHOUETTE

@@ -302,6 +302,9 @@ CORPUS_OPS = {
     "holt-forecast": "events_holt_forecast",
     # wave 37
     "msf": "events_msf",
+    # waves 38-39
+    "silhouette": "embeddings_silhouette",
+    "bursts": "events_bursts",
 }
 
 

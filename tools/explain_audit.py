@@ -1122,6 +1122,22 @@ CHECKS = [
         [r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # burst Viterbi: both DP passes are folds inside projections over
+    # one daily histogram — no window over raw events, no Python
+    (
+        "events_bursts",
+        [PARTIAL_AGG, r"aggregate\("],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # silhouette: k-row centroid table broadcasts into the n x k
+    # expand; per-point reduce + per-bucket finish are partial aggs;
+    # no per-point window, no Python
+    (
+        "embeddings_silhouette",
+        [r"BroadcastNestedLoopJoin|BroadcastHashJoin", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
