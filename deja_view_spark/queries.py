@@ -973,7 +973,7 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # docs_src_lang_independence, docs_partition_advisor,
 # events_markov_stationary, docs_heaps_law, events_item_cf,
 # events_conversion_lag, events_stickiness, events_holt_forecast,
-# events_msf. All
+# events_msf, embeddings_silhouette, events_bursts. All
 # carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.
