@@ -1253,3 +1253,94 @@ ORDER BY i.event_type, i.day
 
 QUERIES["events_bursts"] = q_events_bursts
 ORACLES["events_bursts"] = ORACLE_EVENTS_BURSTS
+
+
+# --------------------------------------- difference-in-differences
+# The panel-data causal estimator that closes the experimentation
+# family (events_abtest's cross-section chi-square, events_cuped's
+# variance reduction, multi-touch attribution): cohorts split by the
+# same deterministic id parity as events_abtest, periods split at the
+# corpus midpoint date (computed IN-QUERY from min/max event days, so
+# the estimator is corpus-relative, not a hardcoded date), and
+# DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+# over per-cell mean event values. Exactness discipline: values are
+# exact integer cents, each cell mean is emitted as micro-cents via
+# BIGINT floor division (sum * 1e6 DIV n), and the DiD is integer
+# arithmetic over those four integers — no float anywhere.
+#
+# Scale shape: ONE pass — a single 4-cell partial aggregation keyed on
+# (treat, post) after a broadcast of the scalar midpoint; output is
+# one row. The parallel-trends diagnostic (pre-period gap) rides along.
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "CAST(min(CAST(ts AS DATE)) + CAST("
+            "datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE)))"
+            " DIV 2 AS INT) AS DATE)"
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        (F.col("ts").cast("date") > F.col("mid")).cast("int").alias("post"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def cell(t: int, p: int) -> str:
+        # exact micro-cents cell mean: sum * 1e6 DIV n
+        s = f"sum(IF(treat = {t} AND post = {p}, cents, 0L))"
+        n = f"sum(IF(treat = {t} AND post = {p}, 1L, 0L))"
+        return f"CAST({s} * 1000000 DIV {n} AS BIGINT)"
+
+    return tagged.groupBy().agg(
+        F.expr("sum(IF(treat = 0, 1L, 0L))").alias("n_ctrl"),
+        F.expr("sum(IF(treat = 1, 1L, 0L))").alias("n_treat"),
+        F.expr(cell(0, 0)).alias("ctrl_pre_ucents"),
+        F.expr(cell(0, 1)).alias("ctrl_post_ucents"),
+        F.expr(cell(1, 0)).alias("treat_pre_ucents"),
+        F.expr(cell(1, 1)).alias("treat_post_ucents"),
+        F.expr(
+            f"({cell(1, 1)} - {cell(1, 0)}) - ({cell(0, 1)} - {cell(0, 0)})"
+        ).alias("did_ucents"),
+        F.expr(f"{cell(1, 0)} - {cell(0, 0)}").alias("pre_gap_ucents"),
+    )
+
+
+ORACLE_EVENTS_DID = """
+WITH bounds AS (
+  SELECT CAST(min(CAST(ts AS DATE))
+         + CAST((max(CAST(ts AS DATE)) - min(CAST(ts AS DATE))) // 2
+                AS INTEGER)
+         AS DATE) AS mid
+  FROM events),
+cells AS (
+  SELECT CAST(user_id % 2 = 1 AS INT) AS treat,
+         CAST(CAST(ts AS DATE) > b.mid AS INT) AS post,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) * 1000000
+              // count(*) AS BIGINT) AS mean_ucents
+  FROM events CROSS JOIN bounds b
+  GROUP BY 1, 2)
+SELECT
+  CAST((SELECT sum(n) FROM cells WHERE treat = 0) AS BIGINT) AS n_ctrl,
+  CAST((SELECT sum(n) FROM cells WHERE treat = 1) AS BIGINT) AS n_treat,
+  (SELECT mean_ucents FROM cells WHERE treat = 0 AND post = 0)
+    AS ctrl_pre_ucents,
+  (SELECT mean_ucents FROM cells WHERE treat = 0 AND post = 1)
+    AS ctrl_post_ucents,
+  (SELECT mean_ucents FROM cells WHERE treat = 1 AND post = 0)
+    AS treat_pre_ucents,
+  (SELECT mean_ucents FROM cells WHERE treat = 1 AND post = 1)
+    AS treat_post_ucents,
+  (SELECT mean_ucents FROM cells WHERE treat = 1 AND post = 1)
+  - (SELECT mean_ucents FROM cells WHERE treat = 1 AND post = 0)
+  - ((SELECT mean_ucents FROM cells WHERE treat = 0 AND post = 1)
+     - (SELECT mean_ucents FROM cells WHERE treat = 0 AND post = 0))
+    AS did_ucents,
+  (SELECT mean_ucents FROM cells WHERE treat = 1 AND post = 0)
+  - (SELECT mean_ucents FROM cells WHERE treat = 0 AND post = 0)
+    AS pre_gap_ucents
+"""
+
+QUERIES["events_did"] = q_events_did
+ORACLES["events_did"] = ORACLE_EVENTS_DID

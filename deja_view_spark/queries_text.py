@@ -2480,3 +2480,113 @@ ORACLE_EMBEDDINGS_SILHOUETTE = _oracle_silhouette()
 
 QUERIES["embeddings_silhouette"] = q_embeddings_silhouette
 ORACLES["embeddings_silhouette"] = ORACLE_EMBEDDINGS_SILHOUETTE
+
+
+# ------------------------------------------ mutual nearest neighbors
+# Reciprocal top-1 matching between two embedding cohorts (label
+# parity split — the deterministic stand-in for "snapshot A vs
+# snapshot B"): a pair survives only if each side is the OTHER side's
+# single nearest neighbor by full cosine. This is the alignment
+# primitive behind dataset linking / translation-pair mining (MUSE-
+# style) and a high-precision near-dup confirmer — reciprocity kills
+# the hub matches that one-directional top-1 admits.
+#
+# Determinism: cosine uses the shared bit-identical expression
+# (functions/similarity.duckdb_cosine_sql); argmax is min-of-struct
+# over (-cos, id) so ties break to the smaller id in both engines; the
+# emitted score is an exact ppm BIGINT.
+#
+# Scale shape: the audited baseline is the brute cross join (the same
+# contract as knn_bruteforce — the exact reference every approximate
+# path is scored against); at corpus scale the identical reciprocity
+# filter composes with the LSH-bucketed candidate join of ann_lsh_topk
+# (bucket-local argmin instead of the cross product). One cross
+# product + two partial-agg argmins + one join — no window.
+def q_embeddings_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.functions.similarity import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("lid"),
+        F.col("embedding").cast("array<double>").alias("lv"),
+    )
+    right = emb.where(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("rid"),
+        F.col("embedding").cast("array<double>").alias("rv"),
+    )
+    pairs = left.crossJoin(F.broadcast(right)).select(
+        "lid",
+        "rid",
+        cosine_sim(F.col("lv"), F.col("rv")).alias("cos"),
+    )
+    nn_l = (
+        pairs.groupBy("lid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"),
+                    F.col("rid").alias("rid"),
+                )
+            ).alias("m")
+        )
+        .select("lid", F.col("m.rid").alias("rid"), (-F.col("m.nc")).alias("cos"))
+    )
+    nn_r = (
+        pairs.groupBy("rid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"),
+                    F.col("lid").alias("lid"),
+                )
+            ).alias("m")
+        )
+        .select(F.col("rid").alias("r_rid"), F.col("m.lid").alias("best_lid"))
+    )
+    return (
+        nn_l.join(
+            nn_r,
+            (nn_l.rid == nn_r.r_rid) & (nn_l.lid == nn_r.best_lid),
+        )
+        .select(
+            "lid",
+            "rid",
+            F.expr("CAST(round(cos * 1000000) AS BIGINT)").alias("cos_ppm"),
+        )
+        .orderBy("lid")
+    )
+
+
+def _oracle_mutual_nn() -> str:
+    cos = duckdb_cosine_sql("l.v", "r.v")
+    return f"""
+WITH l AS MATERIALIZED (
+  SELECT vec_id AS lid, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE label % 2 = 0),
+r AS MATERIALIZED (
+  SELECT vec_id AS rid, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE label % 2 = 1),
+pairs AS MATERIALIZED (
+  SELECT l.lid, r.rid, {cos} AS cos FROM l CROSS JOIN r),
+nn_l AS (
+  SELECT lid, rid, cos FROM (
+    SELECT lid, rid, cos,
+           row_number() OVER (PARTITION BY lid
+             ORDER BY -(cos) ASC, rid ASC) AS _r
+    FROM pairs) t WHERE _r = 1),
+nn_r AS (
+  SELECT rid, lid AS best_lid FROM (
+    SELECT rid, lid,
+           row_number() OVER (PARTITION BY rid
+             ORDER BY -(cos) ASC, lid ASC) AS _r
+    FROM pairs) t WHERE _r = 1)
+SELECT a.lid, a.rid, CAST(round(a.cos * 1000000, 0) AS BIGINT) AS cos_ppm
+FROM nn_l a JOIN nn_r b ON a.rid = b.rid AND a.lid = b.best_lid
+ORDER BY a.lid
+"""
+
+
+ORACLE_EMBEDDINGS_MUTUAL_NN = _oracle_mutual_nn()
+
+QUERIES["embeddings_mutual_nn"] = q_embeddings_mutual_nn
+ORACLES["embeddings_mutual_nn"] = ORACLE_EMBEDDINGS_MUTUAL_NN

@@ -305,6 +305,9 @@ CORPUS_OPS = {
     # waves 38-39
     "silhouette": "embeddings_silhouette",
     "bursts": "events_bursts",
+    # wave 40
+    "did": "events_did",
+    "mutual-nn": "embeddings_mutual_nn",
 }
 
 

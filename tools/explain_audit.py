@@ -1138,6 +1138,21 @@ CHECKS = [
         [r"BroadcastNestedLoopJoin|BroadcastHashJoin", PARTIAL_AGG],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # DiD: scalar midpoint broadcast + ONE 4-cell conditional partial
+    # agg; single-row output, no join network, no window
+    (
+        "events_did",
+        [r"BroadcastNestedLoopJoin", PARTIAL_AGG],
+        [r"Window", r"SortMergeJoin",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # mutual NN: the audited brute baseline broadcasts the right
+    # cohort; both argmins are partial-agg min-of-struct, no window
+    (
+        "embeddings_mutual_nn",
+        [r"BroadcastNestedLoopJoin", r"partial_min"],
+        [r"Window", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
