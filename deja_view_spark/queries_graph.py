@@ -2670,3 +2670,227 @@ ORACLE_EVENTS_MSF = _oracle_msf()
 
 QUERIES["events_msf"] = q_events_msf
 ORACLES["events_msf"] = ORACLE_EVENTS_MSF
+
+
+# ------------------------------------------- item-graph SCC / classes
+# Strongly-connected-component decomposition of the support-filtered
+# item-transition graph — the communicating-class analysis of the
+# "next item touched" Markov chain (complement of
+# events_markov_stationary, which assumes the chain is irreducible;
+# this query PROVES which item sets actually communicate). Per user,
+# distinct items are ordered by first touch (min (ts_micros,
+# event_id) — a partial agg, no window over raw events); adjacent
+# first-touches become directed src→dst transition edges; edges below
+# SCC_MIN_EDGE support and items outside the SCC_TOP_ITEMS support cap
+# are dropped (the same vocabulary-bounding move as
+# events_market_basket / docs_bpe_train). On the resulting
+# vocabulary-sized digraph the transitive closure is computed by
+# SCC_DOUBLING_ROUNDS doublings (reach ∪ reach∘reach — O(log
+# diameter) rounds; 2^6 = 64 ≥ any simple path on ≤40 nodes), SCC id
+# = min item mutually reachable (incl. self), and a class is
+# *recurrent* (closed, in the Markov sense) iff no kept edge leaves
+# it. Output: one row per SCC with the member list, internal edge
+# count, and the recurrent flag.
+#
+# Scale shape: the ONLY corpus-sized work is the (user,item) first-
+# touch agg and one per-user window over first-touches (rows = user's
+# distinct kept items, not raw events). Everything after the support
+# filters lives on a ≤SCC_TOP_ITEMS-node metadata graph: closure rows
+# are bounded by 40² = 1 600, every join in the doubling loop is a
+# sub-broadcast-threshold hash join, and the DuckDB oracle can afford
+# a full WITH RECURSIVE fixpoint over the same edges — which is what
+# makes an EXACT cross-engine check of an iterative graph algorithm
+# possible at all.
+
+SCC_TOP_ITEMS = 40
+SCC_MIN_EDGE = 3
+SCC_DOUBLING_ROUNDS = 6
+
+
+def q_events_item_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+        .where(F.col("item").isNotNull())
+    )
+    ft = ev.groupBy("user_id", "item").agg(
+        F.min(F.struct("us", "event_id")).alias("first")
+    )
+    supp = ft.groupBy("item").agg(F.count("*").alias("supp"))
+    top = (
+        supp.orderBy(F.desc("supp"), F.asc("item"))
+        .limit(SCC_TOP_ITEMS)
+        .select("item")
+    )
+    kept = ft.join(F.broadcast(top), "item", "left_semi").select(
+        "user_id",
+        "item",
+        F.col("first.us").alias("us"),
+        F.col("first.event_id").alias("eid"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "eid")
+    steps = kept.select(
+        F.col("item").alias("src"), F.lead("item").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    edges = (
+        steps.groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= SCC_MIN_EDGE)
+        .select("src", "dst")
+    )
+    # Each doubling round references `reach` twice; without lineage
+    # truncation the logical plan doubles per round (2^ROUNDS copies)
+    # and Catalyst planning — not the data — becomes the bottleneck.
+    # localCheckpoint materializes the (≤1600-row) closure and keeps
+    # every round's plan constant-size, the same idiom as
+    # events_pagerank's edge checkpoint.
+    reach = edges.localCheckpoint()
+    n_reach = reach.count()
+    for _ in range(SCC_DOUBLING_ROUNDS):
+        hop = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        reach = reach.unionByName(hop).distinct().localCheckpoint()
+        # exact fixpoint early-exit: the closure is monotone, so an
+        # unchanged pair count means no new path was found and further
+        # doubling is a no-op (counts are ~free on the materialized
+        # metadata-sized closure). Same termination rule as the
+        # oracle's WITH RECURSIVE fixpoint — results identical.
+        n_next = reach.count()
+        if n_next == n_reach:
+            break
+        n_reach = n_next
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.alias("b"),
+            (F.col("f.src") == F.col("b.dst"))
+            & (F.col("f.dst") == F.col("b.src")),
+        )
+        .select(F.col("f.src").alias("node"), F.col("f.dst").alias("peer"))
+        .unionByName(nodes.select("node", F.col("node").alias("peer")))
+        .distinct()
+    )
+    scc = mutual.groupBy("node").agg(F.min("peer").alias("scc_id"))
+    mem = scc.groupBy("scc_id").agg(
+        F.count("*").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("node")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+    e2 = (
+        edges.join(
+            scc.withColumnRenamed("node", "src").withColumnRenamed(
+                "scc_id", "s_src"
+            ),
+            "src",
+        )
+        .join(
+            scc.withColumnRenamed("node", "dst").withColumnRenamed(
+                "scc_id", "s_dst"
+            ),
+            "dst",
+        )
+    )
+    deg = e2.groupBy("s_src").agg(
+        F.sum((F.col("s_dst") == F.col("s_src")).cast("long")).alias(
+            "n_internal"
+        ),
+        F.sum((F.col("s_dst") != F.col("s_src")).cast("long")).alias("n_out"),
+    )
+    return (
+        mem.join(deg.withColumnRenamed("s_src", "scc_id"), "scc_id", "left")
+        .select(
+            "scc_id",
+            "n_members",
+            "members",
+            F.coalesce("n_internal", F.lit(0)).alias("n_internal_edges"),
+            (F.coalesce("n_out", F.lit(0)) == 0).cast("long").alias(
+                "is_recurrent"
+            ),
+        )
+        .orderBy("scc_id")
+    )
+
+
+ORACLE_EVENTS_ITEM_SCC = f"""
+WITH RECURSIVE f AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         epoch_us(ts) AS us, event_id
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+ft AS (
+  SELECT user_id, item, us, event_id FROM (
+    SELECT user_id, item, us, event_id,
+           row_number() OVER (PARTITION BY user_id, item
+                              ORDER BY us, event_id) AS rn
+    FROM f) WHERE rn = 1),
+supp AS (SELECT item, count(*) AS supp FROM ft GROUP BY item),
+top AS (SELECT item FROM supp
+        ORDER BY supp DESC, item ASC LIMIT {SCC_TOP_ITEMS}),
+seq AS (
+  SELECT item AS src,
+         lead(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst
+  FROM ft WHERE item IN (SELECT item FROM top)),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS n FROM seq
+    WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2)
+  WHERE n >= {SCC_MIN_EDGE}),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+mutual AS (
+  SELECT fw.src AS node, fw.dst AS peer
+  FROM reach fw JOIN reach bw ON fw.src = bw.dst AND fw.dst = bw.src
+  UNION
+  SELECT node, node FROM nodes),
+scc AS (SELECT node, min(peer) AS scc_id FROM mutual GROUP BY node),
+mem AS (
+  SELECT scc_id, count(*) AS n_members,
+         string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+  FROM scc GROUP BY scc_id),
+e2 AS (
+  SELECT s1.scc_id AS s_src, s2.scc_id AS s_dst
+  FROM edges e
+  JOIN scc s1 ON e.src = s1.node
+  JOIN scc s2 ON e.dst = s2.node),
+deg AS (
+  SELECT s_src AS scc_id,
+         CAST(sum(CASE WHEN s_dst = s_src THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_internal,
+         CAST(sum(CASE WHEN s_dst <> s_src THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_out
+  FROM e2 GROUP BY s_src)
+SELECT m.scc_id, m.n_members, m.members,
+       coalesce(d.n_internal, 0) AS n_internal_edges,
+       CAST(CASE WHEN coalesce(d.n_out, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_recurrent
+FROM mem m LEFT JOIN deg d USING (scc_id)
+ORDER BY scc_id
+"""
+
+
+QUERIES["events_item_scc"] = q_events_item_scc
+ORACLES["events_item_scc"] = ORACLE_EVENTS_ITEM_SCC

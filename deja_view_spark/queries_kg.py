@@ -447,3 +447,136 @@ ORACLES = {
     "kg_pred_cooccurrence": ORACLE_KG_PRED_COOCCURRENCE,
     "kg_type_signatures": ORACLE_KG_TYPE_SIGNATURES,
 }
+
+
+# ------------------------------------------------- WL structural roles
+# Weisfeiler-Lehman color refinement over the user↔item engagement
+# graph: R rounds of color(v) := md5(color(v) || '|' || sorted multiset
+# of neighbor colors), starting from the entity-type partition
+# ('user' / 'item'). After R rounds two entities share a color iff
+# their R-hop neighborhood trees are isomorphic — the classic
+# structural-role / graph-fingerprint primitive (1-WL), used in KG
+# construction as a blocking key for structural entity resolution
+# (role-equivalent entities are candidate merges even when their
+# surface forms differ) and as the node feature GIN-style graph
+# models train on. The reference has no structural-role machinery;
+# this extends its duplicate-entity linking (semantic similarity)
+# with the structural axis — cited in SURVEY.md §2 KG extension.
+#
+# Determinism / oracle story: the refinement is pure string hashing —
+# md5 over '|'-joined sorted neighbor-color lists — so Spark and
+# DuckDB produce bit-identical colors (both emit lowercase-hex md5 and
+# both sort with binary collation over ASCII hex strings). No floats
+# anywhere.
+#
+# Scale shape: each round is ONE groupBy(dst-side entity) building the
+# sorted neighbor-color list + ONE join back to the color table — the
+# canonical message-passing round (same join+agg skeleton as
+# events_pagerank, which localCheckpoints; at WL_ROUNDS=3 the lineage
+# is linear and short enough to skip that). The collect_list per
+# entity is bounded by the entity's degree; at 100 TB the known hubs
+# (kg_degree_topk surfaces them) would switch the multiset encoding
+# to a commutative per-neighbor hash-sum — noted, not needed at this
+# corpus. Output is the top-WL_TOP role classes under a total order.
+
+WL_ROUNDS = 3
+WL_TOP = 100
+
+
+def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pair = (
+        ev.select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias(
+                "u"
+            ),
+            F.concat(
+                F.lit("item:"),
+                F.get_json_object("props", "$.k").cast("long").cast("string"),
+            ).alias("i"),
+        )
+        .where(F.col("i").isNotNull())
+        .distinct()
+    )
+    edges = pair.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("i").alias("dst")),
+                F.struct(F.col("i").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    colors = (
+        edges.select(F.col("src").alias("entity"))
+        .distinct()
+        .select("entity", F.substring_index("entity", ":", 1).alias("color"))
+    )
+    for _ in range(WL_ROUNDS):
+        nb = (
+            edges.join(
+                colors.withColumnRenamed("entity", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list("color")), ","
+                ).alias("nb")
+            )
+            .withColumnRenamed("src", "entity")
+        )
+        colors = colors.join(nb, "entity").select(
+            "entity", F.md5(F.concat_ws("|", "color", "nb")).alias("color")
+        )
+    return (
+        colors.withColumn(
+            "is_user", F.col("entity").startswith("user:").cast("long")
+        )
+        .groupBy("color")
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.sum("is_user").alias("n_users"),
+            F.min("entity").alias("min_entity"),
+        )
+        .orderBy(F.desc("n_entities"), F.asc("color"))
+        .limit(WL_TOP)
+    )
+
+
+def _wl_oracle() -> str:
+    rounds = []
+    for r in range(1, WL_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        rounds.append(
+            f"""n{r} AS (
+  SELECT e.src AS entity, string_agg(c.color, ',' ORDER BY c.color) AS nb
+  FROM edges e JOIN {prev} c ON e.dst = c.entity GROUP BY e.src),
+c{r} AS (
+  SELECT n{r}.entity, md5(p.color || '|' || n{r}.nb) AS color
+  FROM n{r} JOIN {prev} p USING (entity))"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pair AS (
+  SELECT DISTINCT 'user:' || CAST(user_id AS VARCHAR) AS u,
+         'item:' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS VARCHAR) AS i
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+edges AS (SELECT u AS src, i AS dst FROM pair
+          UNION ALL SELECT i, u FROM pair),
+c0 AS (SELECT DISTINCT src AS entity, split_part(src, ':', 1) AS color
+       FROM edges),
+{chain}
+SELECT color, count(*) AS n_entities,
+       CAST(sum(CASE WHEN entity LIKE 'user:%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users,
+       min(entity) AS min_entity
+FROM c{WL_ROUNDS}
+GROUP BY color
+ORDER BY n_entities DESC, color ASC
+LIMIT {WL_TOP}
+"""
+
+
+QUERIES["kg_wl_colors"] = q_kg_wl_colors
+ORACLES["kg_wl_colors"] = _wl_oracle()

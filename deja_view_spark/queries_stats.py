@@ -1386,3 +1386,228 @@ GROUP BY r_dims, c_dims
 
 QUERIES["docs_src_lang_independence"] = q_docs_src_lang_independence
 ORACLES["docs_src_lang_independence"] = ORACLE_DOCS_SRC_LANG_INDEPENDENCE
+
+
+# ----------------------------------------------------- Benford audit
+# First-significant-digit census of every money/value column in the
+# corpus vs the Benford expectation — the classic forensic
+# data-quality screen (fabricated or unit-mangled numeric feeds break
+# the log-uniform digit law long before summary stats move). Values
+# are fixed to EXACT integer cents map-side (floor(v*100 + 0.5) — the
+# float multiply-add is the same IEEE op in both engines, floor is
+# exact), the leading digit is string-derived from the integer (no
+# log10 on the comparison path), and the per-digit deviation
+# statistic is pure BIGINT arithmetic: with p̂ = obs_ppm and
+# p = benford_ppm, chi_contrib_micro = (p̂−p)² DIV p ≈ 1e6·(p̂−p)²/p,
+# the n-normalized chi-square contribution. The Benford constants are
+# floor(log10(1+1/d)·1e6), computed once in Python and inlined into
+# BOTH engines' plans — a single source of truth, zero cross-engine
+# float evaluation.
+#
+# Scale shape: three column-pruned scans (one per audited column),
+# each folding to a 9-row digit histogram via one map-side-combinable
+# partial agg; the per-source totals join is a broadcast of a 3-row
+# table. Output is 27 rows regardless of corpus size.
+
+import math as _math
+
+BENFORD_PPM = {
+    d: int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1_000_000))
+    for d in range(1, 10)
+}
+_BENFORD_SOURCES = (
+    ("lineitem", "l_extendedprice"),
+    ("orders", "o_totalprice"),
+    ("events", "value"),
+)
+
+
+def q_docs_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_src = []
+    for table, col in _BENFORD_SOURCES:
+        t = load_table(spark, sf_dir, table)
+        per_src.append(
+            t.select(
+                F.lit(f"{table}.{col}").alias("src"),
+                F.floor(F.col(col) * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            ).where(F.col("cents") > 0)
+        )
+    cents = per_src[0]
+    for p in per_src[1:]:
+        cents = cents.unionByName(p)
+    digits = cents.select(
+        "src",
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit"),
+    )
+    obs = digits.groupBy("src", "digit").agg(F.count("*").alias("n_obs"))
+    totals = obs.groupBy("src").agg(F.sum("n_obs").alias("n_src"))
+    bz = F.create_map(
+        *[x for d, p in sorted(BENFORD_PPM.items()) for x in (F.lit(d), F.lit(p))]
+    )
+    return (
+        obs.join(F.broadcast(totals), "src")
+        .withColumn("obs_ppm", F.expr("n_obs * 1000000 DIV n_src"))
+        .withColumn("benford_ppm", bz[F.col("digit")])
+        .withColumn("delta_ppm", F.col("obs_ppm") - F.col("benford_ppm"))
+        .withColumn(
+            "chi_contrib_micro",
+            F.expr("delta_ppm * delta_ppm DIV benford_ppm"),
+        )
+        .select(
+            "src",
+            "digit",
+            "n_obs",
+            "obs_ppm",
+            "benford_ppm",
+            "delta_ppm",
+            "chi_contrib_micro",
+        )
+        .orderBy("src", "digit")
+    )
+
+
+def _benford_oracle() -> str:
+    scans = "\nUNION ALL\n".join(
+        f"""SELECT '{t}.{c}' AS src,
+       CAST(floor({c} * 100 + 0.5) AS BIGINT) AS cents
+FROM {t} WHERE CAST(floor({c} * 100 + 0.5) AS BIGINT) > 0"""
+        for t, c in _BENFORD_SOURCES
+    )
+    bmap = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in sorted(BENFORD_PPM.items())
+    )
+    return f"""
+WITH cents AS ({scans}),
+digits AS (
+  SELECT src, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents),
+obs AS (SELECT src, digit, count(*) AS n_obs FROM digits GROUP BY 1, 2),
+totals AS (SELECT src, CAST(sum(n_obs) AS BIGINT) AS n_src
+           FROM obs GROUP BY src)
+SELECT src, digit, n_obs,
+       n_obs * 1000000 // n_src AS obs_ppm,
+       CAST(CASE digit {bmap} END AS BIGINT) AS benford_ppm,
+       n_obs * 1000000 // n_src - (CASE digit {bmap} END) AS delta_ppm,
+       (n_obs * 1000000 // n_src - (CASE digit {bmap} END))
+         * (n_obs * 1000000 // n_src - (CASE digit {bmap} END))
+         // (CASE digit {bmap} END) AS chi_contrib_micro
+FROM obs JOIN totals USING (src)
+ORDER BY src, digit
+"""
+
+
+QUERIES["docs_benford"] = q_docs_benford
+ORACLES["docs_benford"] = _benford_oracle()
+
+
+# -------------------------------------------------- lead-lag profile
+# Lagged cross-correlation between two daily event-count series
+# (does activity in X lead conversions in Y, and by how many days?) —
+# the causal-ordering screen run before any attribution or
+# forecasting model. Day d of LL_X is aligned with day d+lag of LL_Y
+# for lag = 0..LL_MAX_LAG; per lag the Pearson correlation is
+# computed from EXACT BIGINT sufficient statistics (n, Σx, Σy, Σxy,
+# Σx², Σy² — the "GLM by moments" pattern shared with
+# docs_quality_regression), with the one closed-form double at the
+# end under the repo's round(·,0)→BIGINT ppm convention (identical
+# IEEE expression tree in both engines). Degenerate lags (zero
+# variance on either side) emit corr_ppm = 0 rather than NULL.
+#
+# Scale shape: the event scan folds to ≤|days|·|2 types| rows in one
+# partial agg; the lag expansion is an 8-row broadcast; everything
+# after is metadata-sized. One shuffle over the daily key space.
+
+LL_X = "view"
+LL_Y = "purchase"
+LL_MAX_LAG = 7
+
+
+def q_events_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "event_type"
+    )
+    daily = (
+        ev.where(F.col("event_type").isin(LL_X, LL_Y))
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    x = daily.where(F.col("event_type") == LL_X).select(
+        "day", F.col("n").alias("x")
+    )
+    y = daily.where(F.col("event_type") == LL_Y).select(
+        F.col("day").alias("y_day"), F.col("n").alias("y")
+    )
+    lags = spark.range(LL_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    aligned = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("y_day", F.date_add("day", F.col("lag")))
+        .join(y, "y_day")
+    )
+    stats = aligned.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
+    )
+    num = "CAST(n_days * sum_xy - sum_x * sum_y AS DOUBLE)"
+    vx = "CAST(n_days * sum_x2 - sum_x * sum_x AS DOUBLE)"
+    vy = "CAST(n_days * sum_y2 - sum_y * sum_y AS DOUBLE)"
+    return stats.select(
+        "lag",
+        "n_days",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        F.expr(
+            f"CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(round({num} * 1000000 / sqrt({vx} * {vy}), 0) "
+            "AS BIGINT) END"
+        ).alias("corr_ppm"),
+    ).orderBy("lag")
+
+
+ORACLE_EVENTS_LEADLAG = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events
+  WHERE event_type IN ('{LL_X}', '{LL_Y}')
+  GROUP BY 1, 2),
+x AS (SELECT day, n AS x FROM daily WHERE event_type = '{LL_X}'),
+y AS (SELECT day AS y_day, n AS y FROM daily WHERE event_type = '{LL_Y}'),
+lags AS (SELECT CAST(unnest(range(0, {LL_MAX_LAG + 1})) AS INTEGER) AS lag),
+aligned AS (
+  SELECT l.lag, x.x, y.y
+  FROM x CROSS JOIN lags l
+  JOIN y ON y.y_day = x.day + l.lag),
+stats AS (
+  SELECT lag, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_x2,
+         CAST(sum(y * y) AS BIGINT) AS sum_y2
+  FROM aligned GROUP BY lag)
+SELECT lag, n_days, sum_x, sum_y, sum_xy,
+       CASE WHEN CAST(n_days * sum_x2 - sum_x * sum_x AS DOUBLE) <= 0
+              OR CAST(n_days * sum_y2 - sum_y * sum_y AS DOUBLE) <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(
+              CAST(n_days * sum_xy - sum_x * sum_y AS DOUBLE) * 1000000
+              / sqrt(CAST(n_days * sum_x2 - sum_x * sum_x AS DOUBLE)
+                     * CAST(n_days * sum_y2 - sum_y * sum_y AS DOUBLE)),
+              0) AS BIGINT) END AS corr_ppm
+FROM stats
+ORDER BY lag
+"""
+
+
+QUERIES["events_leadlag"] = q_events_leadlag
+ORACLES["events_leadlag"] = ORACLE_EVENTS_LEADLAG

@@ -308,6 +308,12 @@ CORPUS_OPS = {
     # wave 40
     "did": "events_did",
     "mutual-nn": "embeddings_mutual_nn",
+    # wave 41
+    "wl-roles": "kg_wl_colors",
+    "item-scc": "events_item_scc",
+    # wave 42
+    "benford": "docs_benford",
+    "lead-lag": "events_leadlag",
 }
 
 

@@ -1153,6 +1153,40 @@ CHECKS = [
         [r"BroadcastNestedLoopJoin", r"partial_min"],
         [r"Window", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # WL refinement: message-passing rounds are join + sorted
+    # collect_list (ObjectHashAggregate); pure column expressions —
+    # no Python, no window, no cartesian anywhere in the 3 unrolled
+    # rounds
+    (
+        "kg_wl_colors",
+        [r"ObjectHashAggregate", r"md5"],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # item SCC: the only corpus-sized work is the first-touch partial
+    # agg + ONE per-user window over first-touches; the closure loop
+    # is lineage-truncated (localCheckpoint) metadata joins. No
+    # Python, no cartesian.
+    (
+        "events_item_scc",
+        [r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # Benford: three pruned scans fold to 9-row digit histograms via
+    # partial aggs; the 3-row per-source totals join broadcasts
+    (
+        "docs_benford",
+        [PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # lead-lag: daily counts partial-agg; the 8-row lag expansion is
+    # a broadcast nested-loop; no window anywhere
+    (
+        "events_leadlag",
+        [PARTIAL_AGG, r"BroadcastNestedLoopJoin"],
+        [r"Window", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
