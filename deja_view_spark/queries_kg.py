@@ -580,3 +580,170 @@ LIMIT {WL_TOP}
 
 QUERIES["kg_wl_colors"] = q_kg_wl_colors
 ORACLES["kg_wl_colors"] = _wl_oracle()
+
+
+# --------------------------------------------- predicate-drift alarm
+# Week-over-week drift of the KG build's predicate mix — the ingest
+# monitor a production triple pipeline runs on every load: a predicate
+# whose share of emitted assertions jumps means an upstream extractor
+# or source changed (new event taxonomy, broken parser, source
+# outage). Works on the time-carrying branch of the triple stream
+# (event-derived assertions, counted per emission — ingest
+# monitoring, deliberately NOT deduped like kg_triples' edge view).
+# Shares are exact ppm integers; drift is the share delta vs the
+# predicate's PREVIOUS OBSERVED week (lag over the per-pred weekly
+# series — gap weeks compare across the gap, identically in both
+# engines); first observations carry no drift row.
+#
+# Scale shape: one column-pruned event scan folding to a
+# (weeks × |predicates|)-row table in one partial agg; the weekly
+# totals join is a broadcast of |weeks| rows; the lag window sorts
+# the metadata-sized weekly series, never events.
+
+
+def q_kg_predicate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tr = ev.select(
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("week"),
+        F.col("event_type").alias("pred"),
+        F.get_json_object("props", "$.k").alias("k"),
+    ).where(F.col("k").isNotNull())
+    wk = tr.groupBy("week", "pred").agg(F.count("*").alias("n_triples"))
+    tot = wk.groupBy("week").agg(F.sum("n_triples").alias("week_total"))
+    shares = wk.join(F.broadcast(tot), "week").withColumn(
+        "share_ppm", F.expr("n_triples * 1000000 DIV week_total")
+    )
+    w = Window.partitionBy("pred").orderBy("week")
+    return (
+        shares.withColumn("prev_share_ppm", F.lag("share_ppm").over(w))
+        .where(F.col("prev_share_ppm").isNotNull())
+        .select(
+            "week",
+            "pred",
+            "n_triples",
+            "share_ppm",
+            "prev_share_ppm",
+            (F.col("share_ppm") - F.col("prev_share_ppm")).alias(
+                "drift_ppm"
+            ),
+        )
+        .orderBy("week", "pred")
+    )
+
+
+ORACLE_KG_PREDICATE_DRIFT = """
+WITH tr AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         event_type AS pred
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+wk AS (SELECT week, pred, count(*) AS n_triples FROM tr GROUP BY 1, 2),
+tot AS (SELECT week, CAST(sum(n_triples) AS BIGINT) AS week_total
+        FROM wk GROUP BY week),
+shares AS (
+  SELECT wk.week, wk.pred, wk.n_triples,
+         wk.n_triples * 1000000 // t.week_total AS share_ppm
+  FROM wk JOIN tot t USING (week)),
+lagged AS (
+  SELECT week, pred, n_triples, share_ppm,
+         lag(share_ppm) OVER (PARTITION BY pred ORDER BY week)
+           AS prev_share_ppm
+  FROM shares)
+SELECT week, pred, n_triples, share_ppm, prev_share_ppm,
+       share_ppm - prev_share_ppm AS drift_ppm
+FROM lagged
+WHERE prev_share_ppm IS NOT NULL
+ORDER BY week, pred
+"""
+
+
+QUERIES["kg_predicate_drift"] = q_kg_predicate_drift
+ORACLES["kg_predicate_drift"] = ORACLE_KG_PREDICATE_DRIFT
+
+
+# ---------------------------------------------- merge-integrity audit
+# Attribute-consistency audit of the near-duplicate clusters the
+# canonicalization stage is about to merge — the link-integrity QA
+# gate of entity resolution: a cluster whose members disagree on an
+# identifying attribute (language, source) is a probable FALSE MERGE
+# (the LSH/Jaccard blocker linked lookalikes that are not the same
+# entity), exactly the class of error P/R metrics computed on pair
+# samples miss. Reuses the registered cluster assignment
+# (docs_duplicate_clusters is called UNCHANGED, the composition
+# pattern of docs_dedup_method_eval) joined back to document
+# attributes; per cluster it emits member/attribute cardinalities,
+# the sorted distinct language list, and the mixed-language flag.
+#
+# Scale shape: the cluster table carries one fixed-width row per
+# CLUSTERED doc (near-dup members only, a small fraction of the
+# corpus); one join to the pruned documents scan, one partial-agg
+# rollup per cluster, top-MERGE_AUDIT_TOP under a total order.
+
+MERGE_AUDIT_TOP = 50
+
+
+def q_kg_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.queries_graph import q_docs_duplicate_clusters
+
+    clusters = q_docs_duplicate_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    joined = clusters.join(docs, "doc_id")
+    per = joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.collect_list("lang"))), ","
+        ).alias("langs"),
+    )
+    return (
+        per.select(
+            "cluster_id",
+            "n_members",
+            "n_langs",
+            "n_sources",
+            "langs",
+            (F.col("n_langs") > 1).cast("long").alias("mixed_lang"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("cluster_id"))
+        .limit(MERGE_AUDIT_TOP)
+    )
+
+
+def _merge_audit_oracle() -> str:
+    from deja_view_spark.queries_graph import ORACLE_DOCS_DUPLICATE_CLUSTERS
+
+    return f"""
+WITH clusters AS (
+  SELECT doc_id, cluster_id FROM ({ORACLE_DOCS_DUPLICATE_CLUSTERS})),
+joined AS (
+  SELECT c.cluster_id, d.lang, d.source
+  FROM clusters c JOIN documents d USING (doc_id)),
+langs AS (
+  SELECT cluster_id, string_agg(lang, ',' ORDER BY lang) AS langs
+  FROM (SELECT DISTINCT cluster_id, lang FROM joined)
+  GROUP BY cluster_id),
+per AS (
+  SELECT cluster_id, count(*) AS n_members,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources
+  FROM joined GROUP BY cluster_id)
+SELECT p.cluster_id, p.n_members, p.n_langs, p.n_sources, l.langs,
+       CAST(CASE WHEN p.n_langs > 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS mixed_lang
+FROM per p JOIN langs l USING (cluster_id)
+ORDER BY n_members DESC, cluster_id ASC
+LIMIT {MERGE_AUDIT_TOP}
+"""
+
+
+QUERIES["kg_merge_audit"] = q_kg_merge_audit
+ORACLES["kg_merge_audit"] = _merge_audit_oracle()

@@ -314,6 +314,9 @@ CORPUS_OPS = {
     # wave 42
     "benford": "docs_benford",
     "lead-lag": "events_leadlag",
+    # wave 43
+    "pred-drift": "kg_predicate_drift",
+    "merge-audit": "kg_merge_audit",
 }
 
 

@@ -1187,6 +1187,20 @@ CHECKS = [
         [PARTIAL_AGG, r"BroadcastNestedLoopJoin"],
         [r"Window", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # predicate drift: event scan folds in one partial agg; weekly
+    # totals broadcast; the lag window sorts the weeks×preds table
+    (
+        "kg_predicate_drift",
+        [PARTIAL_AGG, r"BroadcastHashJoin", r"Window"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # merge audit: cluster rows join the pruned documents scan; the
+    # per-cluster rollup is partial-agg + sorted-list ObjectHashAgg
+    (
+        "kg_merge_audit",
+        [PARTIAL_AGG, r"ObjectHashAggregate"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
