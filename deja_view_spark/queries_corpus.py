@@ -2149,3 +2149,106 @@ ORDER BY band
 
 QUERIES["docs_dedup_savings"] = q_docs_dedup_savings
 ORACLES["docs_dedup_savings"] = ORACLE_DOCS_DEDUP_SAVINGS
+
+
+# -------------------------------------------- rendezvous shard audit
+# Highest-random-weight (rendezvous / Thaler-Ravishankar) shard
+# assignment plus the reshard-movement audit — the partition-stability
+# primitive behind incremental corpus materialization: when a 100-TB
+# triple store grows from W to W+1 output shards, mod-hashing moves
+# ~W/(W+1) of ALL rows, while rendezvous hashing provably moves only
+# ~1/(W+1), every one of them INTO the new shard. The query assigns
+# every doc under both worlds (W_OLD and W_NEW shards) and emits, per
+# old shard, the exact movement count in ppm — with an
+# `n_moved_elsewhere` column that the rendezvous monotonicity
+# guarantee forces to zero (the audit self-evidences the property the
+# operator exists for).
+#
+# Determinism / oracle story: a doc's weight for shard s is
+# md5(doc_id || ':' || s) — lowercase hex in both engines; argmax is
+# taken over the fixed-length string 'md5#ss' (s zero-padded), so the
+# lexicographic max IS the (weight, shard) struct max, bit-identical
+# cross-engine, no numeric conversion anywhere.
+#
+# Scale shape: W_NEW md5 evaluations per row, all map-side inside
+# whole-stage codegen (the candidate array never leaves the row); the
+# only shuffle carries one (shard_old, flags) row per doc into a
+# 16-group partial agg. Output is W_OLD rows regardless of corpus
+# size.
+
+RDV_W_OLD = 16
+RDV_W_NEW = 17
+
+
+def _rdv_shard(w: int):
+    cands = [
+        F.concat(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":{s}")
+                )
+            ),
+            F.lit(f"#{s:02d}"),
+        )
+        for s in range(w)
+    ]
+    return F.substring(F.array_max(F.array(*cands)), 34, 2).cast("int")
+
+
+def q_docs_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.select(
+        _rdv_shard(RDV_W_OLD).alias("shard"),
+        _rdv_shard(RDV_W_NEW).alias("shard_new"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("shard_new") != F.col("shard")).cast("long")
+            ).alias("n_moved"),
+            F.sum(
+                (
+                    (F.col("shard_new") != F.col("shard"))
+                    & (F.col("shard_new") != F.lit(RDV_W_OLD))
+                ).cast("long")
+            ).alias("n_moved_elsewhere"),
+        )
+        .withColumn("moved_ppm", F.expr("n_moved * 1000000 DIV n_docs"))
+        .orderBy("shard")
+    )
+
+
+def _rdv_oracle() -> str:
+    def assign(w: int, alias: str) -> str:
+        return f"""
+  SELECT doc_id,
+         CAST(substr(max(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(s AS VARCHAR))
+                         || '#' || lpad(CAST(s AS VARCHAR), 2, '0')),
+                     34, 2) AS INTEGER) AS {alias}
+  FROM documents CROSS JOIN (SELECT unnest(range(0, {w})) AS s)
+  GROUP BY doc_id"""
+
+    return f"""
+WITH olds AS ({assign(RDV_W_OLD, "shard")}),
+news AS ({assign(RDV_W_NEW, "shard_new")}),
+j AS (SELECT o.shard, n.shard_new
+      FROM olds o JOIN news n USING (doc_id))
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(CASE WHEN shard_new <> shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       CAST(sum(CASE WHEN shard_new <> shard
+                      AND shard_new <> {RDV_W_OLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_elsewhere,
+       CAST(sum(CASE WHEN shard_new <> shard THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS moved_ppm
+FROM j
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+QUERIES["docs_rendezvous_shards"] = q_docs_rendezvous_shards
+ORACLES["docs_rendezvous_shards"] = _rdv_oracle()

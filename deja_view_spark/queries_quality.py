@@ -466,3 +466,129 @@ ORACLE_DOCS_EXPECTATIONS = _oracle_expectations()
 
 QUERIES["docs_expectations"] = q_docs_expectations
 ORACLES["docs_expectations"] = ORACLE_DOCS_EXPECTATIONS
+
+
+# --------------------------------------------- filter-funnel census
+# Attribution census for the composed quality filter — the report a
+# corpus curator reads before shipping a filter chain: not just how
+# many docs each rule rejects (rules overlap heavily), but how many
+# each rule rejects FIRST (its marginal effect in the fixed chain
+# order — what the rule actually removes given everything before it)
+# and how many it is the SOLE reason for (what would be recovered by
+# deleting just that rule). Four expression-level rules in ONE
+# tokenize pass: too_short (< FF_MIN_TOKENS tokens), too_long
+# (> FF_MAX_CHARS chars), low_distinct (distinct-token ratio below
+# FF_MIN_DISTINCT_PCT% — integer cross-multiplication, no division),
+# has_pii (the module's email/phone banks). A final 'pass' row
+# carries the survivor count through the same three columns.
+#
+# Scale shape: one pruned scan, every flag a codegen column expr, ONE
+# global aggregate emitting 16 integers, then a 5-row stack of that
+# single row. No joins, no window, no shuffle beyond the scalar agg.
+
+FF_MIN_TOKENS = 10
+FF_MAX_CHARS = 5000
+FF_MIN_DISTINCT_PCT = 35
+
+
+def q_docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    flagged = docs.select(
+        (F.size(toks) < FF_MIN_TOKENS).alias("f1"),
+        (F.col("n_chars") > FF_MAX_CHARS).alias("f2"),
+        (
+            F.size(F.array_distinct(toks)) * 100
+            < F.size(toks) * FF_MIN_DISTINCT_PCT
+        ).alias("f3"),
+        (
+            F.lower(F.col("text")).rlike(EMAIL_RE)
+            | F.lower(F.col("text")).rlike(PHONE_RE)
+        ).alias("f4"),
+    )
+    c = lambda e: F.sum(e.cast("long"))  # noqa: E731
+    f1, f2, f3, f4 = (F.col(x) for x in ("f1", "f2", "f3", "f4"))
+    agg = flagged.agg(
+        F.count("*").alias("n_docs"),
+        c(f1).alias("any1"),
+        c(f2).alias("any2"),
+        c(f3).alias("any3"),
+        c(f4).alias("any4"),
+        c(f1).alias("first1"),
+        c(f2 & ~f1).alias("first2"),
+        c(f3 & ~f1 & ~f2).alias("first3"),
+        c(f4 & ~f1 & ~f2 & ~f3).alias("first4"),
+        c(f1 & ~f2 & ~f3 & ~f4).alias("sole1"),
+        c(f2 & ~f1 & ~f3 & ~f4).alias("sole2"),
+        c(f3 & ~f1 & ~f2 & ~f4).alias("sole3"),
+        c(f4 & ~f1 & ~f2 & ~f3).alias("sole4"),
+        c(~f1 & ~f2 & ~f3 & ~f4).alias("survivors"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "1, 'too_short',    any1, first1, sole1, "
+            "2, 'too_long',     any2, first2, sole2, "
+            "3, 'low_distinct', any3, first3, sole3, "
+            "4, 'has_pii',      any4, first4, sole4, "
+            "5, 'pass',         survivors, survivors, survivors) "
+            "AS (rule_order, rule, n_failing, n_first, n_sole)"
+        ),
+        "n_docs",
+    ).withColumn(
+        "share_ppm", F.expr("n_failing * 1000000 DIV n_docs")
+    ).orderBy("rule_order")
+
+
+ORACLE_DOCS_FILTER_FUNNEL = f"""
+WITH flags AS (
+  SELECT len({_SQL_TOKS}) < {FF_MIN_TOKENS} AS f1,
+         n_chars > {FF_MAX_CHARS} AS f2,
+         len(list_distinct({_SQL_TOKS})) * 100
+           < len({_SQL_TOKS}) * {FF_MIN_DISTINCT_PCT} AS f3,
+         (regexp_matches(lower(text), '{EMAIL_RE}')
+          OR regexp_matches(lower(text), '{PHONE_RE}')) AS f4
+  FROM documents),
+agg AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS any1,
+         CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS any2,
+         CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS any3,
+         CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS any4,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS first1,
+         CAST(sum(CASE WHEN f2 AND NOT f1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS first2,
+         CAST(sum(CASE WHEN f3 AND NOT f1 AND NOT f2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS first3,
+         CAST(sum(CASE WHEN f4 AND NOT f1 AND NOT f2 AND NOT f3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS first4,
+         CAST(sum(CASE WHEN f1 AND NOT f2 AND NOT f3 AND NOT f4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sole1,
+         CAST(sum(CASE WHEN f2 AND NOT f1 AND NOT f3 AND NOT f4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sole2,
+         CAST(sum(CASE WHEN f3 AND NOT f1 AND NOT f2 AND NOT f4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sole3,
+         CAST(sum(CASE WHEN f4 AND NOT f1 AND NOT f2 AND NOT f3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sole4,
+         CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+  FROM flags),
+rows_ AS (
+  SELECT 1 AS rule_order, 'too_short' AS rule,
+         any1 AS n_failing, first1 AS n_first, sole1 AS n_sole, n_docs
+  FROM agg
+  UNION ALL SELECT 2, 'too_long', any2, first2, sole2, n_docs FROM agg
+  UNION ALL SELECT 3, 'low_distinct', any3, first3, sole3, n_docs
+  FROM agg
+  UNION ALL SELECT 4, 'has_pii', any4, first4, sole4, n_docs FROM agg
+  UNION ALL SELECT 5, 'pass', survivors, survivors, survivors, n_docs
+  FROM agg)
+SELECT rule_order, rule, n_failing, n_first, n_sole, n_docs,
+       n_failing * 1000000 // n_docs AS share_ppm
+FROM rows_
+ORDER BY rule_order
+"""
+
+
+QUERIES["docs_filter_funnel"] = q_docs_filter_funnel
+ORACLES["docs_filter_funnel"] = ORACLE_DOCS_FILTER_FUNNEL

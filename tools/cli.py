@@ -317,6 +317,9 @@ CORPUS_OPS = {
     # wave 43
     "pred-drift": "kg_predicate_drift",
     "merge-audit": "kg_merge_audit",
+    # wave 44
+    "reshard-audit": "docs_rendezvous_shards",
+    "filter-funnel": "docs_filter_funnel",
 }
 
 

@@ -1201,6 +1201,22 @@ CHECKS = [
         [PARTIAL_AGG, r"ObjectHashAggregate"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # rendezvous: W md5 candidates stay inside codegen (array_max over
+    # a per-row array — no explode, no join); one 16-group partial agg
+    (
+        "docs_rendezvous_shards",
+        [PARTIAL_AGG, r"array_max"],
+        [r"Window", r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # filter funnel: ONE scalar aggregate over codegen flags, then a
+    # 5-row generate (stack); no join, no window
+    (
+        "docs_filter_funnel",
+        [PARTIAL_AGG, r"Generate"],
+        [r"Window", r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
