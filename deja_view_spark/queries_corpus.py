@@ -2252,3 +2252,101 @@ ORDER BY shard
 
 QUERIES["docs_rendezvous_shards"] = q_docs_rendezvous_shards
 ORACLES["docs_rendezvous_shards"] = _rdv_oracle()
+
+
+# ---------------------------------------------- source-overlap matrix
+# Source × source near-duplicate overlap matrix — the crawl-overlap
+# report a corpus acquisition team reads before paying for a new
+# source: how many of source B's documents are near-duplicates of
+# what source A already delivers (and how much of each source
+# duplicates ITSELF). Built by joining the exact-Jaccard
+# near-duplicate pairs (docs_jaccard_pairs, called unchanged — the
+# composition pattern of docs_dedup_method_eval / kg_merge_audit)
+# back to document sources; pairs collapse onto the canonical
+# (least, greatest) source combination so intra-source pairs land on
+# the diagonal. cross_rate_ppb normalizes by the pair universe
+# n_docs_a × n_docs_b (ppb — per-billion — because real cross-source
+# dup rates at corpus scale are tiny and would round to 0 in ppm).
+#
+# Scale shape: the pair table carries one row per NEAR-DUP PAIR (df-
+# cutoff bounded, never all-pairs); two broadcast-joinable lookups
+# attach sources (documents pruned to (doc_id, source)); the matrix
+# agg is |sources|² rows. The per-source doc counts ride in on a
+# broadcast.
+
+
+def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deja_view_spark.queries_text import q_docs_jaccard_pairs
+
+    pairs = q_docs_jaccard_pairs(spark, sf_dir).select("src_doc", "dst_doc")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(
+        F.col("doc_id").alias("src_doc"), F.col("source").alias("sa")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("dst_doc"), F.col("source").alias("sb")
+    )
+    tagged = (
+        pairs.join(sa, "src_doc")
+        .join(sb, "dst_doc")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    mat = tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ca = counts.select(
+        F.col("source").alias("source_a"), F.col("n_docs").alias("n_docs_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    return (
+        mat.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.expr(
+                "n_pairs * 1000000000 DIV (n_docs_a * n_docs_b)"
+            ).alias("cross_rate_ppb"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from deja_view_spark.queries_text import ORACLE_DOCS_JACCARD
+
+    return f"""
+WITH pairs AS (
+  SELECT src_doc, dst_doc FROM ({ORACLE_DOCS_JACCARD})),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON p.src_doc = da.doc_id
+  JOIN documents db ON p.dst_doc = db.doc_id),
+mat AS (
+  SELECT source_a, source_b, count(*) AS n_pairs
+  FROM tagged GROUP BY 1, 2),
+counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT m.source_a, m.source_b, m.n_pairs,
+       ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+       CAST(m.n_pairs * 1000000000 // (ca.n_docs * cb.n_docs) AS BIGINT)
+         AS cross_rate_ppb
+FROM mat m
+JOIN counts ca ON m.source_a = ca.source
+JOIN counts cb ON m.source_b = cb.source
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES["docs_source_overlap"] = q_docs_source_overlap
+ORACLES["docs_source_overlap"] = _source_overlap_oracle()

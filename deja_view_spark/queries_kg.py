@@ -747,3 +747,94 @@ LIMIT {MERGE_AUDIT_TOP}
 
 QUERIES["kg_merge_audit"] = q_kg_merge_audit
 ORACLES["kg_merge_audit"] = _merge_audit_oracle()
+
+
+# ------------------------------------------------- walk-count census
+# Length-k walk counts between entity TYPES (k = 1..WALK_CENSUS_K)
+# over the triple graph traversed in BOTH directions (each triple
+# contributes subj→obj and its inverse obj→subj — exactly the
+# traversal space of SPARQL property paths with ^inverse steps; the
+# raw subj→obj graph here is bipartite, so forward-only chains of
+# length ≥ 2 do not exist) — the join-fanout statistic an RDF / KG
+# query planner needs to size multi-hop traversals before running
+# them: n_walks(k, A, B) IS the expected intermediate-result
+# cardinality of a k-hop path pattern anchored on type A ending in
+# type B (kg_characteristic_sets prices star queries; this prices
+# CHAINS, immediate backtracks included — walks, not simple paths,
+# are what join cardinality follows). Exact BIGINT counts.
+#
+# Scale shape: the state is one (start_type, entity, count) row per
+# reachable entity per start type — bounded by |entities| × |types|,
+# NOT by walk multiplicity; each round is ONE equi-join on the
+# current frontier + ONE partial-agg regroup (the same message-
+# passing skeleton as PageRank, with counts instead of mass). At
+# k=WALK_CENSUS_K the per-entity counts stay well inside BIGINT at
+# any corpus this engine targets (hub-degree^(k-1) scaling is the
+# reason the census caps at k=3; a deeper census would switch to
+# log-bucketed counts).
+
+WALK_CENSUS_K = 3
+
+
+def q_kg_walk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fwd = kg_triples(spark, sf_dir).select("subj", "obj")
+    tri = fwd.unionByName(
+        fwd.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    )
+    etype = lambda c: F.substring_index(c, ":", 1)  # noqa: E731
+    state = tri.select(
+        etype(F.col("subj")).alias("from_type"), F.col("obj").alias("v")
+    ).groupBy("from_type", "v").agg(F.count("*").alias("n"))
+    census = []
+    for k in range(1, WALK_CENSUS_K + 1):
+        census.append(
+            state.groupBy(
+                "from_type", etype(F.col("v")).alias("to_type")
+            )
+            .agg(F.sum("n").alias("n_walks"))
+            .select(F.lit(k).alias("k"), "from_type", "to_type", "n_walks")
+        )
+        if k < WALK_CENSUS_K:
+            state = (
+                state.join(tri, state.v == tri.subj)
+                .groupBy("from_type", F.col("obj").alias("v2"))
+                .agg(F.sum("n").alias("n"))
+                .withColumnRenamed("v2", "v")
+            )
+    out = census[0]
+    for c in census[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("k", "from_type", "to_type")
+
+
+def _walk_census_oracle() -> str:
+    states = ["""
+bidi AS (
+  SELECT subj, obj FROM triples
+  UNION ALL SELECT obj, subj FROM triples),
+s1 AS (
+  SELECT split_part(subj, ':', 1) AS from_type, obj AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM bidi GROUP BY 1, 2)"""]
+    for k in range(2, WALK_CENSUS_K + 1):
+        states.append(f"""
+s{k} AS (
+  SELECT s.from_type, t.obj AS v, CAST(sum(s.n) AS BIGINT) AS n
+  FROM s{k - 1} s JOIN bidi t ON s.v = t.subj
+  GROUP BY 1, 2)""")
+    census = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k, from_type, split_part(v, ':', 1) AS to_type,
+       CAST(sum(n) AS BIGINT) AS n_walks
+FROM s{k} GROUP BY 1, 2, 3"""
+        for k in range(1, WALK_CENSUS_K + 1)
+    )
+    return f"""
+WITH {SQL_KG_TRIPLES.strip().lstrip()},
+{",".join(states)}
+SELECT k, from_type, to_type, n_walks FROM ({census})
+ORDER BY k, from_type, to_type
+"""
+
+
+QUERIES["kg_walk_census"] = q_kg_walk_census
+ORACLES["kg_walk_census"] = _walk_census_oracle()

@@ -320,6 +320,9 @@ CORPUS_OPS = {
     # wave 44
     "reshard-audit": "docs_rendezvous_shards",
     "filter-funnel": "docs_filter_funnel",
+    # wave 45
+    "walk-census": "kg_walk_census",
+    "source-overlap": "docs_source_overlap",
 }
 
 

@@ -1217,6 +1217,21 @@ CHECKS = [
         [r"Window", r"CartesianProduct", r"Join",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # walk census: message-passing rounds = equi-join + partial-agg
+    # regroup; state bounded by entities x types, no window
+    (
+        "kg_walk_census",
+        [PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # source overlap: near-dup pairs join two pruned doc lookups; the
+    # per-source counts ride in broadcast; matrix agg is partial
+    (
+        "docs_source_overlap",
+        [PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
