@@ -838,3 +838,69 @@ ORDER BY k, from_type, to_type
 
 QUERIES["kg_walk_census"] = q_kg_walk_census
 ORACLES["kg_walk_census"] = _walk_census_oracle()
+
+
+# --------------------------------------- inverse-functional violations
+# Dirty-key detector for entity linking: an inverse-functional
+# predicate (one object should identify at most one subject — the
+# email / SSN / content-hash class of keys) whose objects fan out to
+# MANY subjects is exactly the record-linkage trap that collapses
+# distinct entities into one (the "bob@gmail.com shared by 4 000
+# accounts" failure). The query profiles obj→subject fanout per
+# predicate and surfaces the top offending objects with their share
+# of the predicate's assertions — the blocklist a linking stage
+# feeds its "do not join on this value" filter. Complements
+# kg_predicate_stats (which profiles the subject→object direction).
+#
+# Scale shape: one (pred, obj) partial agg over the triple scan
+# (distinct-subject counts — assertions are already deduped per
+# (subj, pred, obj) by construction of the derived view, so count(*)
+# would equal count(DISTINCT subj); the DISTINCT spelling keeps the
+# semantic contract explicit), a broadcast of the |preds|-row totals,
+# TakeOrdered top-IFP_TOP finish.
+
+IFP_TOP = 25
+
+
+def q_kg_ifp_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = kg_triples(spark, sf_dir)
+    fan = tri.groupBy("pred", "obj").agg(
+        F.countDistinct("subj").alias("n_subjs")
+    )
+    totals = tri.groupBy("pred").agg(F.count("*").alias("pred_triples"))
+    return (
+        fan.where(F.col("n_subjs") > 1)
+        .join(F.broadcast(totals), "pred")
+        .select(
+            "pred",
+            "obj",
+            "n_subjs",
+            "pred_triples",
+            F.expr("n_subjs * 1000000 DIV pred_triples").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_subjs"), F.asc("pred"), F.asc("obj"))
+        .limit(IFP_TOP)
+    )
+
+
+ORACLE_KG_IFP_VIOLATIONS = f"""
+WITH {SQL_KG_TRIPLES.strip().lstrip()},
+fan AS (
+  SELECT pred, obj, count(DISTINCT subj) AS n_subjs
+  FROM triples GROUP BY 1, 2),
+totals AS (
+  SELECT pred, count(*) AS pred_triples FROM triples GROUP BY pred)
+SELECT f.pred, f.obj, f.n_subjs, t.pred_triples,
+       CAST(f.n_subjs * 1000000 // t.pred_triples AS BIGINT)
+         AS share_ppm
+FROM fan f JOIN totals t USING (pred)
+WHERE f.n_subjs > 1
+ORDER BY n_subjs DESC, pred ASC, obj ASC
+LIMIT {IFP_TOP}
+"""
+
+
+QUERIES["kg_ifp_violations"] = q_kg_ifp_violations
+ORACLES["kg_ifp_violations"] = ORACLE_KG_IFP_VIOLATIONS

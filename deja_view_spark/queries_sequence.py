@@ -1344,3 +1344,104 @@ SELECT
 
 QUERIES["events_did"] = q_events_did
 ORACLES["events_did"] = ORACLE_EVENTS_DID
+
+
+# ---------------------------------------------- sequence-pattern CEP
+# Regex pattern matching over per-user event-type sequences — the
+# batch form of the CEP / MATCH_RECOGNIZE workload: each user's
+# history collapses to a compact string of event-type initials
+# (deterministic (ts_micros, event_id) order — the module's standard
+# sequence key), and a fixed bank of behavioral patterns is evaluated
+# as substring regexes: signup converting to purchase with only
+# views/clicks between, an error burst (3+ consecutive errors), and
+# adjacent repeat purchases. Output: per pattern, matching-user count
+# and exact ppm share of the user base. The patterns use only
+# alternation / classes / star — the regex fragment where Java
+# (Spark) and RE2 (DuckDB) semantics coincide; contains-semantics in
+# both engines (rlike / regexp_matches).
+#
+# Scale shape: ONE groupBy(user) building the ordered initial string
+# (ObjectHashAggregate; string length = the user's event count, the
+# same per-user bound every sequence operator here carries), then ONE
+# scalar aggregate evaluating all patterns as codegen flags, then a
+# 3-row stack. No joins, no window over raw events.
+
+CEP_PATTERNS = (
+    ("signup_to_purchase", "s[vc]*p"),
+    ("error_burst", "eee"),
+    ("repeat_purchase", "pp"),
+)
+
+
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("us", "event_id", "ini"))
+                ),
+                lambda x: x.ini,
+            ),
+            "",
+        ).alias("seq")
+    )
+    flags = [
+        F.sum(F.col("seq").rlike(pat).cast("long")).alias(f"m{i}")
+        for i, (_, pat) in enumerate(CEP_PATTERNS)
+    ]
+    agg = seqs.agg(F.count("*").alias("n_users"), *flags)
+    stack_args = ", ".join(
+        f"'{name}', '{pat}', m{i}"
+        for i, (name, pat) in enumerate(CEP_PATTERNS)
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(CEP_PATTERNS)}, {stack_args}) "
+                "AS (pattern, regex, n_matching)"
+            ),
+            "n_users",
+        )
+        .withColumn("share_ppm", F.expr("n_matching * 1000000 DIV n_users"))
+        .orderBy("pattern")
+    )
+
+
+def _cep_oracle() -> str:
+    flag_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN regexp_matches(seq, '{pat}') THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS m{i}"
+        for i, (_, pat) in enumerate(CEP_PATTERNS)
+    )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, '{pat}' AS regex, m{i} AS n_matching,"
+        " n_users FROM agg"
+        for i, (name, pat) in enumerate(CEP_PATTERNS)
+    )
+    return f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT count(*) AS n_users,
+         {flag_cols}
+  FROM seqs),
+rows_ AS (
+  {rows})
+SELECT pattern, regex, n_matching, n_users,
+       n_matching * 1000000 // n_users AS share_ppm
+FROM rows_
+ORDER BY pattern
+"""
+
+
+QUERIES["events_pattern_match"] = q_events_pattern_match
+ORACLES["events_pattern_match"] = _cep_oracle()

@@ -323,6 +323,9 @@ CORPUS_OPS = {
     # wave 45
     "walk-census": "kg_walk_census",
     "source-overlap": "docs_source_overlap",
+    # wave 46
+    "ifp-violations": "kg_ifp_violations",
+    "pattern-match": "events_pattern_match",
 }
 
 

@@ -1232,6 +1232,22 @@ CHECKS = [
         [PARTIAL_AGG, r"BroadcastHashJoin"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # IFP violations: (pred,obj) distinct-subj partial agg + broadcast
+    # pred totals + TakeOrdered; no window
+    (
+        "kg_ifp_violations",
+        [PARTIAL_AGG, r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # CEP: ordered per-user sequence built in ONE ObjectHashAggregate,
+    # then a scalar agg of regex flags + 3-row stack; no join/window
+    (
+        "events_pattern_match",
+        [r"ObjectHashAggregate", r"Generate"],
+        [r"Window", r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
