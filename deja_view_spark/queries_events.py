@@ -2257,3 +2257,126 @@ ORDER BY week
 
 QUERIES["events_stickiness"] = q_events_stickiness
 ORACLES["events_stickiness"] = ORACLE_EVENTS_STICKINESS
+
+
+# --------------------------------------------- growth accounting
+# Weekly growth-accounting census — the standard four-bucket user
+# decomposition every growth team reports: per week, users who are
+# NEW (first-ever activity), RETAINED (active this week and last),
+# RESURRECTED (active this week, inactive last week, seen before),
+# and CHURNED (active last week, absent this week). The accounting
+# identities active(w) = new + retained + resurrected and
+# churned(w) = active(w−1) − retained(w) hold exactly by
+# construction — the planted test asserts both. Distinct from
+# events_stickiness (intensity ratio) and events_cohort_retention
+# (fixed-cohort triangle): this is the week-over-week state machine.
+#
+# Scale shape: events fold to one (user, week) DISTINCT activity row
+# (partial agg); ONE window (lag/lead over each user's ordered
+# distinct weeks — rows per user = active weeks, never events)
+# classifies transitions; churn events are emitted at prev_week+7 via
+# the lead gap (capped at the corpus's last week via a broadcast
+# scalar). Final regroup is per-week.
+
+
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("week"),
+    )
+    act = ev.distinct()
+    maxw = act.agg(F.max("week").alias("max_week"))
+    w = W.partitionBy("user_id").orderBy("week")
+    flagged = act.withColumn("prev_week", F.lag("week").over(w)).withColumn(
+        "next_week", F.lead("week").over(w)
+    )
+    per_week = flagged.groupBy("week").agg(
+        F.sum(F.col("prev_week").isNull().cast("long")).alias("n_new"),
+        # null-safe: on an all-new week every prev_week is NULL and a
+        # bare == would make the whole sum NULL (DuckDB's CASE yields 0)
+        F.sum(
+            (
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") == F.date_sub("week", 7))
+            ).cast("long")
+        ).alias("n_retained"),
+        F.sum(
+            (
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.date_sub("week", 7))
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    # churn events: a user active in week W churns at W+7 unless also
+    # active then; the corpus's final week can't observe churn yet
+    churn = (
+        flagged.where(
+            F.col("next_week").isNull()
+            | (F.col("next_week") > F.date_add("week", 7))
+        )
+        .select(F.date_add("week", 7).alias("week"))
+        .crossJoin(F.broadcast(maxw))
+        .where(F.col("week") <= F.col("max_week"))
+        .groupBy("week")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        per_week.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+            (
+                F.col("n_new")
+                + F.col("n_retained")
+                + F.col("n_resurrected")
+            ).alias("n_active"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_EVENTS_GROWTH_ACCOUNTING = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+maxw AS (SELECT max(week) AS max_week FROM act),
+flagged AS (
+  SELECT user_id, week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week)
+           AS prev_week,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week)
+           AS next_week
+  FROM act),
+per_week AS (
+  SELECT week,
+         CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN prev_week = week - 7 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN prev_week IS NOT NULL
+                        AND prev_week < week - 7 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM flagged GROUP BY week),
+churn AS (
+  SELECT week + 7 AS week, CAST(count(*) AS BIGINT) AS n_churned
+  FROM flagged CROSS JOIN maxw
+  WHERE (next_week IS NULL OR next_week > week + 7)
+    AND week + 7 <= max_week
+  GROUP BY week + 7)
+SELECT p.week, p.n_new, p.n_retained, p.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned,
+       p.n_new + p.n_retained + p.n_resurrected AS n_active
+FROM per_week p LEFT JOIN churn c USING (week)
+ORDER BY week
+"""
+
+
+QUERIES["events_growth_accounting"] = q_events_growth_accounting
+ORACLES["events_growth_accounting"] = ORACLE_EVENTS_GROWTH_ACCOUNTING

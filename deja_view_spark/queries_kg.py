@@ -904,3 +904,101 @@ LIMIT {IFP_TOP}
 
 QUERIES["kg_ifp_violations"] = q_kg_ifp_violations
 ORACLES["kg_ifp_violations"] = ORACLE_KG_IFP_VIOLATIONS
+
+
+# ------------------------------------------ planner-estimate QA table
+# System-R join-cardinality estimates vs EXACT join cardinalities for
+# every predicate pair joined on the shared object — the calibration
+# report for the statistics this module maintains
+# (kg_predicate_stats, kg_characteristic_sets, kg_walk_census): a
+# planner is only as good as its estimator, and this table quantifies
+# the independence-assumption error |R ⋈ S| ≈ |R|·|S| /
+# max(V(R,o), V(S,o)) against ground truth, per pair. Self-pairs
+# (p ⋈ p) are included — that row is exactly the candidate-count
+# estimate vs reality of a self-join blocker (the LSH sizing
+# question). err_ppm = |est − actual| · 1e6 / actual, all BIGINT.
+#
+# Scale shape: actual join cardinality is computed WITHOUT
+# materializing the join — Σ_o fan1(o)·fan2(o) over the (pred, obj)
+# fanout aggregate (one partial agg over the triple scan + one
+# self-equi-join of the |preds|·|objs|-row fanout table on obj, tiny
+# relative to the triple corpus); estimates ride in on a broadcast
+# |preds|-row stats table. Output is |pred-pairs-sharing-objects|
+# rows.
+
+
+def q_kg_join_cardinality_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = kg_triples(spark, sf_dir)
+    fan = tri.groupBy("pred", "obj").agg(F.count("*").alias("f"))
+    stats = fan.groupBy("pred").agg(
+        F.sum("f").alias("n"), F.count("*").alias("v")
+    )
+    a = fan.select(
+        F.col("pred").alias("p1"), "obj", F.col("f").alias("f1")
+    )
+    b = fan.select(
+        F.col("pred").alias("p2"), "obj", F.col("f").alias("f2")
+    )
+    actual = (
+        a.join(b, "obj")
+        .groupBy("p1", "p2")
+        .agg(F.sum(F.col("f1") * F.col("f2")).alias("actual"))
+    )
+    s1 = stats.select(
+        F.col("pred").alias("p1"),
+        F.col("n").alias("n1"),
+        F.col("v").alias("v1"),
+    )
+    s2 = stats.select(
+        F.col("pred").alias("p2"),
+        F.col("n").alias("n2"),
+        F.col("v").alias("v2"),
+    )
+    return (
+        actual.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "n1",
+            "n2",
+            "v1",
+            "v2",
+            F.expr("n1 * n2 DIV greatest(v1, v2)").alias("est_sysr"),
+            "actual",
+            F.expr(
+                "abs(n1 * n2 DIV greatest(v1, v2) - actual) * 1000000"
+                " DIV actual"
+            ).alias("err_ppm"),
+        )
+        .orderBy("p1", "p2")
+    )
+
+
+ORACLE_KG_JOIN_CARDINALITY_QA = f"""
+WITH {SQL_KG_TRIPLES},
+fan AS (
+  SELECT pred, obj, CAST(count(*) AS BIGINT) AS f
+  FROM triples GROUP BY 1, 2),
+stats AS (
+  SELECT pred, CAST(sum(f) AS BIGINT) AS n, count(*) AS v
+  FROM fan GROUP BY pred),
+actual AS (
+  SELECT a.pred AS p1, b.pred AS p2,
+         CAST(sum(a.f * b.f) AS BIGINT) AS actual
+  FROM fan a JOIN fan b USING (obj)
+  GROUP BY 1, 2)
+SELECT ac.p1, ac.p2, s1.n AS n1, s2.n AS n2, s1.v AS v1, s2.v AS v2,
+       s1.n * s2.n // greatest(s1.v, s2.v) AS est_sysr,
+       ac.actual,
+       abs(s1.n * s2.n // greatest(s1.v, s2.v) - ac.actual) * 1000000
+         // ac.actual AS err_ppm
+FROM actual ac
+JOIN stats s1 ON ac.p1 = s1.pred
+JOIN stats s2 ON ac.p2 = s2.pred
+ORDER BY p1, p2
+"""
+
+
+QUERIES["kg_join_cardinality_qa"] = q_kg_join_cardinality_qa
+ORACLES["kg_join_cardinality_qa"] = ORACLE_KG_JOIN_CARDINALITY_QA

@@ -326,6 +326,9 @@ CORPUS_OPS = {
     # wave 46
     "ifp-violations": "kg_ifp_violations",
     "pattern-match": "events_pattern_match",
+    # wave 47
+    "join-card-qa": "kg_join_cardinality_qa",
+    "growth": "events_growth_accounting",
 }
 
 

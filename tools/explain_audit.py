@@ -1248,6 +1248,22 @@ CHECKS = [
         [r"Window", r"CartesianProduct", r"Join",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # join-cardinality QA: actual is computed on the (pred,obj) fanout
+    # aggregate (never the materialized join); stats broadcast in
+    (
+        "kg_join_cardinality_qa",
+        [PARTIAL_AGG, r"BroadcastHashJoin"],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # growth accounting: events fold to distinct (user,week) rows
+    # first; ONE per-user window over active weeks; churn cap rides a
+    # broadcast scalar
+    (
+        "events_growth_accounting",
+        [PARTIAL_AGG, r"Window", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
