@@ -2380,3 +2380,165 @@ ORDER BY week
 
 QUERIES["events_growth_accounting"] = q_events_growth_accounting
 ORACLES["events_growth_accounting"] = ORACLE_EVENTS_GROWTH_ACCOUNTING
+
+
+# ------------------------------------------------ velocity rule flags
+# Sliding-window velocity rule — the fraud/abuse screen run on every
+# event stream: a user emitting >= VEL_THRESHOLD events of one type
+# inside any VEL_WINDOW_US-long window is flagged (card-testing
+# bursts, scraper loops, notification storms). The count uses a RANGE
+# frame over exact epoch-micros (window semantics identical in Spark
+# and DuckDB: count of events in (t - W, t]), the per-user maximum
+# burst is taken, and the census reports per event type how many
+# users trip the rule plus the corpus-wide worst burst. Rows appear
+# for every event type even when nothing trips (n_flagged = 0), so
+# the report shape is corpus-independent.
+#
+# Scale shape: ONE range-frame window per (user, type) partition
+# (sorted by the same micros key every sequence operator here uses),
+# one (user, type) partial-agg max, one per-type rollup. Nothing
+# leaves the user partition before aggregation.
+
+VEL_WINDOW_US = 3_600_000_000  # 1 hour
+VEL_THRESHOLD = 3
+
+
+def q_events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id", "event_type")
+        .orderBy("us")
+        .rangeBetween(-(VEL_WINDOW_US - 1), 0)
+    )
+    burst = ev.withColumn("in_window", F.count("*").over(w))
+    per_user = burst.groupBy("user_id", "event_type").agg(
+        F.max("in_window").alias("max_burst")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(
+                (F.col("max_burst") >= VEL_THRESHOLD).cast("long")
+            ).alias("n_flagged"),
+            F.max("max_burst").alias("max_burst"),
+        )
+        .withColumn(
+            "flag_ppm", F.expr("n_flagged * 1000000 DIV n_users")
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_VELOCITY_FLAGS = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+burst AS (
+  SELECT user_id, event_type,
+         count(*) OVER (PARTITION BY user_id, event_type ORDER BY us
+                        RANGE BETWEEN {VEL_WINDOW_US - 1} PRECEDING
+                              AND CURRENT ROW) AS in_window
+  FROM ev),
+per_user AS (
+  SELECT user_id, event_type, max(in_window) AS max_burst
+  FROM burst GROUP BY 1, 2)
+SELECT event_type, count(*) AS n_users,
+       CAST(sum(CASE WHEN max_burst >= {VEL_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(max(max_burst) AS BIGINT) AS max_burst,
+       CAST(sum(CASE WHEN max_burst >= {VEL_THRESHOLD} THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS flag_ppm
+FROM per_user
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["events_velocity_flags"] = q_events_velocity_flags
+ORACLES["events_velocity_flags"] = ORACLE_EVENTS_VELOCITY_FLAGS
+
+
+# --------------------------------------------------- debounce dedup
+# Debounce deduplication census — the double-fire cleanup every
+# client-event pipeline runs before analytics: an event repeating the
+# same (user, event_type) within DEBOUNCE_US of the PREVIOUS such
+# event is a retry/double-click artifact and is dropped (debounce
+# semantics: the timer resets on every event, so a dense burst
+# collapses to its first event — deliberately distinct from
+# TTL-anchor dedup, whose restart rule is not expressible in one
+# window pass). The census reports, per event type, events kept vs
+# dropped and how many users had at least one drop — the report that
+# says whether the corpus needs the cleanup at all.
+#
+# Scale shape: ONE lag window per (user, type) partition, one
+# per-type partial-agg rollup. The drop decision is a pure column
+# predicate on the lag delta; nothing shuffles except the final
+# per-type census.
+
+DEBOUNCE_US = 600_000_000  # 10 minutes
+
+
+def q_events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "dropped",
+        (
+            F.lag("us").over(w).isNotNull()
+            & (F.col("us") - F.lag("us").over(w) < DEBOUNCE_US)
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("dropped").alias("n_dropped"),
+            F.countDistinct(
+                F.when(F.col("dropped") == 1, F.col("user_id"))
+            ).alias("n_users_affected"),
+        )
+        .withColumn(
+            "drop_ppm", F.expr("n_dropped * 1000000 DIV n_events")
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_DEBOUNCE_DEDUP = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+flagged AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY us, event_id) IS NOT NULL
+               AND us - lag(us) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY us, event_id)
+                   < {DEBOUNCE_US}
+              THEN 1 ELSE 0 END AS dropped
+  FROM ev)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       count(DISTINCT CASE WHEN dropped = 1 THEN user_id END)
+         AS n_users_affected,
+       CAST(sum(dropped) * 1000000 // count(*) AS BIGINT) AS drop_ppm
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["events_debounce_dedup"] = q_events_debounce_dedup
+ORACLES["events_debounce_dedup"] = ORACLE_EVENTS_DEBOUNCE_DEDUP

@@ -329,6 +329,9 @@ CORPUS_OPS = {
     # wave 47
     "join-card-qa": "kg_join_cardinality_qa",
     "growth": "events_growth_accounting",
+    # wave 48
+    "velocity": "events_velocity_flags",
+    "debounce": "events_debounce_dedup",
 }
 
 

@@ -1264,6 +1264,22 @@ CHECKS = [
         [PARTIAL_AGG, r"Window", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # velocity: one RANGE-frame window per (user,type), partial-agg
+    # rollups after; no join
+    (
+        "events_velocity_flags",
+        [r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # debounce: one lag window per (user,type), per-type census; no
+    # join
+    (
+        "events_debounce_dedup",
+        [r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
