@@ -2894,3 +2894,177 @@ ORDER BY scc_id
 
 QUERIES["events_item_scc"] = q_events_item_scc
 ORACLES["events_item_scc"] = ORACLE_EVENTS_ITEM_SCC
+
+
+# --------------------------------------------- hub-knockout resilience
+# Attack-tolerance audit of the item co-engagement graph: remove the
+# top-k highest-degree items ("hubs") for k in KNOCKOUT_KS and report
+# how the graph fragments (component count, largest-component size) —
+# the Albert-Barabási robustness experiment run as a query. In a KG /
+# recommendation context this answers an operational question: how
+# much of the catalog's connectivity flows through the few hub items
+# that skew-handling already special-cases (kg_degree_topk surfaces
+# them; this measures what happens when they're gone — delisted,
+# filtered, or sharded away).
+#
+# Scale shape: the graph is the same support-capped item-item
+# projection as events_item_cf / events_item_scc (top KNOCK_TOP_ITEMS
+# items by audience, pairs with >= KNOCK_MIN_SHARED shared users —
+# the corpus-sized work is ONE distinct + ONE bounded pair agg);
+# every knockout scenario then runs connected components on a
+# ≤40-node metadata graph via the doubling closure with fixpoint
+# early-exit (the events_item_scc machinery), so the whole scenario
+# sweep is broadcast-sized joins. Degree ties break on item id
+# (deterministic knockout sets).
+
+KNOCK_TOP_ITEMS = 40
+KNOCK_MIN_SHARED = 3
+KNOCKOUT_KS = (0, 2, 5, 10)
+
+
+def q_events_hub_knockout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    ui = ev.distinct()
+    supp = ui.groupBy("item").agg(F.count("*").alias("supp"))
+    top = (
+        supp.orderBy(F.desc("supp"), F.asc("item"))
+        .limit(KNOCK_TOP_ITEMS)
+        .select("item")
+    )
+    kept = ui.join(F.broadcast(top), "item", "left_semi")
+    a = kept.select(F.col("item").alias("ia"), "user_id")
+    b = kept.select(F.col("item").alias("ib"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= KNOCK_MIN_SHARED)
+        .select("ia", "ib")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("ia").alias("item"))
+        .unionByName(pairs.select(F.col("ib").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("item"))
+    )
+    ranked = [r.item for r in deg.collect()]  # ≤40 rows: metadata
+    out = None
+    for k in KNOCKOUT_KS:
+        removed = set(ranked[:k])
+        e = pairs.where(
+            ~F.col("ia").isin(removed) & ~F.col("ib").isin(removed)
+            if removed
+            else F.lit(True)
+        )
+        nodes = (
+            e.select(F.col("ia").alias("node"))
+            .unionByName(e.select(F.col("ib").alias("node")))
+            .distinct()
+        )
+        und = e.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        und = und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        reach = und.unionByName(
+            nodes.select("node", F.col("node").alias("peer")).toDF(
+                "src", "dst"
+            )
+        ).localCheckpoint()
+        n_reach = reach.count()
+        for _ in range(6):
+            hop = (
+                reach.alias("x")
+                .join(reach.alias("y"), F.col("x.dst") == F.col("y.src"))
+                .select(
+                    F.col("x.src").alias("src"), F.col("y.dst").alias("dst")
+                )
+            )
+            reach = reach.unionByName(hop).distinct().localCheckpoint()
+            n_next = reach.count()
+            if n_next == n_reach:
+                break
+            n_reach = n_next
+        comp = reach.groupBy("src").agg(F.min("dst").alias("comp"))
+        sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
+        row = (
+            sizes.agg(
+                F.count("*").alias("n_components"),
+                F.coalesce(F.max("sz"), F.lit(0)).alias("largest_cc"),
+                F.coalesce(F.sum("sz"), F.lit(0)).alias("n_nodes"),
+            )
+            .crossJoin(
+                F.broadcast(e.agg(F.count("*").alias("n_edges")))
+            )
+            .select(
+                F.lit(k).alias("k_removed"),
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "largest_cc",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k_removed")
+
+
+def _knockout_oracle() -> str:
+    blocks = []
+    for k in KNOCKOUT_KS:
+        blocks.append(f"""
+SELECT {k} AS k_removed, * FROM (
+  WITH RECURSIVE removed AS (
+    SELECT item FROM deg ORDER BY deg DESC, item ASC LIMIT {k}),
+  e AS (
+    SELECT ia, ib FROM pairs
+    WHERE ia NOT IN (SELECT item FROM removed)
+      AND ib NOT IN (SELECT item FROM removed)),
+  nodes AS (SELECT ia AS node FROM e UNION SELECT ib FROM e),
+  und AS (
+    SELECT ia AS src, ib AS dst FROM e
+    UNION ALL SELECT ib, ia FROM e
+    UNION ALL SELECT node, node FROM nodes),
+  reach AS (
+    SELECT src, dst FROM und
+    UNION
+    SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+  comp AS (SELECT src, min(dst) AS comp FROM reach GROUP BY src),
+  sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+  SELECT coalesce((SELECT CAST(sum(sz) AS BIGINT) FROM sizes), 0)
+           AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT count(*) FROM sizes) AS n_components,
+         coalesce((SELECT CAST(max(sz) AS BIGINT) FROM sizes), 0)
+           AS largest_cc)""")
+    scen = "\nUNION ALL".join(blocks)
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+supp AS (SELECT item, count(*) AS supp FROM ui GROUP BY item),
+top AS (SELECT item FROM supp
+        ORDER BY supp DESC, item ASC LIMIT {KNOCK_TOP_ITEMS}),
+kept AS (SELECT ui.* FROM ui JOIN top USING (item)),
+pairs AS MATERIALIZED (
+  SELECT a.item AS ia, b.item AS ib
+  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {KNOCK_MIN_SHARED}),
+deg AS MATERIALIZED (
+  SELECT item, count(*) AS deg FROM (
+    SELECT ia AS item FROM pairs UNION ALL SELECT ib FROM pairs)
+  GROUP BY item)
+{scen}
+ORDER BY k_removed
+"""
+
+
+QUERIES["events_hub_knockout"] = q_events_hub_knockout
+ORACLES["events_hub_knockout"] = _knockout_oracle()

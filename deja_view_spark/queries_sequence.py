@@ -1445,3 +1445,78 @@ ORDER BY pattern
 
 QUERIES["events_pattern_match"] = q_events_pattern_match
 ORACLES["events_pattern_match"] = _cep_oracle()
+
+
+# ------------------------------------------------ sample-ratio check
+# Sample-ratio-mismatch (SRM) guardrail for the A/B machinery — the
+# pre-test every experiment readout must pass: under the module's
+# id-parity assignment (user_id % 2, the events_abtest / events_cuped
+# convention) the two cohorts should split 50/50 among ASSIGNED users
+# actually observed; a significant imbalance means broken
+# randomization or differential logging, and every downstream lift
+# number is void. Evaluated overall AND per event type (a type whose
+# observed users skew by cohort is differential logging even when the
+# global split looks fine). For an equal split the chi-square
+# statistic reduces to (n_a − n_b)² / n; it is emitted in exact
+# integer micro units and the flag compares cross-multiplied BIGINTs
+# against the χ²₁ 5% critical value 3.841459 — no float anywhere.
+#
+# Scale shape: one pruned scan folding to distinct (segment, cohort,
+# user) rows (partial agg), a |segments|×2 census, and a 6-integer
+# final row per segment. The ALL segment rides the same aggregation.
+
+SRM_CHI2_CRIT_MICRO = 3_841_459  # chi-square(1 df) at alpha = 0.05
+
+
+def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    seg = ev.select("event_type", "user_id").unionByName(
+        ev.select(F.lit("ALL").alias("event_type"), "user_id")
+    )
+    per = (
+        seg.distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_a"),
+            F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("n_b"),
+        )
+    )
+    diff2 = "(n_a - n_b) * (n_a - n_b)"
+    return per.select(
+        F.col("event_type").alias("segment"),
+        "n_a",
+        "n_b",
+        F.expr(f"{diff2} * 1000000 DIV (n_a + n_b)").alias("chi2_micro"),
+        F.expr(
+            f"CAST({diff2} * 1000000 > {SRM_CHI2_CRIT_MICRO} * (n_a + n_b)"
+            " AS BIGINT)"
+        ).alias("srm_flag"),
+    ).orderBy("segment")
+
+
+ORACLE_EVENTS_AB_SRM = f"""
+WITH seg AS (
+  SELECT event_type, user_id FROM events
+  UNION ALL
+  SELECT 'ALL', user_id FROM events),
+per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM (SELECT DISTINCT event_type, user_id FROM seg)
+  GROUP BY event_type)
+SELECT event_type AS segment, n_a, n_b,
+       (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS chi2_micro,
+       CAST((n_a - n_b) * (n_a - n_b) * 1000000
+            > {SRM_CHI2_CRIT_MICRO} * (n_a + n_b) AS BIGINT) AS srm_flag
+FROM per
+ORDER BY segment
+"""
+
+
+QUERIES["events_ab_srm"] = q_events_ab_srm
+ORACLES["events_ab_srm"] = ORACLE_EVENTS_AB_SRM

@@ -332,6 +332,9 @@ CORPUS_OPS = {
     # wave 48
     "velocity": "events_velocity_flags",
     "debounce": "events_debounce_dedup",
+    # wave 49
+    "srm": "events_ab_srm",
+    "hub-knockout": "events_hub_knockout",
 }
 
 

@@ -1280,6 +1280,23 @@ CHECKS = [
         [r"CartesianProduct", r"Join",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # SRM: distinct (segment,cohort,user) partial agg, 6-integer rows;
+    # no join, no window
+    (
+        "events_ab_srm",
+        [PARTIAL_AGG],
+        [r"Window", r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # hub knockout: corpus-sized work is the capped item-item pair
+    # agg; scenario closures are checkpoint-truncated metadata joins.
+    # No Python, no window.
+    (
+        "events_hub_knockout",
+        [PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
