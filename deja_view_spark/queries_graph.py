@@ -3068,3 +3068,146 @@ ORDER BY k_removed
 
 QUERIES["events_hub_knockout"] = q_events_hub_knockout
 ORACLES["events_hub_knockout"] = _knockout_oracle()
+
+
+# ------------------------------------------------ rich-club coefficient
+# Rich-club coefficient of the item co-engagement graph: for each
+# degree threshold k, the density among nodes of degree > k —
+# phi(k) = 2·E_k / (N_k·(N_k−1)) — quantifying whether the hubs form
+# their own tightly-wired club (phi grows with k) or merely fan out
+# to the periphery. The structural complement of
+# events_assortativity (correlation) and events_hub_knockout
+# (consequence of removal): a strong rich club means hub knockout
+# fragments the periphery but the core survives, and hub-to-hub
+# traffic dominates shuffle volume at scale. Emitted in exact ppm.
+#
+# Scale shape: same support-capped projection as the knockout audit
+# (the corpus-sized work is one distinct + one bounded pair agg);
+# degrees and the per-threshold counts are conditional sums in ONE
+# scalar aggregate over the ≤ capped-size edge/degree tables, stacked
+# to |thresholds| rows. No scenario loop, no closure.
+
+RICH_CLUB_KS = (1, 2, 3, 5, 8)
+
+
+def q_events_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    ui = ev.distinct()
+    supp = ui.groupBy("item").agg(F.count("*").alias("supp"))
+    top = (
+        supp.orderBy(F.desc("supp"), F.asc("item"))
+        .limit(KNOCK_TOP_ITEMS)
+        .select("item")
+    )
+    kept = ui.join(F.broadcast(top), "item", "left_semi")
+    a = kept.select(F.col("item").alias("ia"), "user_id")
+    b = kept.select(F.col("item").alias("ib"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= KNOCK_MIN_SHARED)
+        .select("ia", "ib")
+    )
+    deg = (
+        pairs.select(F.col("ia").alias("item"))
+        .unionByName(pairs.select(F.col("ib").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("item").alias("ia"), F.col("deg").alias("da"))
+    db = deg.select(F.col("item").alias("ib"), F.col("deg").alias("db"))
+    e = pairs.join(F.broadcast(da), "ia").join(F.broadcast(db), "ib")
+    n_aggs = [
+        F.sum((F.col("deg") > k).cast("long")).alias(f"n{k}")
+        for k in RICH_CLUB_KS
+    ]
+    e_aggs = [
+        F.sum(
+            ((F.col("da") > k) & (F.col("db") > k)).cast("long")
+        ).alias(f"e{k}")
+        for k in RICH_CLUB_KS
+    ]
+    nrow = deg.agg(*n_aggs)
+    erow = e.agg(*e_aggs)
+    stack_args = ", ".join(f"{k}, n{k}, e{k}" for k in RICH_CLUB_KS)
+    return (
+        nrow.crossJoin(erow)
+        .select(
+            F.expr(
+                f"stack({len(RICH_CLUB_KS)}, {stack_args}) "
+                "AS (k, n_club, e_club)"
+            )
+        )
+        .withColumn(
+            "phi_ppm",
+            F.expr(
+                "CASE WHEN n_club >= 2 THEN 2 * e_club * 1000000"
+                " DIV (n_club * (n_club - 1)) ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+def _rich_club_oracle() -> str:
+    n_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN deg > {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{k}"
+        for k in RICH_CLUB_KS
+    )
+    e_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN da > {k} AND db > {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS e{k}"
+        for k in RICH_CLUB_KS
+    )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, n{k} AS n_club, e{k} AS e_club"
+        " FROM nrow CROSS JOIN erow"
+        for k in RICH_CLUB_KS
+    )
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+supp AS (SELECT item, count(*) AS supp FROM ui GROUP BY item),
+top AS (SELECT item FROM supp
+        ORDER BY supp DESC, item ASC LIMIT {KNOCK_TOP_ITEMS}),
+kept AS (SELECT ui.* FROM ui JOIN top USING (item)),
+pairs AS MATERIALIZED (
+  SELECT a.item AS ia, b.item AS ib
+  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {KNOCK_MIN_SHARED}),
+deg AS MATERIALIZED (
+  SELECT item, count(*) AS deg FROM (
+    SELECT ia AS item FROM pairs UNION ALL SELECT ib FROM pairs)
+  GROUP BY item),
+e AS (
+  SELECT p.ia, p.ib, x.deg AS da, y.deg AS db
+  FROM pairs p JOIN deg x ON p.ia = x.item JOIN deg y ON p.ib = y.item),
+nrow AS (
+  SELECT {n_cols}
+  FROM deg),
+erow AS (
+  SELECT {e_cols}
+  FROM e),
+rows_ AS (
+  {rows})
+SELECT k, n_club, e_club,
+       CASE WHEN n_club >= 2
+            THEN 2 * e_club * 1000000 // (n_club * (n_club - 1))
+            ELSE CAST(0 AS BIGINT) END AS phi_ppm
+FROM rows_
+ORDER BY k
+"""
+
+
+QUERIES["events_rich_club"] = q_events_rich_club
+ORACLES["events_rich_club"] = _rich_club_oracle()

@@ -592,3 +592,75 @@ ORDER BY rule_order
 
 QUERIES["docs_filter_funnel"] = q_docs_filter_funnel
 ORACLES["docs_filter_funnel"] = ORACLE_DOCS_FILTER_FUNNEL
+
+
+# --------------------------------------------------- l-diversity audit
+# l-diversity — the privacy audit k-anonymity alone cannot pass: a
+# quasi-identifier class can be large (k-anonymous) yet HOMOGENEOUS in
+# the sensitive attribute, so membership still discloses it. Quasi
+# classes here are (lang, n_chars DIV 100) — docs_k_anonymity's
+# quasi-identifier set minus the sensitive column — and the sensitive
+# attribute is `source` (which corpus a document came from is exactly
+# the kind of provenance a release pipeline may need to withhold).
+# Classes are banded by their distinct-sensitive-value count l, same
+# report shape as the k-anonymity census; the audit passes only when
+# every class carries >= L_DIV_FLOOR distinct sources.
+#
+# Scale shape: one partial agg to (quasi-class, source) rows, one
+# per-class rollup, one |bands|-row census. No joins, no windows.
+
+L_DIV_FLOOR = 2
+
+
+def q_docs_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang", F.expr("n_chars DIV 100").alias("len_bucket")
+    ).agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct("source").alias("l_count"),
+    )
+    banded = classes.select(
+        F.when(F.col("l_count") == 1, "1 (homogeneous)")
+        .when(F.col("l_count") < L_DIV_FLOOR, f"2-{L_DIV_FLOOR - 1}")
+        .otherwise(f">={L_DIV_FLOOR}")
+        .alias("l_band"),
+        "class_size",
+        "l_count",
+    )
+    return (
+        banded.groupBy("l_band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+            F.min("l_count").alias("min_l"),
+            (F.min("l_count") >= L_DIV_FLOOR).alias("l_diverse"),
+        )
+        .orderBy("l_band")
+    )
+
+
+ORACLE_DOCS_L_DIVERSITY = f"""
+WITH classes AS (
+  SELECT lang, n_chars // 100 AS len_bucket,
+         count(*) AS class_size,
+         count(DISTINCT source) AS l_count
+  FROM documents GROUP BY 1, 2),
+banded AS (
+  SELECT CASE WHEN l_count = 1 THEN '1 (homogeneous)'
+              WHEN l_count < {L_DIV_FLOOR} THEN '2-{L_DIV_FLOOR - 1}'
+              ELSE '>={L_DIV_FLOOR}' END AS l_band,
+         class_size, l_count
+  FROM classes)
+SELECT l_band, count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(min(l_count) AS BIGINT) AS min_l,
+       min(l_count) >= {L_DIV_FLOOR} AS l_diverse
+FROM banded
+GROUP BY l_band
+ORDER BY l_band
+"""
+
+
+QUERIES["docs_l_diversity"] = q_docs_l_diversity
+ORACLES["docs_l_diversity"] = ORACLE_DOCS_L_DIVERSITY

@@ -335,6 +335,9 @@ CORPUS_OPS = {
     # wave 49
     "srm": "events_ab_srm",
     "hub-knockout": "events_hub_knockout",
+    # wave 50
+    "l-diversity": "docs_l_diversity",
+    "rich-club": "events_rich_club",
 }
 
 

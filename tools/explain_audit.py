@@ -1297,6 +1297,20 @@ CHECKS = [
         [r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # l-diversity: two-level partial agg + band census; no joins
+    (
+        "docs_l_diversity",
+        [PARTIAL_AGG],
+        [r"Window", r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # rich club: capped pair agg, broadcast degree attach, ONE scalar
+    # agg per side + stack; no scenario loop, no window
+    (
+        "events_rich_club",
+        [PARTIAL_AGG, r"BroadcastHashJoin", r"Generate"],
+        [r"Window", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
