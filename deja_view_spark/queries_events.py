@@ -2542,3 +2542,53 @@ ORDER BY event_type
 
 QUERIES["events_debounce_dedup"] = q_events_debounce_dedup
 ORACLES["events_debounce_dedup"] = ORACLE_EVENTS_DEBOUNCE_DEDUP
+
+
+# ------------------------------------------------ cumulative adoption
+# Cumulative-reach adoption curve: per day, how many users touched
+# the product for the FIRST time and the running total of users ever
+# seen — the saturation curve growth planning reads next to
+# events_growth_accounting's weekly state machine (this is the
+# integral view: its derivative is the acquisition rate, its plateau
+# the addressable-corpus ceiling; the same first-touch primitive, at
+# day grain, feeding the running sum).
+#
+# Scale shape: one partial agg to per-user first days (min over the
+# user's partition — never a corpus sort), one per-day count, then a
+# running sum over the |days|-sized series (the only window sorts
+# days, not events or users).
+
+
+def q_events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    per_day = first.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_day.withColumn("cum_users", F.sum("n_new_users").over(w))
+        .select("day", "n_new_users", "cum_users")
+        .orderBy("day")
+    )
+
+
+ORACLE_EVENTS_CUMULATIVE_REACH = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+  GROUP BY user_id),
+per_day AS (
+  SELECT day, count(*) AS n_new_users FROM first GROUP BY day)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM per_day
+ORDER BY day
+"""
+
+
+QUERIES["events_cumulative_reach"] = q_events_cumulative_reach
+ORACLES["events_cumulative_reach"] = ORACLE_EVENTS_CUMULATIVE_REACH

@@ -1520,3 +1520,97 @@ ORDER BY segment
 
 QUERIES["events_ab_srm"] = q_events_ab_srm
 ORACLES["events_ab_srm"] = ORACLE_EVENTS_AB_SRM
+
+
+# ------------------------------------------- second-order transitions
+# Second-order (trigram) Markov transitions over per-user event-type
+# sequences, with the first-order baseline attached: for each
+# (a, b) → c step the conditional probability P(c | a,b) is compared
+# against P(c | b) — lift_ppm > 1e6 means the extra symbol of memory
+# genuinely sharpens next-action prediction (the memory-order test a
+# behavioral model runs before paying for longer context; the
+# quantitative follow-up to events_transitions' first-order matrix).
+# Sequences use the module's deterministic (ts_micros, event_id)
+# ordering; probabilities are exact ppm integers; lift_ppm =
+# p2_ppm · 1e6 DIV p1_ppm in BIGINT. Output is the TRIGRAM_TOP most
+# frequent trigram steps under a total order.
+#
+# Scale shape: ONE per-user window produces both lead(1) and lead(2)
+# in the same Window op; trigram and bigram counts are partial aggs
+# over the (|types|³ / |types|²)-sized key spaces; the baseline
+# attaches by broadcast. No second pass over events.
+
+TRIGRAM_TOP = 50
+
+
+def q_events_trigram_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("c").isNotNull())
+    tri = steps.groupBy("a", "b", "c").agg(F.count("*").alias("n_abc"))
+    tri_tot = tri.groupBy("a", "b").agg(F.sum("n_abc").alias("n_ab"))
+    bi = steps.groupBy("b", "c").agg(F.count("*").alias("n_bc"))
+    bi_tot = bi.groupBy("b").agg(F.sum("n_bc").alias("n_b"))
+    return (
+        tri.join(F.broadcast(tri_tot), ["a", "b"])
+        .join(F.broadcast(bi), ["b", "c"])
+        .join(F.broadcast(bi_tot), ["b"])
+        .select(
+            "a",
+            "b",
+            "c",
+            "n_abc",
+            F.expr("n_abc * 1000000 DIV n_ab").alias("p2_ppm"),
+            F.expr("n_bc * 1000000 DIV n_b").alias("p1_ppm"),
+            F.expr(
+                "(n_abc * 1000000 DIV n_ab) * 1000000"
+                " DIV (n_bc * 1000000 DIV n_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("n_abc"), "a", "b", "c")
+        .limit(TRIGRAM_TOP)
+    )
+
+
+ORACLE_EVENTS_TRIGRAM_TRANSITIONS = f"""
+WITH ordered AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS b,
+         lead(event_type, 2) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS c
+  FROM events),
+steps AS (SELECT a, b, c FROM ordered WHERE c IS NOT NULL),
+tri AS (SELECT a, b, c, count(*) AS n_abc FROM steps GROUP BY 1, 2, 3),
+tri_tot AS (SELECT a, b, CAST(sum(n_abc) AS BIGINT) AS n_ab
+            FROM tri GROUP BY 1, 2),
+bi AS (SELECT b, c, count(*) AS n_bc FROM steps GROUP BY 1, 2),
+bi_tot AS (SELECT b, CAST(sum(n_bc) AS BIGINT) AS n_b
+           FROM bi GROUP BY 1)
+SELECT t.a, t.b, t.c, t.n_abc,
+       t.n_abc * 1000000 // tt.n_ab AS p2_ppm,
+       b2.n_bc * 1000000 // bt.n_b AS p1_ppm,
+       (t.n_abc * 1000000 // tt.n_ab) * 1000000
+         // (b2.n_bc * 1000000 // bt.n_b) AS lift_ppm
+FROM tri t
+JOIN tri_tot tt USING (a, b)
+JOIN bi b2 USING (b, c)
+JOIN bi_tot bt USING (b)
+ORDER BY n_abc DESC, a, b, c
+LIMIT {TRIGRAM_TOP}
+"""
+
+
+QUERIES["events_trigram_transitions"] = q_events_trigram_transitions
+ORACLES["events_trigram_transitions"] = ORACLE_EVENTS_TRIGRAM_TRANSITIONS

@@ -338,6 +338,9 @@ CORPUS_OPS = {
     # wave 50
     "l-diversity": "docs_l_diversity",
     "rich-club": "events_rich_club",
+    # wave 51
+    "trigrams": "events_trigram_transitions",
+    "reach-curve": "events_cumulative_reach",
 }
 
 

@@ -1311,6 +1311,22 @@ CHECKS = [
         [PARTIAL_AGG, r"BroadcastHashJoin", r"Generate"],
         [r"Window", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # trigram: both leads come from ONE Window op; counts are partial
+    # aggs over type-cubed key spaces; baselines broadcast in
+    (
+        "events_trigram_transitions",
+        [r"Window", PARTIAL_AGG, r"BroadcastHashJoin",
+         r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # cumulative reach: per-user first-day partial agg; the only
+    # window runs over the |days|-sized series
+    (
+        "events_cumulative_reach",
+        [PARTIAL_AGG, r"Window"],
+        [r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
