@@ -1002,3 +1002,86 @@ ORDER BY p1, p2
 
 QUERIES["kg_join_cardinality_qa"] = q_kg_join_cardinality_qa
 ORACLES["kg_join_cardinality_qa"] = ORACLE_KG_JOIN_CARDINALITY_QA
+
+
+# -------------------------------------------- degree histogram by type
+# Log₂-bucketed total-degree histogram per entity type over the triple
+# graph (subject role + object role) — the distribution behind
+# kg_degree_topk's point list: the planner reads the TAIL (how many
+# type-X entities sit in the 2^k+ bucket → how many join keys need
+# salting), the schema monitor reads the SHAPE (a type whose histogram
+# shifts a bucket between ingests changed character). Buckets are
+# exact integer floor(log₂ degree) computed via bit length — no float
+# log on the comparison path; both engines derive the bucket from the
+# BIGINT degree with the same integer recurrence.
+#
+# Scale shape: two partial-agg degree counts (subject side, object
+# side) merged with a full-outer on entity id — the kg_degree_topk
+# skeleton — then one (type, bucket) census. Output is
+# |types| × |buckets| rows.
+
+
+def _bitlen_bucket(col):
+    # floor(log2(d)) for BIGINT d >= 1, as a chain of range tests —
+    # identical semantics in both engines, no floating log
+    expr = F.lit(0)
+    for b in range(1, 40):
+        expr = F.when(col >= (1 << b), b).otherwise(expr)
+    return expr
+
+
+def q_kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kg_triples(spark, sf_dir)
+    ends = t.select(F.col("subj").alias("entity")).unionByName(
+        t.select(F.col("obj").alias("entity"))
+    )
+    deg = ends.groupBy("entity").agg(F.count("*").alias("deg"))
+    typed = deg.select(
+        F.substring_index("entity", ":", 1).alias("entity_type"),
+        "deg",
+    )
+    return (
+        typed.select(
+            "entity_type", _bitlen_bucket(F.col("deg")).alias("bucket")
+        )
+        .groupBy("entity_type", "bucket")
+        .agg(F.count("*").alias("n_entities"))
+        .select(
+            "entity_type",
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << bucket").alias("deg_min"),
+            "n_entities",
+        )
+        .orderBy("entity_type", "bucket")
+    )
+
+
+def _degree_histogram_oracle() -> str:
+    bucket = "CAST(floor(log2(deg)) AS BIGINT)"
+    # DuckDB's log2 is float — use the same integer range-test chain
+    cases = " ".join(
+        f"WHEN deg >= {1 << b} THEN {b}"
+        for b in range(39, 0, -1)
+    )
+    bucket = f"(CASE {cases} ELSE 0 END)"
+    return f"""
+WITH {SQL_KG_TRIPLES},
+ends AS (
+  SELECT subj AS entity FROM triples
+  UNION ALL SELECT obj FROM triples),
+deg AS (SELECT entity, count(*) AS deg FROM ends GROUP BY entity),
+typed AS (
+  SELECT split_part(entity, ':', 1) AS entity_type,
+         {bucket} AS bucket
+  FROM deg)
+SELECT entity_type, bucket,
+       CAST(1 AS BIGINT) << bucket AS deg_min,
+       count(*) AS n_entities
+FROM typed
+GROUP BY 1, 2
+ORDER BY entity_type, bucket
+"""
+
+
+QUERIES["kg_degree_histogram"] = q_kg_degree_histogram
+ORACLES["kg_degree_histogram"] = _degree_histogram_oracle()

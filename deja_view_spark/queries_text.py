@@ -2590,3 +2590,103 @@ ORACLE_EMBEDDINGS_MUTUAL_NN = _oracle_mutual_nn()
 
 QUERIES["embeddings_mutual_nn"] = q_embeddings_mutual_nn
 ORACLES["embeddings_mutual_nn"] = ORACLE_EMBEDDINGS_MUTUAL_NN
+
+
+# ------------------------------------------- dedup transitivity audit
+# Transitivity-gap audit of threshold near-duplicate pairs: Jaccard
+# similarity is NOT transitive, yet duplicate-cluster assignment
+# (docs_duplicate_clusters) merges by connected components — so every
+# open wedge (a~b, b~c, but a!~c) is a place where clustering chains
+# two documents the pairwise judge would keep apart. This query
+# measures exactly that risk: wedge count, closed-triangle count, and
+# the closure ratio in ppm (graph transitivity of the near-dup
+# graph). A low closure ratio on a corpus is the quantitative
+# argument for cluster-size caps or centroid re-verification before
+# canonicalization (the kg_merge_audit attribute check is the
+# symptom; this is the mechanism).
+#
+# Scale shape: the near-dup pair graph is tiny relative to the corpus
+# (df-cutoff bounded); wedges are generated with the same
+# degree-orientation discipline as events_triangles (each wedge
+# centered at its middle node, pairs from sorted adjacency arrays —
+# never an unbounded self-join), and closure is one join back against
+# the canonical pair set.
+
+
+def q_docs_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_docs_jaccard_pairs(spark, sf_dir).select(
+        "src_doc", "dst_doc"
+    )
+    mirrored = pairs.unionByName(
+        pairs.select(
+            F.col("dst_doc").alias("src_doc"),
+            F.col("src_doc").alias("dst_doc"),
+        )
+    )
+    adj = mirrored.groupBy("src_doc").agg(
+        F.sort_array(F.collect_list("dst_doc")).alias("nbrs")
+    )
+    wedges = (
+        adj.select(
+            F.posexplode("nbrs").alias("_i", "a"), F.col("nbrs")
+        )
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("nbrs"), F.col("_i") + 2, F.size("nbrs"))
+            ).alias("c"),
+        )
+        .where(F.col("a") < F.col("c"))
+    )
+    closed = wedges.join(
+        pairs.withColumnRenamed("src_doc", "a").withColumnRenamed(
+            "dst_doc", "c"
+        ),
+        ["a", "c"],
+        "left_semi",
+    )
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    agg = (
+        wedges.agg(F.count("*").alias("n_wedges"))
+        .crossJoin(F.broadcast(closed.agg(F.count("*").alias("n_closed"))))
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    return agg.select(
+        "n_pairs",
+        "n_wedges",
+        "n_closed",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN n_closed * 1000000 DIV n_wedges"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("closure_ppm"),
+    )
+
+
+def _dedup_transitivity_oracle() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT src_doc, dst_doc FROM ({ORACLE_DOCS_JACCARD})),
+mirrored AS (
+  SELECT src_doc, dst_doc FROM pairs
+  UNION ALL SELECT dst_doc, src_doc FROM pairs),
+wedges AS (
+  SELECT m1.dst_doc AS a, m2.dst_doc AS c
+  FROM mirrored m1 JOIN mirrored m2
+    ON m1.src_doc = m2.src_doc AND m1.dst_doc < m2.dst_doc),
+closed AS (
+  SELECT w.a, w.c FROM wedges w
+  JOIN pairs p ON w.a = p.src_doc AND w.c = p.dst_doc),
+agg AS (
+  SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+         (SELECT count(*) FROM wedges) AS n_wedges,
+         (SELECT count(*) FROM closed) AS n_closed)
+SELECT n_pairs, n_wedges, n_closed,
+       CASE WHEN n_wedges > 0
+            THEN n_closed * 1000000 // n_wedges
+            ELSE CAST(0 AS BIGINT) END AS closure_ppm
+FROM agg
+"""
+
+
+QUERIES["docs_dedup_transitivity"] = q_docs_dedup_transitivity
+ORACLES["docs_dedup_transitivity"] = _dedup_transitivity_oracle()

@@ -341,6 +341,9 @@ CORPUS_OPS = {
     # wave 51
     "trigrams": "events_trigram_transitions",
     "reach-curve": "events_cumulative_reach",
+    # wave 52
+    "dedup-transitivity": "docs_dedup_transitivity",
+    "degree-histogram": "kg_degree_histogram",
 }
 
 

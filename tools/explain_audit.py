@@ -1327,6 +1327,22 @@ CHECKS = [
         [r"CartesianProduct", r"Join",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # transitivity: wedges from sorted adjacency arrays (posexplode +
+    # slice, the triangle-counting idiom) — no unbounded self-join
+    (
+        "docs_dedup_transitivity",
+        [r"ObjectHashAggregate", r"Generate"],
+        [r"CartesianProduct.*CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # degree histogram: two partial-agg degree legs + (type,bucket)
+    # census; integer bucket chain, no float log, no window
+    (
+        "kg_degree_histogram",
+        [PARTIAL_AGG],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
