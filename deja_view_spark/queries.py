@@ -973,8 +973,17 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # docs_src_lang_independence, docs_partition_advisor,
 # events_markov_stationary, docs_heaps_law, events_item_cf,
 # events_conversion_lag, events_stickiness, events_holt_forecast,
-# events_msf, embeddings_silhouette, events_bursts. All
-# carry
+# events_msf, embeddings_silhouette, events_bursts — and the
+# 2026-08-21 session's waves 40-52: events_did, embeddings_mutual_nn,
+# kg_wl_colors, events_item_scc, docs_benford, events_leadlag,
+# kg_predicate_drift, kg_merge_audit, docs_rendezvous_shards,
+# docs_filter_funnel, kg_walk_census, docs_source_overlap,
+# kg_ifp_violations, events_pattern_match, kg_join_cardinality_qa,
+# events_growth_accounting, events_velocity_flags,
+# events_debounce_dedup, events_ab_srm, events_hub_knockout,
+# docs_l_diversity, events_rich_club, events_trigram_transitions,
+# events_cumulative_reach, docs_dedup_transitivity,
+# kg_degree_histogram. All carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.
 _ROUND3_FIRST = [
