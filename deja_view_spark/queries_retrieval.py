@@ -930,3 +930,250 @@ ORACLE_EMBEDDINGS_LABEL_COHERENCE = _oracle_label_coherence()
 
 QUERIES["embeddings_label_coherence"] = q_embeddings_label_coherence
 ORACLES["embeddings_label_coherence"] = ORACLE_EMBEDDINGS_LABEL_COHERENCE
+
+
+# -------------------------------------- quantized PCA (power method)
+# Distributed PCA, made value-hashable: the leading principal
+# direction of the embedding cloud via the power method over the
+# EXACT INTEGER covariance of the SQ8 codes. Floating covariance sums
+# are order-dependent (never cross-engine stable), so the pipeline
+# quantizes first (the shared _sq8_codes builder — already the
+# serving representation) and every downstream op is BIGINT: the
+# Gram/covariance matrix C[i][j] = Σ_rows q_i·q_j is one
+# explode+partial-agg pass; PCA_POWER_ROUNDS synchronous power-method
+# rounds renormalize the iterate to PCA_SCALE by its max |component|
+# with integer DIV (the events_pagerank / markov_stationary
+# fixed-point discipline); the Rayleigh quotient v·Cv / v·v is the
+# eigenvalue estimate in the same integer units. Sign is fixed by
+# making the largest-|v| component positive (eigenvectors are
+# sign-ambiguous; both engines apply the identical rule). PCA over a
+# training-data embedding table is the drift/anisotropy monitor: a
+# collapsing spectrum (λ₁ ≫ rest) is representation collapse.
+#
+# Scale shape: the ONLY corpus-sized work is one 64×-explode +
+# 64-column partial agg building C (linear in rows, map-side
+# combinable); the power iteration runs on the 64-row C table with
+# the iterate as 64 inlined integer literals per round (each round's
+# rescale collects 64 metadata integers — the bounded-fit discipline
+# of ann.py's sample collect). Output is |dims| rows.
+
+PCA_POWER_ROUNDS = 8
+PCA_SCALE = 1_000_000
+PCA_DIM = 64
+
+
+def _pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized stage of the PCA: integer covariance rows
+    (i, c[64]) — separated so the plan audit can target it (the
+    returned frame's lineage is checkpoint-truncated)."""
+    q = _sq8_codes(spark, sf_dir)
+    qi = q.select(F.posexplode("q").alias("i", "qi"), F.col("q"))
+    cov = qi.groupBy("i").agg(
+        *[
+            F.sum(F.col("qi") * F.col("q")[j]).alias(f"c{j}")
+            for j in range(PCA_DIM)
+        ]
+    )
+    return cov.select(
+        "i", F.array(*[F.col(f"c{j}") for j in range(PCA_DIM)]).alias("c")
+    )
+
+
+def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cov = _pca_cov(spark, sf_dir).localCheckpoint()
+    v = [PCA_SCALE] * PCA_DIM
+    for _ in range(PCA_POWER_ROUNDS):
+        varr = F.array(*[F.lit(x) for x in v])
+        w = cov.select(
+            "i",
+            F.aggregate(
+                F.zip_with("c", varr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("w"),
+        )
+        rows = {r["i"]: r["w"] for r in w.collect()}
+        wv = [rows[i] for i in range(PCA_DIM)]
+        m = max(abs(x) for x in wv) or 1
+        # TRUNCATING division (sign x abs-quotient): both engines'
+        # integer `/`//`DIV` truncate toward zero; python's bare //
+        # floors and would disagree on negative components
+        v = [
+            (abs(x) * PCA_SCALE // m) * (1 if x >= 0 else -1)
+            for x in wv
+        ]
+    # deterministic sign: the largest-|component| entry positive
+    # (lowest dim wins |v| ties)
+    pivot = max(range(PCA_DIM), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    # Rayleigh quotient in exact python big-int arithmetic (the
+    # intermediates exceed int64; the oracle mirrors with HUGEINT):
+    # one more metadata-sized collect gives w = C.v, then
+    # lambda = (v . C v) / (v . v), both sides nonnegative (C is a
+    # Gram matrix), so trunc == floor and the engines agree.
+    varr = F.array(*[F.lit(x) for x in v])
+    w = cov.select(
+        "i",
+        F.aggregate(
+            F.zip_with("c", varr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("w"),
+    )
+    rows = {r["i"]: r["w"] for r in w.collect()}
+    vcv = sum(rows[i] * v[i] for i in range(PCA_DIM))
+    vv = sum(x * x for x in v)
+    rayleigh = int(vcv // vv)
+    return (
+        cov.select("i")
+        .select(
+            F.col("i").alias("dim"),
+            F.element_at(varr, F.col("i") + 1).alias("v_ppm"),
+            F.lit(rayleigh).alias("rayleigh"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_oracle() -> str:
+    # the same SQ8 code CTE as ORACLE_EMBEDDINGS_SQ8, then integer
+    # covariance + unrolled power rounds (each round renormalized by
+    # max |component| to PCA_SCALE, floor division)
+    rounds = []
+    prev = "v0"
+    for t in range(1, PCA_POWER_ROUNDS + 1):
+        rounds.append(f"""
+w{t} AS MATERIALIZED (
+  -- MATERIALIZED: w is referenced by BOTH m and v; inlined, each
+  -- round would re-expand the previous round twice (2^rounds blowup
+  -- over the cov self-join — measured 448s vs <1s at sf0.01)
+  SELECT c.i, CAST(sum(c.cij * p.v) AS BIGINT) AS w
+  FROM cov c JOIN {prev} p ON c.j = p.i GROUP BY c.i),
+m{t} AS (SELECT greatest(max(abs(w)), 1) AS m FROM w{t}),
+v{t} AS MATERIALIZED (
+  -- HUGEINT keeps w*SCALE exact; // truncates toward zero, matching
+  -- the engine's sign x abs-quotient rule
+  SELECT i, CAST(CAST(w AS HUGEINT) * {PCA_SCALE} // m AS BIGINT) AS v
+  FROM w{t} CROSS JOIN m{t})""")
+        prev = f"v{t}"
+    chain = ",".join(rounds)
+    last = prev
+    return f"""
+WITH pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+withn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pts),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS nx FROM withn),
+g AS (
+  SELECT max(list_max(list_transform(nx, x -> abs(x)))) AS gmax FROM n),
+q AS (
+  SELECT vec_id,
+         list_transform(nx, x -> CAST(floor(x * ({float(SQ8_LEVELS)}
+                                             / gmax)) AS BIGINT)) AS q
+  FROM n CROSS JOIN g),
+qi AS (
+  SELECT vec_id, ix.i - 1 AS i, q.q[ix.i] AS qi
+  FROM q CROSS JOIN
+       (SELECT unnest(range(1, {PCA_DIM + 1})) AS i) ix),
+cov AS MATERIALIZED (
+  SELECT a.i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS cij
+  FROM qi a JOIN qi b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2),
+v0 AS (
+  SELECT DISTINCT i, CAST({PCA_SCALE} AS BIGINT) AS v FROM cov),
+{chain},
+sgn AS (
+  SELECT v AS pv FROM {last}
+  ORDER BY abs(v) DESC, i ASC LIMIT 1),
+vf AS (
+  SELECT i, CASE WHEN (SELECT pv FROM sgn) < 0 THEN -v ELSE v END AS v
+  FROM {last}),
+vv AS (SELECT sum(CAST(v AS HUGEINT) * v) AS vv FROM vf),
+vcv AS (
+  SELECT sum(CAST(c.cij AS HUGEINT) * a.v * b.v) AS vcv
+  FROM cov c JOIN vf a ON c.i = a.i JOIN vf b ON c.j = b.i)
+SELECT f.i AS dim, f.v AS v_ppm,
+       CAST((SELECT vcv FROM vcv) // (SELECT vv FROM vv) AS BIGINT)
+         AS rayleigh
+FROM vf f
+ORDER BY dim
+"""
+
+
+QUERIES["embeddings_pca_power"] = q_embeddings_pca_power
+ORACLES["embeddings_pca_power"] = _pca_oracle()
+
+
+# ------------------------------------------- SQ8 quantizer health
+# Per-dimension census of the SQ8 codes the serving path scans
+# (shared _sq8_codes builder): min/max code, mean in exact
+# centi-units, and the saturation count (codes at the ±SQ8_LEVELS
+# clip boundary) — the quantizer-health audit run before trusting
+# compressed-domain scores: a dimension that saturates is losing
+# resolution (its scale is set by a global max another dimension
+# owns), and a dimension whose codes hug zero is wasting its byte.
+# Exact integers end to end.
+#
+# Scale shape: one posexplode (|dims|× rows, map-side) + one
+# per-dimension partial agg; output is |dims| rows.
+
+
+def q_embeddings_sq8_saturation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    q = _sq8_codes(spark, sf_dir)
+    per = q.select(F.posexplode("q").alias("dim", "code"))
+    return (
+        per.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+            F.expr("sum(code) * 100 DIV count(*)").alias("mean_centi"),
+            F.sum(
+                (F.abs(F.col("code")) >= SQ8_LEVELS - 1).cast("long")
+            ).alias("n_saturated"),
+        )
+        .withColumn(
+            "saturated_ppm", F.expr("n_saturated * 1000000 DIV n")
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMBEDDINGS_SQ8_SATURATION = f"""
+WITH pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+withn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pts),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS nx FROM withn),
+g AS (
+  SELECT max(list_max(list_transform(nx, x -> abs(x)))) AS gmax FROM n),
+q AS (
+  SELECT vec_id,
+         list_transform(nx, x -> CAST(floor(x * ({float(SQ8_LEVELS)}
+                                             / gmax)) AS BIGINT)) AS q
+  FROM n CROSS JOIN g),
+per AS (
+  SELECT ix.i - 1 AS dim, q.q[ix.i] AS code
+  FROM q CROSS JOIN
+       (SELECT unnest(range(1, {PCA_DIM + 1})) AS i) ix)
+SELECT dim, count(*) AS n,
+       min(code) AS min_code, max(code) AS max_code,
+       CAST(sum(code) * 100 // count(*) AS BIGINT) AS mean_centi,
+       CAST(sum(CASE WHEN abs(code) >= {SQ8_LEVELS - 1}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+       CAST(sum(CASE WHEN abs(code) >= {SQ8_LEVELS - 1}
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS saturated_ppm
+FROM per
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+QUERIES["embeddings_sq8_saturation"] = q_embeddings_sq8_saturation
+ORACLES["embeddings_sq8_saturation"] = ORACLE_EMBEDDINGS_SQ8_SATURATION

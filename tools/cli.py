@@ -344,6 +344,9 @@ CORPUS_OPS = {
     # wave 52
     "dedup-transitivity": "docs_dedup_transitivity",
     "degree-histogram": "kg_degree_histogram",
+    # wave 53
+    "pca": "embeddings_pca_power",
+    "sq8-saturation": "embeddings_sq8_saturation",
 }
 
 

@@ -1343,6 +1343,12 @@ CHECKS = [
         [r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # SQ8 saturation: one posexplode + per-dim partial agg
+    (
+        "embeddings_sq8_saturation",
+        [PARTIAL_AGG, r"Generate"],
+        [r"Window", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
@@ -1381,6 +1387,27 @@ def main(sf_dir: str) -> int:
     ]
     ok = not missing and not present
     print(f"{'events_msf edge-builder':32s} {'OK' if ok else 'FAIL'}")
+    if missing:
+        print(f"  missing: {missing}")
+    if present:
+        print(f"  unexpected: {present}")
+    failures += 0 if ok else 1
+    # quantized PCA: same checkpoint-truncation situation — audit the
+    # covariance BUILDER (the only corpus-sized stage: one posexplode
+    # + 64-column partial agg), no Python, no window
+    from deja_view_spark.queries_retrieval import _pca_cov
+
+    plan = plan_of(_pca_cov(spark, sf_dir))
+    missing = [
+        p for p in [PARTIAL_AGG, r"Generate"] if not re.search(p, plan)
+    ]
+    present = [
+        p
+        for p in [r"Window", r"ArrowEvalPython|BatchEvalPython"]
+        if re.search(p, plan)
+    ]
+    ok = not missing and not present
+    print(f"{'embeddings_pca cov-builder':32s} {'OK' if ok else 'FAIL'}")
     if missing:
         print(f"  missing: {missing}")
     if present:
