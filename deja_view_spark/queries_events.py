@@ -2592,3 +2592,107 @@ ORDER BY day
 
 QUERIES["events_cumulative_reach"] = q_events_cumulative_reach
 ORACLES["events_cumulative_reach"] = ORACLE_EVENTS_CUMULATIVE_REACH
+
+
+# -------------------------------------------- item adoption half-life
+# Time-to-half-audience per item: for the HL_TOP_ITEMS biggest
+# audiences, the number of days from the item's first engagement to
+# the day its cumulative distinct-user count first reaches half its
+# final audience — the adoption-speed census (a fast half-life is a
+# launch spike, a slow one organic growth; the item-grain drill-down
+# of events_cumulative_reach's corpus curve). Exact integer
+# semantics: "half" is the two-sided BIGINT comparison
+# 2·cum ≥ n_users, no rounding anywhere.
+#
+# Scale shape: one (item, user) first-touch partial agg (min day),
+# one (item, day) census, ONE per-item window over that item's
+# distinct active days (not events), a broadcast of per-item
+# audience totals, and a min-day pick per item. Top items by
+# audience, deterministic tiebreak.
+
+HL_TOP_ITEMS = 20
+
+
+def q_events_item_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .where(F.col("item").isNotNull())
+    )
+    ft = ev.groupBy("item", "user_id").agg(F.min("day").alias("day"))
+    aud = ft.groupBy("item").agg(F.count("*").alias("n_users"))
+    top = (
+        aud.orderBy(F.desc("n_users"), F.asc("item"))
+        .limit(HL_TOP_ITEMS)
+    )
+    daily = (
+        ft.join(F.broadcast(top.select("item")), "item", "left_semi")
+        .groupBy("item", "day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = W.partitionBy("item").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = daily.withColumn("cum", F.sum("n_new").over(w))
+    half = (
+        cum.join(F.broadcast(top), "item")
+        .where(F.col("cum") * 2 >= F.col("n_users"))
+        .groupBy("item")
+        .agg(F.min("day").alias("half_day"))
+    )
+    launch = daily.groupBy("item").agg(F.min("day").alias("launch_day"))
+    return (
+        top.join(launch, "item")
+        .join(half, "item")
+        .select(
+            "item",
+            "n_users",
+            "launch_day",
+            "half_day",
+            F.datediff("half_day", "launch_day").alias("halflife_days"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("item"))
+    )
+
+
+ORACLE_EVENTS_ITEM_HALFLIFE = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(ts AS DATE) AS day
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+ft AS (SELECT item, user_id, min(day) AS day FROM ev GROUP BY 1, 2),
+aud AS (SELECT item, count(*) AS n_users FROM ft GROUP BY item),
+top AS (SELECT item, n_users FROM aud
+        ORDER BY n_users DESC, item ASC LIMIT {HL_TOP_ITEMS}),
+daily AS (
+  SELECT f.item, f.day, count(*) AS n_new
+  FROM ft f JOIN top t USING (item)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT item, day,
+         sum(n_new) OVER (PARTITION BY item ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily),
+half AS (
+  SELECT c.item, min(c.day) AS half_day
+  FROM cum c JOIN top t USING (item)
+  WHERE c.cum * 2 >= t.n_users
+  GROUP BY c.item),
+launch AS (SELECT item, min(day) AS launch_day FROM daily GROUP BY item)
+SELECT t.item, t.n_users, l.launch_day, h.half_day,
+       CAST(h.half_day - l.launch_day AS BIGINT) AS halflife_days
+FROM top t JOIN launch l USING (item) JOIN half h USING (item)
+ORDER BY n_users DESC, item ASC
+"""
+
+
+QUERIES["events_item_halflife"] = q_events_item_halflife
+ORACLES["events_item_halflife"] = ORACLE_EVENTS_ITEM_HALFLIFE

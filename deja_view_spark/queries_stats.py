@@ -1611,3 +1611,77 @@ ORDER BY lag
 
 QUERIES["events_leadlag"] = q_events_leadlag
 ORACLES["events_leadlag"] = ORACLE_EVENTS_LEADLAG
+
+
+# ------------------------------------------------------ Lorenz curve
+# Lorenz-curve decile points of per-user activity concentration — the
+# curve BEHIND events_gini's scalar: cumulative event share held by
+# the bottom 10%, 20%, ..., 100% of users (sorted ascending by
+# activity, deterministic user-id tiebreak). The readable capacity-
+# planning form of the skew story: "the bottom half of users
+# contributes X ppm of traffic, the top decile the rest" — exactly
+# the imbalance a user-keyed shuffle inherits. Exact ppm integers;
+# decile boundary rank = d·n DIV 10 (boundary rows join by rank, so
+# small corpora where boundaries coincide emit the same row under
+# several deciles — both engines identically).
+#
+# Scale shape: one per-user partial-agg count, one rank window over
+# the |users|-sized count table (never events), totals broadcast, a
+# 10-row broadcast decile join.
+
+
+def q_events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.asc("cnt"), F.asc("user_id"))
+    ranked = counts.select(
+        "cnt",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    tot = counts.agg(
+        F.count("*").alias("n_users"), F.sum("cnt").alias("n_events")
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(deciles),
+            F.col("rn") == F.expr("decile * n_users DIV 10"),
+        )
+        .select(
+            "decile",
+            "rn",
+            F.expr("cum * 1000000 DIV n_events").alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_EVENTS_LORENZ_DECILES = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+ranked AS (
+  SELECT cnt, user_id,
+         row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS rn,
+         sum(cnt) OVER (ORDER BY cnt ASC, user_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts),
+tot AS (
+  SELECT count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events
+  FROM counts),
+deciles AS (SELECT unnest(range(1, 11)) AS decile)
+SELECT d.decile, r.rn,
+       CAST(r.cum * 1000000 // t.n_events AS BIGINT) AS cum_share_ppm
+FROM ranked r
+CROSS JOIN tot t
+JOIN deciles d ON r.rn = d.decile * t.n_users // 10
+ORDER BY d.decile
+"""
+
+
+QUERIES["events_lorenz_deciles"] = q_events_lorenz_deciles
+ORACLES["events_lorenz_deciles"] = ORACLE_EVENTS_LORENZ_DECILES

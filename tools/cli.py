@@ -347,6 +347,9 @@ CORPUS_OPS = {
     # wave 53
     "pca": "embeddings_pca_power",
     "sq8-saturation": "embeddings_sq8_saturation",
+    # wave 54
+    "halflife": "events_item_halflife",
+    "lorenz": "events_lorenz_deciles",
 }
 
 

@@ -1349,6 +1349,22 @@ CHECKS = [
         [PARTIAL_AGG, r"Generate"],
         [r"Window", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # half-life: first-touch partial agg; the window runs per item
+    # over its distinct active DAYS; audience totals broadcast
+    (
+        "events_item_halflife",
+        [PARTIAL_AGG, r"Window", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # Lorenz: per-user count partial agg; rank/cumsum window over the
+    # |users|-sized table; the 10-row decile attach is a broadcast
+    # nested-loop (the boundary condition is an expression, not an
+    # equi-key — 10 x |users| comparisons on a metadata frame)
+    (
+        "events_lorenz_deciles",
+        [PARTIAL_AGG, r"Window", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
