@@ -983,7 +983,9 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # events_debounce_dedup, events_ab_srm, events_hub_knockout,
 # docs_l_diversity, events_rich_club, events_trigram_transitions,
 # events_cumulative_reach, docs_dedup_transitivity,
-# kg_degree_histogram. All carry
+# kg_degree_histogram, embeddings_pca_power,
+# embeddings_sq8_saturation, events_item_halflife,
+# events_lorenz_deciles, kg_triple_novelty, kg_role_mix. All carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.
 _ROUND3_FIRST = [

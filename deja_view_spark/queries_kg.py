@@ -1085,3 +1085,178 @@ ORDER BY entity_type, bucket
 
 QUERIES["kg_degree_histogram"] = q_kg_degree_histogram
 ORACLES["kg_degree_histogram"] = _degree_histogram_oracle()
+
+
+# -------------------------------------------------- triple novelty
+# New-knowledge rate of the KG ingest: per week, how many DISTINCT
+# assertions (subj, pred, obj) were active, how many were seen for
+# the FIRST time, and the novelty share in ppm — the companion to
+# kg_predicate_drift (that monitors the MIX, this monitors how much
+# of the stream is new vs re-assertion; a crawl re-reading the same
+# sources shows collapsing novelty long before volume moves). Runs on
+# the time-carrying event-derived assertion stream; "first seen" is
+# the min week over each distinct triple (one partial agg — the
+# first-touch primitive shared with events_cumulative_reach, at
+# triple grain). Also emits the running cumulative distinct-triple
+# count (KG size over time).
+#
+# Scale shape: one distinct over (week, triple), one min-week partial
+# agg per distinct triple, two per-week censuses joined on the
+# |weeks|-sized table, one running-sum window over weeks.
+
+
+def q_kg_triple_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    tr = (
+        ev.select(
+            F.date_trunc("week", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("week"),
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias(
+                "subj"
+            ),
+            F.col("event_type").alias("pred"),
+            F.concat(
+                F.lit("item:"),
+                F.get_json_object("props", "$.k").cast("long").cast("string"),
+            ).alias("obj"),
+        )
+        .where(F.col("obj").isNotNull())
+        .distinct()
+    )
+    active = tr.groupBy("week").agg(F.count("*").alias("n_active"))
+    first = tr.groupBy("subj", "pred", "obj").agg(
+        F.min("week").alias("week")
+    )
+    new = first.groupBy("week").agg(F.count("*").alias("n_new"))
+    w = W.orderBy("week").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        active.join(new, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_triples", F.sum("n_new").over(w))
+        .withColumn(
+            "novelty_ppm", F.expr("n_new * 1000000 DIV n_active")
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_KG_TRIPLE_NOVELTY = """
+WITH tr AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+         'user:' || CAST(user_id AS VARCHAR) AS subj,
+         event_type AS pred,
+         'item:' || CAST(CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) AS VARCHAR) AS obj
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+active AS (SELECT week, count(*) AS n_active FROM tr GROUP BY week),
+first_ AS (
+  SELECT subj, pred, obj, min(week) AS week FROM tr GROUP BY 1, 2, 3),
+new_ AS (SELECT week, count(*) AS n_new FROM first_ GROUP BY week),
+joined AS (
+  SELECT a.week, a.n_active,
+         CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+  FROM active a LEFT JOIN new_ n USING (week))
+SELECT week, n_active, n_new,
+       CAST(sum(n_new) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_triples,
+       n_new * 1000000 // n_active AS novelty_ppm
+FROM joined
+ORDER BY week
+"""
+
+
+QUERIES["kg_triple_novelty"] = q_kg_triple_novelty
+ORACLES["kg_triple_novelty"] = ORACLE_KG_TRIPLE_NOVELTY
+
+
+# ----------------------------------------------------- role-mix census
+# Subject/object role census per entity type: how many entities of
+# each type appear only as subjects, only as objects, or in BOTH
+# roles — the KG-hygiene profile that separates identity-bearing
+# entities (docs, users: subjects) from value entities (terms, langs:
+# objects) and flags role-mixing (an entity type that starts
+# appearing on both sides usually means an extractor emitted
+# malformed triples, or the schema genuinely has a hierarchy — either
+# way the planner and the integrity monitor need to know). The
+# quantitative basis for kg_walk_census's bipartite observation.
+#
+# Scale shape: one union of two pruned projections with role flags,
+# one per-entity max-flag partial agg, one per-type census.
+
+
+def q_kg_role_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kg_triples(spark, sf_dir)
+    roles = t.select(
+        F.col("subj").alias("entity"),
+        F.lit(1).alias("s"),
+        F.lit(0).alias("o"),
+    ).unionByName(
+        t.select(
+            F.col("obj").alias("entity"),
+            F.lit(0).alias("s"),
+            F.lit(1).alias("o"),
+        )
+    )
+    per = roles.groupBy("entity").agg(
+        F.max("s").alias("is_subj"), F.max("o").alias("is_obj")
+    )
+    return (
+        per.groupBy(
+            F.substring_index("entity", ":", 1).alias("entity_type")
+        )
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.sum(
+                ((F.col("is_subj") == 1) & (F.col("is_obj") == 0)).cast(
+                    "long"
+                )
+            ).alias("n_subj_only"),
+            F.sum(
+                ((F.col("is_subj") == 0) & (F.col("is_obj") == 1)).cast(
+                    "long"
+                )
+            ).alias("n_obj_only"),
+            F.sum(
+                ((F.col("is_subj") == 1) & (F.col("is_obj") == 1)).cast(
+                    "long"
+                )
+            ).alias("n_both"),
+        )
+        .orderBy("entity_type")
+    )
+
+
+ORACLE_KG_ROLE_MIX = f"""
+WITH {SQL_KG_TRIPLES},
+roles AS (
+  SELECT subj AS entity, 1 AS s, 0 AS o FROM triples
+  UNION ALL
+  SELECT obj, 0, 1 FROM triples),
+per AS (
+  SELECT entity, max(s) AS is_subj, max(o) AS is_obj
+  FROM roles GROUP BY entity)
+SELECT split_part(entity, ':', 1) AS entity_type,
+       count(*) AS n_entities,
+       CAST(sum(CASE WHEN is_subj = 1 AND is_obj = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_subj_only,
+       CAST(sum(CASE WHEN is_subj = 0 AND is_obj = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_obj_only,
+       CAST(sum(CASE WHEN is_subj = 1 AND is_obj = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both
+FROM per
+GROUP BY 1
+ORDER BY entity_type
+"""
+
+
+QUERIES["kg_role_mix"] = q_kg_role_mix
+ORACLES["kg_role_mix"] = ORACLE_KG_ROLE_MIX

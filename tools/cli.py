@@ -350,6 +350,9 @@ CORPUS_OPS = {
     # wave 54
     "halflife": "events_item_halflife",
     "lorenz": "events_lorenz_deciles",
+    # wave 55
+    "triple-novelty": "kg_triple_novelty",
+    "role-mix": "kg_role_mix",
 }
 
 

@@ -1365,6 +1365,21 @@ CHECKS = [
         [PARTIAL_AGG, r"Window", r"BroadcastNestedLoopJoin"],
         [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # triple novelty: distinct assertions + min-week partial aggs; the
+    # running sum rides the |weeks|-sized table
+    (
+        "kg_triple_novelty",
+        [PARTIAL_AGG, r"Window"],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # role mix: union of flagged projections, per-entity max partial
+    # agg, per-type census; no join, no window
+    (
+        "kg_role_mix",
+        [PARTIAL_AGG],
+        [r"Window", r"CartesianProduct", r"Join",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
