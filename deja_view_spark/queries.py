@@ -985,7 +985,8 @@ ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 # events_cumulative_reach, docs_dedup_transitivity,
 # kg_degree_histogram, embeddings_pca_power,
 # embeddings_sq8_saturation, events_item_halflife,
-# events_lorenz_deciles, kg_triple_novelty, kg_role_mix. All carry
+# events_lorenz_deciles, kg_triple_novelty, kg_role_mix,
+# docs_shingle_df_histogram, orders_fulfillment_latency. All carry
 # local oracle sweeps + tests; rotate them into positions 1..50 next
 # round.
 _ROUND3_FIRST = [

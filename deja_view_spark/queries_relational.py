@@ -1863,3 +1863,107 @@ FROM agg
 
 QUERIES["docs_partition_advisor"] = q_docs_partition_advisor
 ORACLES["docs_partition_advisor"] = ORACLE_DOCS_PARTITION_ADVISOR
+
+
+# ------------------------------------------- fulfillment latency SLA
+# Order-to-ship latency profile per order priority: exact rank-picked
+# p50/p90 (the MAD/winsorize lower-rank convention — never
+# interpolated floats) plus min/max/count over
+# datediff(l_shipdate, o_orderdate) — the SLA report of the
+# fulfillment pipeline, and the latency analogue of
+# events_conversion_lag on the relational side. Deterministic rank
+# tiebreak (latency, orderkey, linenumber); percentile ranks
+# r50 = (n+1) DIV 2, r90 = greatest(9n DIV 10, 1) mirrored verbatim.
+#
+# Scale shape: the orders dim rides a broadcast into the lineitem
+# scan; ONE rank window per priority partition over the narrow
+# (priority, latency, keys) projection; boundary ranks join back by
+# (priority, rank) against the broadcast per-priority counts.
+
+
+def q_orders_fulfillment_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    ranked = lat.withColumn("rn", F.row_number().over(w))
+    stats = lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("days").alias("min_days"),
+        F.max("days").alias("max_days"),
+    )
+    p50 = (
+        ranked.join(F.broadcast(stats), "o_orderpriority")
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("o_orderpriority", F.col("days").alias("p50_days"))
+    )
+    p90 = (
+        ranked.join(F.broadcast(stats), "o_orderpriority")
+        .where(F.col("rn") == F.expr("greatest(9 * n DIV 10, 1)"))
+        .select("o_orderpriority", F.col("days").alias("p90_days"))
+    )
+    return (
+        stats.join(p50, "o_orderpriority")
+        .join(p90, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            "min_days",
+            "p50_days",
+            "p90_days",
+            "max_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDERS_FULFILLMENT_LATENCY = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+ranked AS (
+  SELECT o_orderpriority, days,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY days, l_orderkey, l_linenumber) AS rn
+  FROM lat),
+stats AS (
+  SELECT o_orderpriority, count(*) AS n,
+         min(days) AS min_days, max(days) AS max_days
+  FROM lat GROUP BY 1),
+p50 AS (
+  SELECT r.o_orderpriority, r.days AS p50_days
+  FROM ranked r JOIN stats s USING (o_orderpriority)
+  WHERE r.rn = (s.n + 1) // 2),
+p90 AS (
+  SELECT r.o_orderpriority, r.days AS p90_days
+  FROM ranked r JOIN stats s USING (o_orderpriority)
+  WHERE r.rn = greatest(9 * s.n // 10, 1))
+SELECT s.o_orderpriority, s.n, s.min_days, p50.p50_days, p90.p90_days,
+       s.max_days
+FROM stats s
+JOIN p50 USING (o_orderpriority)
+JOIN p90 USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["orders_fulfillment_latency"] = q_orders_fulfillment_latency
+ORACLES["orders_fulfillment_latency"] = ORACLE_ORDERS_FULFILLMENT_LATENCY

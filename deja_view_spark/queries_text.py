@@ -2690,3 +2690,116 @@ FROM agg
 
 QUERIES["docs_dedup_transitivity"] = q_docs_dedup_transitivity
 ORACLES["docs_dedup_transitivity"] = _dedup_transitivity_oracle()
+
+
+# ------------------------------------------- shingle-df cost census
+# Document-frequency histogram of the 3-token shingle vocabulary with
+# the CANDIDATE-PAIR MASS each log₂-df bucket would generate in an
+# inverted-index join — the sizing statistic behind
+# JACCARD_DF_CUTOFF: a shingle appearing in df docs makes
+# df·(df−1)/2 join pairs, so the histogram's pair-mass column shows
+# exactly how much quadratic work the boilerplate tail carries and
+# what fraction the cutoff removes (the cut_bucket flag marks the
+# buckets the blockers drop). This is the census a platform runs
+# BEFORE picking a cutoff on a new corpus; the round-1→2 jaccard fix
+# (20.5s → 2.6s) is this table's story in two numbers.
+#
+# Determinism note: the census keys shingle STRINGS (identical in
+# both engines); the production blockers key xxhash64 longs — same
+# distribution, fixed-width shuffle (docstring of
+# docs_jaccard_pairs). Exact BIGINT arithmetic throughout.
+#
+# Scale shape: one tokenize pass + per-doc distinct explode, ONE
+# (shingle) partial-agg df census, then a |buckets|-row rollup.
+
+DF_HIST_MAX_BUCKET = 30
+
+
+def q_docs_shingle_df_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias(
+            "sh"
+        ),
+    )
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    bucket = F.lit(0)
+    for b in range(1, DF_HIST_MAX_BUCKET):
+        bucket = F.when(F.col("df") >= (1 << b), b).otherwise(bucket)
+    per = (
+        df.select(
+            bucket.alias("bucket"),
+            "df",
+            (F.col("df") * (F.col("df") - 1) / 2).cast("long").alias(
+                "pairs"
+            ),
+            (F.col("df") > JACCARD_DF_CUTOFF).cast("long").alias("cut"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.sum("pairs").alias("pair_mass"),
+            F.max("cut").alias("cut_bucket"),
+        )
+    )
+    tot = per.agg(F.sum("pair_mass").alias("total_pairs"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << bucket").alias("df_min"),
+            "n_shingles",
+            "n_postings",
+            "pair_mass",
+            F.expr(
+                "CASE WHEN total_pairs > 0 THEN pair_mass * 1000000"
+                " DIV total_pairs ELSE CAST(0 AS BIGINT) END"
+            ).alias("pair_share_ppm"),
+            "cut_bucket",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _df_histogram_oracle() -> str:
+    cases = " ".join(
+        f"WHEN df >= {1 << b} THEN {b}"
+        for b in range(DF_HIST_MAX_BUCKET - 1, 0, -1)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+s AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3),
+dfs AS (SELECT sh, count(*) AS df FROM s GROUP BY sh),
+per AS (
+  SELECT (CASE {cases} ELSE 0 END) AS bucket,
+         count(*) AS n_shingles,
+         CAST(sum(df) AS BIGINT) AS n_postings,
+         CAST(sum(CAST(df * (df - 1) / 2 AS BIGINT)) AS BIGINT)
+           AS pair_mass,
+         CAST(max(CASE WHEN df > {JACCARD_DF_CUTOFF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS cut_bucket
+  FROM dfs GROUP BY 1),
+tot AS (SELECT CAST(sum(pair_mass) AS BIGINT) AS total_pairs FROM per)
+SELECT bucket, CAST(1 AS BIGINT) << bucket AS df_min,
+       n_shingles, n_postings, pair_mass,
+       CASE WHEN total_pairs > 0
+            THEN pair_mass * 1000000 // total_pairs
+            ELSE CAST(0 AS BIGINT) END AS pair_share_ppm,
+       cut_bucket
+FROM per CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+QUERIES["docs_shingle_df_histogram"] = q_docs_shingle_df_histogram
+ORACLES["docs_shingle_df_histogram"] = _df_histogram_oracle()

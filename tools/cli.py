@@ -353,6 +353,9 @@ CORPUS_OPS = {
     # wave 55
     "triple-novelty": "kg_triple_novelty",
     "role-mix": "kg_role_mix",
+    # wave 56
+    "df-histogram": "docs_shingle_df_histogram",
+    "fulfillment": "orders_fulfillment_latency",
 }
 
 

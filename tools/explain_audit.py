@@ -1380,6 +1380,21 @@ CHECKS = [
         [r"Window", r"CartesianProduct", r"Join",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
+    # shingle-df census: per-doc distinct explode + ONE shingle df
+    # partial agg + bucket rollup; no window
+    (
+        "docs_shingle_df_histogram",
+        [PARTIAL_AGG, r"Generate"],
+        [r"Window", r"CartesianProduct",
+         r"ArrowEvalPython|BatchEvalPython"],
+    ),
+    # fulfillment latency: orders broadcast into lineitem; one rank
+    # window per priority; boundary ranks join broadcast stats
+    (
+        "orders_fulfillment_latency",
+        [r"BroadcastHashJoin", r"Window", PARTIAL_AGG],
+        [r"CartesianProduct", r"ArrowEvalPython|BatchEvalPython"],
+    ),
 ]
 
 
