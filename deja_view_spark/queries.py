@@ -924,132 +924,117 @@ QUERIES["docs_dedup_method_eval"] = q_docs_dedup_method_eval
 ORACLES["docs_dedup_method_eval"] = _oracle_dedup_method_eval()
 
 # ------------------------------------------------------------------
-# Driver correctness-window rotation (round 3). The driver attests the
-# FIRST 50 registry entries; round 2's run covered exactly the first 50
-# of the old iteration order (CORRECTNESS_r02.json), leaving the 22
-# newest entries — the discussions / corpus-prep / quality / sketch /
-# graph families — plus the two formerly rows-only entries without an
-# official green row. Rotate those 24 to the front so CORRECTNESS_r03
-# attests them; the rest keep their old relative order (all already
-# green in r02), so r02 ∪ r03 covers every registered query. The list
-# now holds 53 names (everything never driver-attested plus the two
-# oracle upgrades) for a 50-entry window: the final three
-# (events_cm_sketch, events_kcore, sales_opportunity — each with
-# python-twin/local-oracle tests) overflow past position 50 and rotate
-# forward in round 4, together with any operator added after this
-# list was frozen (they append past the window).
+# Driver correctness-window rotation (round 4). The driver attests the
+# FIRST 50 registry entries per round; r01∪r02∪r03 covered 98 of the
+# 238 registered queries (every SURVEY §2-mapped component among
+# them). Round 4 freezes registry growth and spends its window on the
+# attestation debt: the 50 names below are the never-attested entries
+# with the highest real-user weight — the round-3 overflow trio, the
+# LLM-pipeline marquee ops (dedup evaluation/transitivity/savings,
+# BPE, chunking, tokenizer QA, SQ8/MMR/hard-negative retrieval,
+# record linkage), the graph-analytics family, the KG-statistics
+# family, and the four queries whose arithmetic was hardened this
+# round (kg_join_cardinality_qa DECIMAL/HUGEINT widening,
+# events_pattern_match explicit symbol map, events_trigram_transitions
+# lift sentinel, orders_fulfillment_latency AQE join) so the driver
+# attests the NEW code. All 140 never-attested names were re-verified
+# green locally this session (tools/check_oracles.py, 140/140 OK at
+# sf0.01 — see BENCH/r04_sweep140.log).
 #
-# Round-4 rotation TODO: the driver has never attested (a) the three
-# overflow names below (events_cm_sketch, events_kcore,
-# sales_opportunity), and (b) everything registered after this list
-# froze — events_hll_sliding, events_cohort_retention,
-# events_peak_concurrency, events_bitmap_audience, events_scd2_history,
-# orders_bloom_semijoin, docs_kmv_lang_overlap, events_ppr,
-# events_modularity, events_assortativity, events_temporal_reach,
-# embeddings_mmr_topk, docs_record_linkage, docs_blocking_quality,
-# docs_record_linkage_multi, events_link_prediction,
-# events_transitions, events_market_basket, events_sssp, events_hits,
-# embeddings_hard_negatives, docs_prefix_join — plus the round-3
-# closing wave: events_anomalies, events_lifetable,
-# events_forecast_eval, events_abtest, events_ktruss,
-# docs_record_linkage_multi and the wave-9 statistics family
-# (events_decayed_trending, docs_quality_regression, events_gini,
-# docs_split_drift, docs_chunk_windows, docs_token_entropy,
-# events_random_walks, docs_crossval_folds), and the wave-15 closers:
-# product_profit, important_parts, shipclass_priority,
-# supplier_part_counts, excess_share_suppliers, kg_predicate_stats,
-# kg_star_join, kg_characteristic_sets, kg_degree_topk — and the
-# wave-16 closers: cheapest_supplier, embeddings_sq8_topk,
-# kg_pred_cooccurrence, docs_table_stats, embeddings_sq8_rerank,
-# kg_type_signatures, docs_tokenizer_fertility, events_cuped,
-# events_session_windows, docs_mad_outliers,
-# events_dow_seasonality, events_skipgram_pairs, docs_snapshot_diff,
-# docs_winsorized_stats, events_multitouch, docs_k_anonymity,
-# docs_expectations, docs_lang_id_metrics, events_band_join,
-# events_degree_powerlaw, docs_group_sample,
-# embeddings_label_coherence, docs_length_anova,
-# events_mann_whitney, docs_bootstrap_ci, events_top_paths,
-# docs_term_pmi, events_changepoint, docs_dedup_savings,
-# docs_src_lang_independence, docs_partition_advisor,
-# events_markov_stationary, docs_heaps_law, events_item_cf,
-# events_conversion_lag, events_stickiness, events_holt_forecast,
-# events_msf, embeddings_silhouette, events_bursts — and the
-# 2026-08-21 session's waves 40-52: events_did, embeddings_mutual_nn,
-# kg_wl_colors, events_item_scc, docs_benford, events_leadlag,
-# kg_predicate_drift, kg_merge_audit, docs_rendezvous_shards,
-# docs_filter_funnel, kg_walk_census, docs_source_overlap,
-# kg_ifp_violations, events_pattern_match, kg_join_cardinality_qa,
-# events_growth_accounting, events_velocity_flags,
-# events_debounce_dedup, events_ab_srm, events_hub_knockout,
-# docs_l_diversity, events_rich_club, events_trigram_transitions,
-# events_cumulative_reach, docs_dedup_transitivity,
-# kg_degree_histogram, embeddings_pca_power,
-# embeddings_sq8_saturation, events_item_halflife,
-# events_lorenz_deciles, kg_triple_novelty, kg_role_mix,
-# docs_shingle_df_histogram, orders_fulfillment_latency. All carry
-# local oracle sweeps + tests; rotate them into positions 1..50 next
-# round.
-_ROUND3_FIRST = [
-    # the 22 entries past position 50 of the round-2 order
-    "shipping_priority",
-    "large_orders",
-    "waiting_suppliers",
-    "small_quantity_revenue",
-    "docs_length_hist_quantiles",
-    "discussions_overview",
-    "discussions_category_counts",
-    "discussions_unanswered_top",
-    "discussions_top_upvoted",
-    "suggest_discussions",
-    "docs_stratified_sample",
-    "docs_pack_shards",
-    "docs_tfidf_topterms",
-    "docs_decontaminate",
-    "corpus_clean",
-    "docs_line_dedup",
-    "docs_kmv_distinct",
-    "docs_repetition",
-    "docs_pii_scrub",
-    "events_pagerank",
-    "events_triangles",
-    "docs_duplicate_clusters",
-    # newly full-oracle in round 3 (were `no_oracle` rows in r01/r02)
-    "ann_ivf_topk",
-    "incremental_probe",
-    # new in round 3 — needs its first attestation
-    "docs_hll_distinct",
-    "docs_sorted_neighborhood",
-    "docs_winnow_pairs",
-    "events_label_prop",
-    "docs_incremental_dedup",
-    "docs_bm25_topk",
-    "docs_hybrid_rrf",
-    "kg_two_hop",
-    "docs_semantic_dedup",
-    "docs_lm_perplexity",
-    "docs_dsir_weights",
-    "docs_weighted_sample",
-    "docs_lang_temperature_sample",
-    "embeddings_kmeans",
-    "docs_incremental_semdedup",
-    "docs_span_dedup",
-    "docs_span_scrub",
-    "docs_incremental_spans",
-    "events_funnel",
-    "events_reach_k",
-    "docs_cross_source_dedup",
-    "docs_ngram_novelty",
-    "embeddings_pq",
-    "ann_ivfpq_topk",
-    "events_harmonic_k",
-    "docs_containment_pairs",
+# Round-5 rotation TODO — the 90 still-unattested names, all locally
+# green in the same sweep; rotate 50 of them forward next round
+# (suggested priority: the TPC-H revenue closers, the sequence/
+# funnel family, then statistics; the final 40 are low-risk
+# single-shape variants of already-attested families):
+# docs_score_calibration, docs_rake_keyphrases, docs_term_pmi,
+# docs_heaps_law, docs_shingle_df_histogram, events_hll_sliding,
+# events_cohort_retention, events_peak_concurrency,
+# events_bitmap_audience, events_scd2_history, events_attribution,
+# events_rfm, events_session_windows, events_multitouch,
+# events_band_join, events_item_cf, events_conversion_lag,
+# events_stickiness, events_growth_accounting,
+# events_velocity_flags, events_debounce_dedup,
+# events_cumulative_reach, events_item_halflife,
+# orders_bloom_semijoin, brand_promo_revenue,
+# top_supplier_revenue, forecast_revenue, nation_market_share,
+# returned_item_revenue, product_profit, important_parts,
+# shipclass_priority, supplier_part_counts,
+# excess_share_suppliers, cheapest_supplier,
+# docs_partition_advisor, docs_crossval_folds, docs_snapshot_diff,
+# docs_group_sample, docs_rendezvous_shards, docs_source_overlap,
+# docs_k_anonymity, docs_expectations, docs_filter_funnel,
+# docs_l_diversity, events_temporal_reach, events_hub_knockout,
+# events_rich_club, events_transitions, events_market_basket,
+# events_anomalies, events_lifetable, events_forecast_eval,
+# events_abtest, events_cuped, events_top_paths,
+# events_changepoint, events_markov_stationary,
+# events_holt_forecast, events_bursts, events_did, events_ab_srm,
+# events_decayed_trending, docs_quality_regression, events_gini,
+# docs_split_drift, events_burstiness, events_skew_report,
+# docs_length_ks, docs_table_stats, docs_mad_outliers,
+# events_dow_seasonality, docs_winsorized_stats,
+# docs_length_anova, events_mann_whitney, docs_bootstrap_ci,
+# docs_src_lang_independence, docs_benford, events_leadlag,
+# events_lorenz_deciles, kg_star_join, kg_characteristic_sets,
+# kg_pred_cooccurrence, kg_type_signatures, kg_predicate_drift,
+# kg_merge_audit, kg_ifp_violations, kg_degree_histogram,
+# kg_triple_novelty, kg_role_mix
+_ROUND4_FIRST = [
     "events_cm_sketch",
     "events_kcore",
     "sales_opportunity",
+    "docs_prefix_join",
+    "docs_dedup_method_eval",
+    "docs_dedup_transitivity",
+    "docs_dedup_savings",
+    "docs_bpe_train",
+    "docs_chunk_windows",
+    "docs_token_entropy",
+    "docs_tokenizer_fertility",
+    "docs_lang_id_metrics",
+    "docs_kmv_lang_overlap",
+    "embeddings_sq8_topk",
+    "embeddings_sq8_rerank",
+    "embeddings_mmr_topk",
+    "embeddings_hard_negatives",
+    "embeddings_mutual_nn",
+    "embeddings_silhouette",
+    "embeddings_label_coherence",
+    "embeddings_pca_power",
+    "embeddings_sq8_saturation",
+    "docs_record_linkage",
+    "docs_blocking_quality",
+    "docs_record_linkage_multi",
+    "docs_linkage_sweep",
+    "events_ppr",
+    "events_modularity",
+    "events_sssp",
+    "events_hits",
+    "events_ktruss",
+    "events_lcc",
+    "events_hyperball",
+    "events_msf",
+    "events_item_scc",
+    "events_link_prediction",
+    "events_random_walks",
+    "events_negative_samples",
+    "events_effective_diameter",
+    "events_skipgram_pairs",
+    "events_degree_powerlaw",
+    "events_assortativity",
+    "kg_predicate_stats",
+    "kg_degree_topk",
+    "kg_wl_colors",
+    "kg_walk_census",
+    "kg_join_cardinality_qa",
+    "events_pattern_match",
+    "events_trigram_transitions",
+    "orders_fulfillment_latency",
 ]
-assert all(name in QUERIES for name in _ROUND3_FIRST), sorted(
-    set(_ROUND3_FIRST) - set(QUERIES)
+assert len(_ROUND4_FIRST) == 50
+assert all(name in QUERIES for name in _ROUND4_FIRST), sorted(
+    set(_ROUND4_FIRST) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _ROUND3_FIRST} | {
-    name: fn for name, fn in QUERIES.items() if name not in _ROUND3_FIRST
+QUERIES = {name: QUERIES[name] for name in _ROUND4_FIRST} | {
+    name: fn for name, fn in QUERIES.items() if name not in _ROUND4_FIRST
 }

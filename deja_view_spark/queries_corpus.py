@@ -46,6 +46,13 @@ TFIDF_TOP_K = 3
 
 EVAL_MOD = 97        # doc_id % 97 == 0 -> held-out eval document
 DECON_MIN_OVERLAP = 3  # shared 3-gram shingles to call contamination
+# Max eval-split size (docs) the decontamination scan will broadcast.
+# The synthetic split is a fixed FRACTION of the corpus (1/97), so a
+# blind broadcast grows with corpus size and would OOM executors at
+# 100 TB; past this bound the scan falls back to the hashed shingle
+# equi-join (the docs_jaccard_pairs discipline). Real eval sets are
+# fixed-size (thousands of docs) and stay on the broadcast path.
+DECON_BROADCAST_MAX_EVAL_DOCS = 100_000
 
 MIN_TOKENS = 20          # quality gate: drop ultra-short docs
 MIN_DISTINCT_RATIO = 0.3  # quality gate: drop degenerate repetition
@@ -220,17 +227,26 @@ ORDER BY doc_id, rank
 
 
 # ------------------------------------------- eval-set decontamination scan
-def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_eval_docs: int = DECON_BROADCAST_MAX_EVAL_DOCS,
+) -> DataFrame:
     """Test-set decontamination: flag corpus documents sharing >=
     {DECON_MIN_OVERLAP} 3-gram shingles with any held-out eval document
     (eval set := doc_id % {EVAL_MOD} == 0 — the benchmark split).
 
-    Scale shape: the eval side is always small (benchmarks are
-    thousands of docs, the corpus is billions), so its distinct
-    shingle set is BROADCAST and the scan is one map-side join over
-    the corpus shingles — no corpus-side shuffle at all until the
-    tiny per-pair aggregate. The analog with a large eval set is the
-    hashed-shingle equi-join of docs_jaccard_pairs."""
+    Scale shape: SIZE-GATED. Real eval sets are small (benchmarks are
+    thousands of docs, the corpus is billions), so when the split
+    holds <= broadcast_max_eval_docs documents its shingle set is
+    BROADCAST and the scan is one map-side join over the corpus
+    shingles — no corpus-side shuffle at all until the tiny per-pair
+    aggregate. The synthetic split here is a corpus FRACTION (1/97),
+    so past the bound the plan switches to the hashed shingle
+    equi-join (the docs_jaccard_pairs discipline): both sides shuffle
+    on `sh`, nothing data-sized reaches the driver or the broadcast
+    exchange. The gate costs one pruned doc_id count — metadata-cheap
+    next to the shingle explode it protects."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh")
@@ -239,8 +255,18 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.where(F.col("doc_id") % EVAL_MOD == 0)
         .withColumnRenamed("doc_id", "eval_doc")
     )
+    n_eval_docs = (
+        docs.where(F.col("doc_id") % EVAL_MOD == 0).count()
+    )
+    if n_eval_docs <= broadcast_max_eval_docs:
+        eval_side = F.broadcast(eval_sh)
+    else:
+        # hashed equi-join on sh: pin shuffle-hash so the planner can
+        # never auto-broadcast a side we just measured as oversized
+        # (its size ESTIMATE post-filter can still look broadcastable)
+        eval_side = eval_sh.hint("shuffle_hash")
     hits = (
-        sh.join(F.broadcast(eval_sh), "sh")
+        sh.join(eval_side, "sh")
         .where(F.col("doc_id") != F.col("eval_doc"))
         .groupBy("doc_id", "eval_doc")
         .agg(F.count("*").alias("overlap"))

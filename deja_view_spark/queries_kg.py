@@ -964,11 +964,18 @@ def q_kg_join_cardinality_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2",
             "v1",
             "v2",
-            F.expr("n1 * n2 DIV greatest(v1, v2)").alias("est_sysr"),
+            # n1*n2 can pass 2^63 at web-scale predicate cardinalities;
+            # widen the product to DECIMAL(38,0) (DuckDB twin: HUGEINT)
+            # so both engines stay exact instead of Spark wrapping
+            # silently where DuckDB raises. DIV on decimal yields BIGINT.
+            F.expr(
+                "CAST(n1 AS DECIMAL(38,0)) * n2 DIV greatest(v1, v2)"
+            ).alias("est_sysr"),
             "actual",
             F.expr(
-                "abs(n1 * n2 DIV greatest(v1, v2) - actual) * 1000000"
-                " DIV actual"
+                "CAST(abs(CAST(n1 AS DECIMAL(38,0)) * n2"
+                " DIV greatest(v1, v2) - actual) AS DECIMAL(38,0))"
+                " * 1000000 DIV actual"
             ).alias("err_ppm"),
         )
         .orderBy("p1", "p2")
@@ -989,10 +996,11 @@ actual AS (
   FROM fan a JOIN fan b USING (obj)
   GROUP BY 1, 2)
 SELECT ac.p1, ac.p2, s1.n AS n1, s2.n AS n2, s1.v AS v1, s2.v AS v2,
-       s1.n * s2.n // greatest(s1.v, s2.v) AS est_sysr,
+       CAST(CAST(s1.n AS HUGEINT) * s2.n // greatest(s1.v, s2.v)
+            AS BIGINT) AS est_sysr,
        ac.actual,
-       abs(s1.n * s2.n // greatest(s1.v, s2.v) - ac.actual) * 1000000
-         // ac.actual AS err_ppm
+       CAST(abs(CAST(s1.n AS HUGEINT) * s2.n // greatest(s1.v, s2.v)
+                - ac.actual) * 1000000 // ac.actual AS BIGINT) AS err_ppm
 FROM actual ac
 JOIN stats s1 ON ac.p1 = s1.pred
 JOIN stats s2 ON ac.p2 = s2.pred

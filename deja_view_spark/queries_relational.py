@@ -1875,10 +1875,14 @@ ORACLES["docs_partition_advisor"] = ORACLE_DOCS_PARTITION_ADVISOR
 # tiebreak (latency, orderkey, linenumber); percentile ranks
 # r50 = (n+1) DIV 2, r90 = greatest(9n DIV 10, 1) mirrored verbatim.
 #
-# Scale shape: the orders dim rides a broadcast into the lineitem
-# scan; ONE rank window per priority partition over the narrow
-# (priority, latency, keys) projection; boundary ranks join back by
-# (priority, rank) against the broadcast per-priority counts.
+# Scale shape: orders is FACT-sized (1.5M rows at sf1, linear in sf),
+# so the orders-lineitem join carries NO broadcast hint — the
+# 3-column projection is handed to AQE, which broadcasts at bench
+# scale and falls back to a shuffle join when the projected side
+# outgrows the threshold; ONE rank window per priority partition over
+# the narrow (priority, latency, keys) projection; boundary ranks
+# join back by (priority, rank) against the broadcast per-priority
+# counts (6 rows — a true dimension).
 
 
 def q_orders_fulfillment_latency(
@@ -1891,7 +1895,7 @@ def q_orders_fulfillment_latency(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     lat = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        orders, li.l_orderkey == orders.o_orderkey
     ).select(
         "o_orderpriority",
         F.datediff("l_shipdate", "o_orderdate").alias("days"),

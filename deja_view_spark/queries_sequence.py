@@ -1372,13 +1372,33 @@ CEP_PATTERNS = (
     ("repeat_purchase", "pp"),
 )
 
+# Symbols come from a FIXED explicit type->char map, not
+# substring(event_type,1,1): a future event type sharing an initial
+# with an existing one (e.g. 'export' next to 'error') would silently
+# corrupt every pattern while tests kept passing. Types outside the
+# map collapse to '_', a character no pattern references, so unknown
+# taxonomy additions break nothing and match nothing.
+CEP_SYMBOLS = (
+    ("click", "c"),
+    ("error", "e"),
+    ("purchase", "p"),
+    ("signup", "s"),
+    ("view", "v"),
+)
+assert len({ch for _, ch in CEP_SYMBOLS}) == len(CEP_SYMBOLS)
+CEP_SYMBOL_CASE = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN '{ch}'" for t, ch in CEP_SYMBOLS)
+    + " ELSE '_' END"
+)
+
 
 def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
-        F.substring("event_type", 1, 1).alias("ini"),
+        F.expr(CEP_SYMBOL_CASE).alias("ini"),
     )
     seqs = ev.groupBy("user_id").agg(
         F.array_join(
@@ -1427,7 +1447,7 @@ def _cep_oracle() -> str:
     return f"""
 WITH seqs AS (
   SELECT user_id,
-         string_agg(substr(event_type, 1, 1), ''
+         string_agg({CEP_SYMBOL_CASE}, ''
                     ORDER BY epoch_us(ts), event_id) AS seq
   FROM events GROUP BY user_id),
 agg AS (
@@ -1532,8 +1552,9 @@ ORACLES["events_ab_srm"] = ORACLE_EVENTS_AB_SRM
 # quantitative follow-up to events_transitions' first-order matrix).
 # Sequences use the module's deterministic (ts_micros, event_id)
 # ordering; probabilities are exact ppm integers; lift_ppm =
-# p2_ppm · 1e6 DIV p1_ppm in BIGINT. Output is the TRIGRAM_TOP most
-# frequent trigram steps under a total order.
+# p2_ppm · 1e6 DIV p1_ppm in BIGINT, with the explicit sentinel -1
+# when p1_ppm truncates to 0 (undefined lift at extreme skew). Output
+# is the TRIGRAM_TOP most frequent trigram steps under a total order.
 #
 # Scale shape: ONE per-user window produces both lead(1) and lead(2)
 # in the same Window op; trigram and bigram counts are partial aggs
@@ -1573,9 +1594,14 @@ def q_events_trigram_transitions(
             "n_abc",
             F.expr("n_abc * 1000000 DIV n_ab").alias("p2_ppm"),
             F.expr("n_bc * 1000000 DIV n_b").alias("p1_ppm"),
+            # p1_ppm truncates to 0 when n_b > 1e6*n_bc (large-corpus
+            # skew); lift is then undefined, so emit the explicit -1
+            # sentinel rather than ride DIV-by-zero into an accidental
+            # NULL in a top-50 report column.
             F.expr(
-                "(n_abc * 1000000 DIV n_ab) * 1000000"
-                " DIV (n_bc * 1000000 DIV n_b)"
+                "CASE WHEN n_bc * 1000000 DIV n_b = 0 THEN -1"
+                " ELSE (n_abc * 1000000 DIV n_ab) * 1000000"
+                " DIV (n_bc * 1000000 DIV n_b) END"
             ).alias("lift_ppm"),
         )
         .orderBy(F.desc("n_abc"), "a", "b", "c")
@@ -1601,8 +1627,9 @@ bi_tot AS (SELECT b, CAST(sum(n_bc) AS BIGINT) AS n_b
 SELECT t.a, t.b, t.c, t.n_abc,
        t.n_abc * 1000000 // tt.n_ab AS p2_ppm,
        b2.n_bc * 1000000 // bt.n_b AS p1_ppm,
-       (t.n_abc * 1000000 // tt.n_ab) * 1000000
-         // (b2.n_bc * 1000000 // bt.n_b) AS lift_ppm
+       CASE WHEN b2.n_bc * 1000000 // bt.n_b = 0 THEN -1
+            ELSE (t.n_abc * 1000000 // tt.n_ab) * 1000000
+                 // (b2.n_bc * 1000000 // bt.n_b) END AS lift_ppm
 FROM tri t
 JOIN tri_tot tt USING (a, b)
 JOIN bi b2 USING (b, c)

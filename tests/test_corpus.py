@@ -163,6 +163,35 @@ def test_decontaminate_self_excluded(spark):
         assert r.max_overlap >= DECON_MIN_OVERLAP
 
 
+def test_decontaminate_broadcast_gate(spark):
+    """When the eval split exceeds the broadcast bound, the plan must
+    carry NO BroadcastExchange on the eval shingle side (hashed
+    equi-join fallback) and still produce the same rows as the
+    broadcast path — the 100-TB OOM guard for the corpus-fraction
+    synthetic split."""
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    big = q_docs_decontaminate(spark, SF, broadcast_max_eval_docs=0)
+    # the pair-building join must not broadcast the (oversized) eval
+    # side; the only allowed broadcasts would be metadata-sized, and
+    # this query has none
+    plan = plan_of(big)
+    assert "BroadcastExchange" not in plan, plan
+    small = q_docs_decontaminate(spark, SF)  # default: broadcast path
+    plan_small = plan_of(small)
+    assert "BroadcastExchange" in plan_small, plan_small
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, small.collect())
+    )
+
+
 def test_write_training_shards_roundtrip(spark, tmp_path):
     from deja_view_spark.operators.packing import (
         pack_shards,

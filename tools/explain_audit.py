@@ -1388,8 +1388,10 @@ CHECKS = [
         [r"Window", r"CartesianProduct",
          r"ArrowEvalPython|BatchEvalPython"],
     ),
-    # fulfillment latency: orders broadcast into lineitem; one rank
-    # window per priority; boundary ranks join broadcast stats
+    # fulfillment latency: orders is fact-sized so its join carries NO
+    # hint (AQE decides); one rank window per priority; boundary ranks
+    # join the explicitly-broadcast 6-row per-priority stats (the
+    # BroadcastHashJoin asserted here)
     (
         "orders_fulfillment_latency",
         [r"BroadcastHashJoin", r"Window", PARTIAL_AGG],
