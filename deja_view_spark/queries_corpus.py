@@ -1013,7 +1013,9 @@ SPAN_K = 10   # tokens per overlapping span
 SPAN_DF = 2   # span in >= this many distinct docs -> duplicated
 
 
-def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_span_dedup(
+    spark: SparkSession, sf_dir: str, hash_only: bool = False
+) -> DataFrame:
     """Repeated-span census: every {SPAN_K}-token sliding-window span
     occurring in >= {SPAN_DF} distinct documents, with its document
     frequency, total occurrence count and first (min) document.
@@ -1021,13 +1023,20 @@ def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the explode emits one row per corpus token (minus
     edge effects) — linear, no pairwise blowup — and the single
     aggregation groups on the span's xxhash64 LONG, so the shuffle
-    combine runs on 8-byte keys; the span text rides as a min()
-    exemplar only so the output is human-usable. At 100-TB scale the
-    exemplar column would be dropped from the census and recovered by
-    a second hash-keyed join against only the df>={SPAN_DF} survivors
-    (a tiny fraction of the corpus under real dup rates). The DuckDB
-    oracle groups by the RAW span string, so a green value hash
-    doubles as a no-collision witness at test scale (cf.
+    combine runs on 8-byte keys. Two exemplar disciplines:
+
+    - default (bench scale): the span text rides the census shuffle as
+      a min() exemplar so one pass yields human-usable output;
+    - ``hash_only=True`` (the 100-TB escalation, identical output):
+      the census shuffles ONLY (h, doc_id) — 16 bytes/row instead of
+      the ~9-word text — and the exemplar is recovered by a second
+      hash-keyed pass semi-joined down to the df>={SPAN_DF} SURVIVORS
+      before any text shuffles (survivors are a tiny fraction of the
+      corpus under real dup rates, so the text exchange is
+      metadata-sized and AQE broadcasts the survivor key set).
+
+    The DuckDB oracle groups by the RAW span string, so a green value
+    hash doubles as a no-collision witness at test scale (cf.
     ``docs_line_dedup``)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
@@ -1049,6 +1058,27 @@ def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("span").alias("h"), "span")
     )
+    if hash_only:
+        census = (
+            spans.drop("span")
+            .groupBy("h")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_occ"),
+                F.min("doc_id").alias("first_doc"),
+            )
+            .where(F.col("n_docs") >= SPAN_DF)
+        )
+        exemplar = (
+            spans.join(census.select("h"), "h", "leftsemi")
+            .groupBy("h")
+            .agg(F.min("span").alias("span"))
+        )
+        return (
+            census.join(exemplar, "h")
+            .select("span", "n_docs", "n_occ", "first_doc")
+            .orderBy("span")
+        )
     return (
         spans.groupBy("h")
         .agg(

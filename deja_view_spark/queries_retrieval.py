@@ -236,7 +236,9 @@ LIMIT {HYBRID_TOP_K}
 
 
 # ------------------------------------------- two-hop triple traversal
-def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kg_two_hop(
+    spark: SparkSession, sf_dir: str, max_mid_degree: int | None = None
+) -> DataFrame:
     """Two-hop triple-pattern traversal over the co-engagement KG:
     match (a)-[:chain]->(b)-[:chain]->(c) with a <> c and count the
     distinct intermediates per (a, c) endpoint pair — the canonical
@@ -250,13 +252,36 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so count(*) per (a, c) IS the distinct-intermediate
     count — no count(distinct) expansion. At 100x scale the only
     hazard is super-node skew on b; AQE skew-join splitting handles
-    it (enabled session-wide), and a degree-cap pre-filter is the
-    documented escalation."""
+    the moderate case (enabled session-wide), and `max_mid_degree` is
+    the coded escalation for the pathological one: intermediates whose
+    total degree exceeds the cap are dropped BEFORE the hop join (a
+    d-degree hub alone emits ~d^2 pairs — one 10M-degree node is 10^14
+    rows out of a single key). The keep-set semi-joins hash on the
+    same hop key as the hop itself, so the pre-filter rides the
+    exchange the join already pays; the degree census is one partial
+    agg over the edge list. Capped results are an explicit
+    approximation (hub-routed pairs are excluded — hubs in real KGs
+    are stop-word-like entities whose co-occurrence signal is noise),
+    so the default (None) stays oracle-exact."""
     from deja_view_spark.queries_graph import _chain_edges
 
     edges = _chain_edges(spark, sf_dir)
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    if max_mid_degree is not None:
+        keep = (
+            edges.select(F.col("dst").alias("b"))
+            .unionByName(edges.select(F.col("src").alias("b")))
+            .groupBy("b")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") <= max_mid_degree)
+            .select("b")
+        )
+        # leftsemi on the hop key: co-partitioned with the hop join,
+        # no extra data-sized exchange; never broadcast (the keep set
+        # is node-sized — almost everything is below the cap)
+        e1 = e1.join(keep, "b", "leftsemi")
+        e2 = e2.join(keep, "b", "leftsemi")
     return (
         e1.join(e2, "b")
         .where(F.col("a") != F.col("c"))

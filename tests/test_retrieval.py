@@ -120,6 +120,47 @@ def test_two_hop_matches_python_traversal(spark):
     assert got == expect
 
 
+def test_two_hop_degree_cap_drops_hub(spark):
+    """The max_mid_degree escalation must (a) equal a python twin that
+    excludes high-degree intermediates, (b) actually bite on the
+    planted-skew graph, and (c) place the keep-set semi-joins BELOW
+    the hop join in the plan."""
+    from deja_view_spark.queries_graph import _chain_edges
+
+    edges = [(r["src"], r["dst"]) for r in _chain_edges(spark, SF_DIR).collect()]
+    deg: dict = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    cap = max(deg.values()) - 1  # excludes at least the top hub
+    keep = {n for n, dv in deg.items() if dv <= cap}
+    by_src: dict = {}
+    for s, d in edges:
+        if s in keep:
+            by_src.setdefault(s, []).append(d)
+    out: dict = {}
+    for a, b in edges:
+        if b not in keep:
+            continue
+        for c in by_src.get(b, []):
+            if a != c:
+                out[(a, c)] = out.get((a, c), 0) + 1
+    expect = sorted(
+        ((n, a, c) for (a, c), n in out.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[: R.TWO_HOP_TOP_K]
+    capped = R.q_kg_two_hop(spark, SF_DIR, max_mid_degree=cap)
+    got = [(r["n_mids"], r["a"], r["c"]) for r in capped.collect()]
+    assert got == expect
+    uncapped = [
+        (r["n_mids"], r["a"], r["c"])
+        for r in R.q_kg_two_hop(spark, SF_DIR).collect()
+    ]
+    assert got != uncapped  # the cap must exclude hub-routed pairs
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
 # ------------------------------------------------- MMR diversification
 def test_mmr_matches_python_twin(spark):
     """embeddings_mmr_topk == a pure-python greedy MMR with the exact

@@ -45,6 +45,20 @@ def test_span_dedup_catches_shifted_copy(spark, tmp_path):
     assert row.n_docs == 2 and row.n_occ == 2 and row.first_doc == 0
 
 
+def test_span_dedup_hash_only_matches_default(spark):
+    """The 100-TB hash-only census (16-byte shuffle rows + exemplar
+    recovered via a survivors-only second pass) must emit exactly the
+    default path's rows, and its plan must contain the survivor
+    semi-join the docstring promises."""
+    base = q_docs_span_dedup(spark, SF)
+    esc = q_docs_span_dedup(spark, SF, hash_only=True)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, esc.collect())
+    )
+    plan = esc._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
 def test_span_dedup_within_doc_repeat_not_df(spark, tmp_path):
     """A span repeated twice INSIDE one doc has n_docs=1 -> filtered by
     the df>={SPAN_DF} gate; n_occ counts all occurrences when the span
