@@ -891,11 +891,18 @@ def q_events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "intra_edges",
             "deg_sum",
-            F.round(
-                F.col("intra_edges") * 1.0 / F.col("m")
-                - (F.col("deg_sum") * 1.0 / (2 * F.col("m")))
-                * (F.col("deg_sum") * 1.0 / (2 * F.col("m"))),
-                6,
+            # + 0.0 after the round: IEEE addition maps -0.0 to +0.0 in
+            # BOTH engines — without it a tiny negative contribution
+            # rounds to DuckDB's -0.0 vs Spark's 0.0 and the value hash
+            # diverges on numerically equal outputs (observed at sf0.1)
+            (
+                F.round(
+                    F.col("intra_edges") * 1.0 / F.col("m")
+                    - (F.col("deg_sum") * 1.0 / (2 * F.col("m")))
+                    * (F.col("deg_sum") * 1.0 / (2 * F.col("m"))),
+                    6,
+                )
+                + 0.0
             ).alias("q_contrib"),
         )
         .orderBy("community")
@@ -921,7 +928,7 @@ SELECT s.lab AS community, s.n_nodes,
        coalesce(i.intra_edges, 0) AS intra_edges, s.deg_sum,
        round(coalesce(i.intra_edges, 0) * 1.0 / m.m
              - (s.deg_sum * 1.0 / (2 * m.m))
-             * (s.deg_sum * 1.0 / (2 * m.m)), 6) AS q_contrib
+             * (s.deg_sum * 1.0 / (2 * m.m)), 6) + 0.0 AS q_contrib
 FROM dsum s LEFT JOIN intra i ON s.lab = i.lab CROSS JOIN m
 ORDER BY community
 """

@@ -25,7 +25,10 @@ def norm_hash(df: pd.DataFrame) -> str:
     for c in df.columns:
         col = df[c]
         if pd.api.types.is_float_dtype(col):
-            df[c] = col.round(6)
+            # + 0.0 maps IEEE -0.0 to +0.0 — engines that round a tiny
+            # negative to negative zero would otherwise hash-diverge
+            # from numerically equal outputs ("-0.0" != "0.0" as str)
+            df[c] = col.round(6) + 0.0
         if pd.api.types.is_datetime64_any_dtype(col):
             df[c] = col.astype("datetime64[us]").astype(str)
     rows = sorted(df.astype(str).itertuples(index=False, name=None))
