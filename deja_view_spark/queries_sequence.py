@@ -217,13 +217,18 @@ ORACLES = {
 # baseline).
 #
 # Cross-engine float discipline (the events_moving_avg precedent,
-# hardened): the series is pre-rounded to 4dp so both engines window
-# over IDENTICAL doubles; mean/variance come from explicit sum/sumsq
-# in the same frame order (never stddev_samp — its Welford-style
-# accumulation differs between engines at the last ulp); the anomaly
-# predicate compares the ROUNDED zscore, so inclusion can only differ
-# if a true zscore lands within float noise of the 3dp rounding
-# boundary of ANOM_Z itself.
+# hardened round 4): the series is quantized to EXACT INTEGER
+# 1e-4 ticks (vt = round(v4·10000) as BIGINT) and the window sums run
+# over ticks — integer addition is order-independent, so s1/s2 are
+# bit-identical across engines no matter how each implements sliding
+# frames (windowed DOUBLE sums are accumulation-order-dependent:
+# at sf0.1 one row in 2,859 landed on a round(·,4) half-ulp boundary
+# and the engines disagreed). mean/zscore are then a FIXED tree of
+# IEEE ops over identical integers (each correctly rounded →
+# deterministic), mirrored verbatim in the oracle; never stddev_samp
+# (Welford accumulation differs at the last ulp). Tick overflow
+# bound: |value| ≤ ~1e4 keeps n·s2 under 2^63 at W=20 (events values
+# are ≤ ~600; widen to DECIMAL beyond that).
 #
 # Scale shape: ONE user-partitioned window pass (never a global
 # sort), all arithmetic codegen; the output is the anomaly subset.
@@ -238,7 +243,7 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         F.round("value", 4).alias("v4"),
-    )
+    ).withColumn("vt", F.round(F.col("v4") * 10000, 0).cast("bigint"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")
@@ -248,20 +253,35 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "v4",
-        F.count("v4").over(w).alias("n"),
-        F.sum("v4").over(w).alias("s1"),
-        F.sum(F.col("v4") * F.col("v4")).over(w).alias("s2"),
+        "vt",
+        F.count("vt").over(w).alias("n"),
+        F.sum("vt").over(w).alias("s1"),
+        F.sum(F.col("vt") * F.col("vt")).over(w).alias("s2"),
     ).where(F.col("n") >= ANOM_MIN_N)
-    mean = F.col("s1") / F.col("n")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
-        F.col("n") - 1
-    )
-    scored = stats.where(var > 0).select(
+    # b = n·s2 − s1² = n(n−1)·var·1e8 ticks² — exact BIGINT; b>0 ⇔ var>0
+    b = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    a = F.col("vt") * F.col("n") - F.col("s1")  # n·(v − mean) in ticks
+    scored = stats.where(b > 0).select(
         "user_id",
         "event_id",
         "v4",
-        F.round(mean, 4).alias("baseline_mean"),
-        F.round((F.col("v4") - mean) / F.sqrt(var), 3).alias("zscore"),
+        # 4dp mean via INTEGER half-up in tick space — round(double, d)
+        # itself is engine-divergent at .5 boundaries (Spark rounds the
+        # Double.toString shortest repr, DuckDB the binary value; the
+        # mean of integer ticks lands on exact halves routinely, and
+        # sf0.1 hit one). (2·s1+n) DIV (2·n) is half-up for s1 ≥ 0;
+        # ticks/1e4 is then one exact-input IEEE division in both.
+        (
+            F.expr("(2 * s1 + n) DIV (2 * n)").cast("double") / 10000.0
+        ).alias("baseline_mean"),
+        # zscore = a/n · sqrt(n(n−1)) / sqrt(b); op tree mirrored
+        # verbatim in the oracle so both engines round identically
+        F.round(
+            a / F.col("n")
+            * F.sqrt(F.col("n") * (F.col("n") - 1))
+            / F.sqrt(b),
+            3,
+        ).alias("zscore"),
     )
     return scored.where(F.abs(F.col("zscore")) >= ANOM_Z).orderBy(
         "user_id", "event_id"
@@ -270,25 +290,28 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENTS_ANOMALIES = f"""
 WITH ev AS (
-  SELECT user_id, event_id, epoch_us(ts) AS us, round(value, 4) AS v4
+  SELECT user_id, event_id, epoch_us(ts) AS us, round(value, 4) AS v4,
+         CAST(round(round(value, 4) * 10000, 0) AS BIGINT) AS vt
   FROM events),
 stats AS (
-  SELECT user_id, event_id, v4,
-         count(v4) OVER w AS n,
-         sum(v4) OVER w AS s1,
-         sum(v4 * v4) OVER w AS s2
+  SELECT user_id, event_id, v4, vt,
+         count(vt) OVER w AS n,
+         CAST(sum(vt) OVER w AS BIGINT) AS s1,
+         CAST(sum(vt * vt) OVER w AS BIGINT) AS s2
   FROM ev
   WINDOW w AS (
     PARTITION BY user_id ORDER BY us, event_id
     ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)),
 scored AS (
   SELECT user_id, event_id, v4,
-         round(s1 / n, 4) AS baseline_mean,
-         round((v4 - s1 / n)
-               / sqrt((s2 - s1 * s1 / n) / (n - 1)), 3) AS zscore
+         CAST((2 * s1 + n) // (2 * n) AS DOUBLE) / 10000.0
+           AS baseline_mean,
+         round((vt * n - s1) / n
+               * sqrt(n * (n - 1))
+               / sqrt(n * s2 - s1 * s1), 3) AS zscore
   FROM stats
   WHERE n >= {ANOM_MIN_N}
-    AND (s2 - s1 * s1 / n) / (n - 1) > 0)
+    AND n * s2 - s1 * s1 > 0)
 SELECT user_id, event_id, v4, baseline_mean, zscore
 FROM scored
 WHERE abs(zscore) >= {ANOM_Z}
