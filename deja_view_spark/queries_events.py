@@ -21,11 +21,20 @@ def q_events_wow_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.crossJoin(F.broadcast(anchor))
     wk1 = F.col("ts") >= F.col("anchor") - F.expr("INTERVAL 7 DAYS")
     wk2 = (F.col("ts") >= F.col("anchor") - F.expr("INTERVAL 14 DAYS")) & ~wk1
+    # avg in exact BIGINT tick space (round-4 hardening): double
+    # avg/sum accumulation order differs across engines; 4dp half-up
+    # via (2S+n) DIV (2n) on nonneg ticks, one exact division at end
     agg = j.agg(
         F.sum(wk1.cast("long")).alias("this_week"),
         F.sum(wk2.cast("long")).alias("last_week"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(
+            F.round(F.col("value") * 10000, 0).cast("bigint")
+        ).alias("svt"),
         F.count("*").alias("total"),
+    ).withColumn(
+        "avg_value",
+        F.expr("(2 * svt + total) DIV (2 * total)").cast("double")
+        / 10000.0,
     )
     change = F.col("this_week") - F.col("last_week")
     pct = F.when(
@@ -49,7 +58,8 @@ c AS (
     CAST(sum(CASE WHEN ts >= anchor - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS this_week,
     CAST(sum(CASE WHEN ts >= anchor - INTERVAL 14 DAY
               AND ts < anchor - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS last_week,
-    round(avg(value), 4) AS avg_value,
+    CAST((2 * CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+          + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_value,
     count(*) AS total
   FROM events, a)
 SELECT this_week, last_week,
@@ -210,13 +220,23 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     month = F.month("ts").alias("month")
     return (
-        ev.select("event_type", month, "value")
+        ev.select(
+            "event_type",
+            month,
+            # exact BIGINT ticks pre-cube (round-4 hardening): the 2dp
+            # cell total is integer half-up of the tick sum, immune to
+            # double accumulation order across engines
+            F.round(F.col("value") * 10000, 0).cast("bigint").alias("vt"),
+        )
         .cube("event_type", "month")
         .agg(
             F.grouping("event_type").cast("int").alias("g_type"),
             F.grouping("month").cast("int").alias("g_month"),
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (
+                F.expr("(2 * sum(vt) + 100) DIV 200").cast("double")
+                / 100.0
+            ).alias("total_value"),
         )
         .select(
             "event_type", "month", "g_type", "g_month", "n", "total_value"
@@ -230,8 +250,10 @@ SELECT event_type, month,
        CAST(GROUPING(event_type) AS INTEGER) AS g_type,
        CAST(GROUPING(month) AS INTEGER) AS g_month,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
-FROM (SELECT event_type, month(ts) AS month, value FROM events)
+       CAST((2 * CAST(sum(vt) AS BIGINT) + 100) // 200 AS DOUBLE) / 100.0
+         AS total_value
+FROM (SELECT event_type, month(ts) AS month,
+             CAST(round(value * 10000, 0) AS BIGINT) AS vt FROM events)
 GROUP BY CUBE (event_type, month)
 ORDER BY g_type, g_month, event_type, month
 """
@@ -428,11 +450,22 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id") < MOVAVG_MAX_USER
     )
+    # exact-integer discipline (round-4 hardening, the
+    # events_anomalies precedent): day values are summed as BIGINT
+    # 1e-4 ticks — double sums are accumulation-order-dependent
+    # across engines (DuckDB segment-tree frames vs Spark's) and
+    # Spark's round(double) rounds the Double.toString shortest repr
+    # where DuckDB rounds the binary value, so both the daily sum and
+    # the windowed average stay in integer space until one
+    # exact-input division at the end; 4dp half-up via
+    # (2S+n) DIV (2n) on nonneg ticks.
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("day_value"),
+        F.sum(
+            F.round(F.col("value") * 10000, 0).cast("bigint")
+        ).alias("dvt"),
     ).withColumn("day_ord", F.datediff("day", F.lit("1970-01-01")))
     w7 = (
         Window.partitionBy("user_id")
@@ -444,13 +477,24 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day_ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    win = daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.sum("dvt").over(w7).alias("s7"),
+        F.count("dvt").over(w7).alias("n7"),
+        F.sum("n_events").over(wcum).alias("cum_events"),
+    )
     return (
-        daily.select(
+        win.select(
             "user_id",
             "day",
             "n_events",
-            F.round(F.avg("day_value").over(w7), 4).alias("ma7_value"),
-            F.sum("n_events").over(wcum).alias("cum_events"),
+            (
+                F.expr("(2 * s7 + n7) DIV (2 * n7)").cast("double")
+                / 10000.0
+            ).alias("ma7_value"),
+            "cum_events",
         )
         .orderBy("user_id", "day")
     )
@@ -460,20 +504,28 @@ ORACLE_EVENTS_MOVING_AVG = f"""
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
          count(*) AS n_events,
-         round(sum(value), 4) AS day_value,
+         CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS dvt,
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_ord
   FROM events
   WHERE user_id < {MOVAVG_MAX_USER}
-  GROUP BY user_id, CAST(ts AS DATE))
+  GROUP BY user_id, CAST(ts AS DATE)),
+win AS (
+  SELECT user_id, day, n_events,
+         CAST(sum(dvt) OVER w7 AS BIGINT) AS s7,
+         count(dvt) OVER w7 AS n7,
+         CAST(sum(n_events) OVER (
+           PARTITION BY user_id ORDER BY day_ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_events
+  FROM daily
+  WINDOW w7 AS (
+    PARTITION BY user_id ORDER BY day_ord
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT user_id, day, n_events,
-       round(avg(day_value) OVER (
-         PARTITION BY user_id ORDER BY day_ord
-         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7_value,
-       CAST(sum(n_events) OVER (
-         PARTITION BY user_id ORDER BY day_ord
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS cum_events
-FROM daily
+       CAST((2 * s7 + n7) // (2 * n7) AS DOUBLE) / 10000.0 AS ma7_value,
+       cum_events
+FROM win
 ORDER BY user_id, day
 """
 

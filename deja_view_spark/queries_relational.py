@@ -213,7 +213,8 @@ SELECT CAST(DATE '1970-01-01' + (ed - ed % 7) * INTERVAL 1 DAY AS TIMESTAMP) AS 
        CAST(DATE '1970-01-01' + (ed - ed % 7 + 7) * INTERVAL 1 DAY AS TIMESTAMP) AS week_end,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS total_value
 FROM b
 GROUP BY 1, 2, 3
 """

@@ -57,7 +57,17 @@ def windowed_event_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact-integer sum (round-4 hardening): DOUBLE sums are
+            # accumulation-order-dependent across engines/retries, so
+            # sum BIGINT 1e-4 ticks and divide once — the 4dp total of
+            # 4dp-exact values, bit-stable in batch AND streaming
+            # (state-store merge order stops mattering too)
+            (
+                F.sum(
+                    F.round(F.col("value") * 10000, 0).cast("bigint")
+                ).cast("double")
+                / 10000.0
+            ).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("week_start"),
