@@ -39,19 +39,55 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Return (id, component) with component = min id in the component.
 
     ``edges`` is treated as undirected. ``vertices`` (single column
     ``id``) optionally adds isolated vertices.
-    """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    und = und.localCheckpoint(eager=True)
 
-    verts = und.select(F.col("a").alias("id")).distinct()
+    ``loop_partitions`` bounds the per-round shuffle width. The loop's
+    tables are tiny (the duplicate-edge graph is a few % of the
+    corpus), but each round's join/agg would otherwise inherit the
+    session's data-sized ``spark.sql.shuffle.partitions`` — at 32
+    cores that is ~384 near-empty tasks per round, and task launch
+    dominates (measured 2-2.5x the whole CC wall; AQE coalescing does
+    not rescue the loop because each round re-plans from a
+    checkpoint). None = auto: ~250k undirected edge rows per
+    partition, floored at 4 — for a genuinely huge edge set this
+    matches the session width and changes nothing. Implemented with
+    explicit ``repartition(p, key)`` co-partitioning, NOT a session
+    conf set, so a concurrently-planning job (the pipeline overlaps
+    CC with the triples write) can never observe a narrowed setting."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if loop_partitions is None:
+        sess_w = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        # one count up front sizes the loop; in the pipeline the edge
+        # set arrives checkpointed so this is a metadata-cheap scan
+        loop_partitions = max(4, min(sess_w, edges.count() // 125_000 + 1))
+    p = loop_partitions
+
+    # repartition(p, b) BEFORE distinct: HashPartitioning(b) satisfies
+    # the distinct's ClusteredDistribution(a, b) (hash keys ⊆ cluster
+    # keys), so the dedup runs at width p with no second exchange AND
+    # leaves the edge side hash(b)-partitioned — exactly what every
+    # round's join needs
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(p, "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    verts = und.select(F.col("a").alias("id")).repartition(p, "id").distinct()
     if vertices is not None:
-        verts = verts.unionByName(vertices.select("id")).distinct()
+        verts = (
+            verts.unionByName(vertices.select("id"))
+            .repartition(p, "id")
+            .distinct()
+        )
 
     labels = verts.select("id", F.col("id").alias("component")).localCheckpoint(
         eager=True
@@ -63,7 +99,7 @@ def connected_components(
         # id), so convergence is read off the SAME aggregation — no
         # extra labels-vs-labels join per round.
         nbr = und.join(
-            labels.withColumnRenamed("id", "b"), "b"
+            labels.withColumnRenamed("id", "b").repartition(p, "b"), "b"
         ).select(
             F.col("a").alias("id"),
             "component",
@@ -78,6 +114,7 @@ def connected_components(
         new_labels = (
             labels.withColumn("old", F.col("component"))
             .unionByName(nbr)
+            .repartition(p, "id")
             .groupBy("id")
             .agg(
                 F.min("component").alias("component"),
