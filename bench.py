@@ -164,6 +164,13 @@ def run_queries(
     from deja_view_spark.session import get_spark
     import __spark_entry__ as E
 
+    qs_names = list(E.queries())
+    if deadline is not None and elapsed() > deadline:
+        # budget already spent (e.g. the scaling retry used its 1.05x
+        # overrun allowance): even the session start + UDF warmup
+        # (~40-60s) would blow the wall cap — skip the sweep outright.
+        return {}, sweep_order(qs_names)
+
     spark = get_spark(app_name="bench-queries", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
@@ -700,7 +707,16 @@ def main() -> None:
         # judge's perf table) but not the gate; give it whatever budget
         # remains plus a floor so a storm still yields the ANCHOR set
         # (sweep_order puts it first, then least-recently-benched).
-        q_deadline = max(elapsed() + 180.0, budget - 15.0)
+        # The floor is NOT additive with the scaling retry's 1.05x
+        # overrun allowance (round-5 ADVICE fix): total wall is
+        # hard-capped at budget*1.05 + 15s, so a retry pair that
+        # already spent the allowance shrinks the sweep window instead
+        # of pushing wall past the proven ~(budget+100)s driver
+        # tolerance and losing the JSON line to a timeout kill.
+        wall_cap = budget * 1.05 + 15.0
+        q_deadline = min(
+            max(elapsed() + 180.0, budget - 15.0), wall_cap
+        )
         timings, q_skipped = run_queries(sf_dir, cores, deadline=q_deadline)
         result["queries"] = timings
         if q_skipped:

@@ -20,6 +20,8 @@ cross-engine deterministic hash; floats are rounded before emission.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -231,6 +233,7 @@ def q_docs_decontaminate(
     spark: SparkSession,
     sf_dir: str,
     broadcast_max_eval_docs: int = DECON_BROADCAST_MAX_EVAL_DOCS,
+    eval_docs: int | None = None,
 ) -> DataFrame:
     """Test-set decontamination: flag corpus documents sharing >=
     {DECON_MIN_OVERLAP} 3-gram shingles with any held-out eval document
@@ -245,8 +248,19 @@ def q_docs_decontaminate(
     so past the bound the plan switches to the hashed shingle
     equi-join (the docs_jaccard_pairs discipline): both sides shuffle
     on `sh`, nothing data-sized reaches the driver or the broadcast
-    exchange. The gate costs one pruned doc_id count — metadata-cheap
-    next to the shingle explode it protects."""
+    exchange.
+
+    The gate is JOB-FREE (round-5 ADVICE fix — building the
+    DataFrame used to run an eager pruned count, breaking the lazy
+    registry contract for plan-only consumers like explain_audit):
+    callers that know their eval-set size pass `eval_docs`; otherwise
+    the gate reads the parquet FOOTER row count of `documents`
+    driver-side (pyarrow, milliseconds, no Spark job) — a sound
+    upper bound on the eval split (eval ⊆ docs), so `total <= bound`
+    proves the broadcast safe. A corpus past the bound whose eval
+    split is still small lands on the (safe, slower) hashed join
+    unless `eval_docs` says otherwise; only if the footers are
+    unreadable does the gate fall back to the old pruned count."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingle_col(F.col("text")))).alias("sh")
@@ -255,10 +269,21 @@ def q_docs_decontaminate(
         sh.where(F.col("doc_id") % EVAL_MOD == 0)
         .withColumnRenamed("doc_id", "eval_doc")
     )
-    n_eval_docs = (
-        docs.where(F.col("doc_id") % EVAL_MOD == 0).count()
-    )
-    if n_eval_docs <= broadcast_max_eval_docs:
+    if eval_docs is not None:
+        eval_bound = eval_docs
+    else:
+        try:
+            import pyarrow.dataset as _pads
+
+            eval_bound = _pads.dataset(
+                os.path.join(sf_dir, "documents.parquet"),
+                format="parquet",
+            ).count_rows()
+        except Exception:
+            eval_bound = (
+                docs.where(F.col("doc_id") % EVAL_MOD == 0).count()
+            )
+    if eval_bound <= broadcast_max_eval_docs:
         eval_side = F.broadcast(eval_sh)
     else:
         # hashed equi-join on sh: pin shuffle-hash so the planner can

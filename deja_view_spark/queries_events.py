@@ -23,7 +23,10 @@ def q_events_wow_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk2 = (F.col("ts") >= F.col("anchor") - F.expr("INTERVAL 14 DAYS")) & ~wk1
     # avg in exact BIGINT tick space (round-4 hardening): double
     # avg/sum accumulation order differs across engines; 4dp half-up
-    # via (2S+n) DIV (2n) on nonneg ticks, one exact division at end
+    # via half-up tick division, sign-correct: abs-space DIV with the
+    # sign reapplied, so Spark DIV (truncate) == DuckDB // (floor) on
+    # the nonneg dividend and ties round away from zero like round()
+    # in both engines; one exact division at the end
     agg = j.agg(
         F.sum(wk1.cast("long")).alias("this_week"),
         F.sum(wk2.cast("long")).alias("last_week"),
@@ -33,7 +36,9 @@ def q_events_wow_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total"),
     ).withColumn(
         "avg_value",
-        F.expr("(2 * svt + total) DIV (2 * total)").cast("double")
+        F.expr(
+            "CASE WHEN svt < 0 THEN -((-2 * svt + total) DIV (2 * total)) ELSE (2 * svt + total) DIV (2 * total) END"
+        ).cast("double")
         / 10000.0,
     )
     change = F.col("this_week") - F.col("last_week")
@@ -58,8 +63,11 @@ c AS (
     CAST(sum(CASE WHEN ts >= anchor - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS this_week,
     CAST(sum(CASE WHEN ts >= anchor - INTERVAL 14 DAY
               AND ts < anchor - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS last_week,
-    CAST((2 * CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
-          + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_value,
+    CAST((CASE WHEN sum(CAST(round(value * 10000, 0) AS BIGINT)) < 0
+           THEN -((-2 * CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+                   + count(*)) // (2 * count(*)))
+           ELSE (2 * CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+                 + count(*)) // (2 * count(*)) END) AS DOUBLE) / 10000.0 AS avg_value,
     count(*) AS total
   FROM events, a)
 SELECT this_week, last_week,
@@ -234,7 +242,11 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("month").cast("int").alias("g_month"),
             F.count("*").alias("n"),
             (
-                F.expr("(2 * sum(vt) + 100) DIV 200").cast("double")
+                F.expr(
+                    "CASE WHEN sum(vt) < 0"
+                    " THEN -((-2 * sum(vt) + 100) DIV 200)"
+                    " ELSE (2 * sum(vt) + 100) DIV 200 END"
+                ).cast("double")
                 / 100.0
             ).alias("total_value"),
         )
@@ -250,7 +262,10 @@ SELECT event_type, month,
        CAST(GROUPING(event_type) AS INTEGER) AS g_type,
        CAST(GROUPING(month) AS INTEGER) AS g_month,
        count(*) AS n,
-       CAST((2 * CAST(sum(vt) AS BIGINT) + 100) // 200 AS DOUBLE) / 100.0
+       CAST((CASE WHEN sum(vt) < 0
+              THEN -((-2 * CAST(sum(vt) AS BIGINT) + 100) // 200)
+              ELSE (2 * CAST(sum(vt) AS BIGINT) + 100) // 200 END)
+            AS DOUBLE) / 100.0
          AS total_value
 FROM (SELECT event_type, month(ts) AS month,
              CAST(round(value * 10000, 0) AS BIGINT) AS vt FROM events)
@@ -458,7 +473,8 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where DuckDB rounds the binary value, so both the daily sum and
     # the windowed average stay in integer space until one
     # exact-input division at the end; 4dp half-up via
-    # (2S+n) DIV (2n) on nonneg ticks.
+    # sign-correct half-up tick division (abs-space DIV, sign
+    # reapplied — truncate == floor on the nonneg dividend).
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(
@@ -491,7 +507,9 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "n_events",
             (
-                F.expr("(2 * s7 + n7) DIV (2 * n7)").cast("double")
+                F.expr(
+                    "CASE WHEN s7 < 0 THEN -((-2 * s7 + n7) DIV (2 * n7)) ELSE (2 * s7 + n7) DIV (2 * n7) END"
+                ).cast("double")
                 / 10000.0
             ).alias("ma7_value"),
             "cum_events",
@@ -523,7 +541,7 @@ win AS (
     PARTITION BY user_id ORDER BY day_ord
     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT user_id, day, n_events,
-       CAST((2 * s7 + n7) // (2 * n7) AS DOUBLE) / 10000.0 AS ma7_value,
+       CAST((CASE WHEN s7 < 0 THEN -((-2 * s7 + n7) // (2 * n7)) ELSE (2 * s7 + n7) // (2 * n7) END) AS DOUBLE) / 10000.0 AS ma7_value,
        cum_events
 FROM win
 ORDER BY user_id, day

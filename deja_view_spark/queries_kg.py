@@ -967,15 +967,41 @@ def q_kg_join_cardinality_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             # n1*n2 can pass 2^63 at web-scale predicate cardinalities;
             # widen the product to DECIMAL(38,0) (DuckDB twin: HUGEINT)
             # so both engines stay exact instead of Spark wrapping
-            # silently where DuckDB raises. DIV on decimal yields BIGINT.
+            # silently where DuckDB raises. The quotient itself can
+            # ALSO pass 2^63 (Spark IntegralDivide -> NULL, DuckDB
+            # CAST -> error), so clamp to BIGINT max with the overflow
+            # test done on the exact product side (n1*n2 > max*den —
+            # both operands fit DECIMAL(38,0): <= 8.5e37) instead of
+            # dividing in lossy wide-decimal space.
             F.expr(
-                "CAST(n1 AS DECIMAL(38,0)) * n2 DIV greatest(v1, v2)"
+                "CASE WHEN CAST(n1 AS DECIMAL(38,0)) * n2"
+                " > CAST(9223372036854775807 AS DECIMAL(38,0))"
+                "   * greatest(v1, v2)"
+                " THEN CAST(9223372036854775807 AS BIGINT)"
+                " ELSE CAST(n1 AS DECIMAL(38,0)) * n2"
+                "      DIV greatest(v1, v2) END"
             ).alias("est_sysr"),
             "actual",
+        )
+        .select(
+            "p1",
+            "p2",
+            "n1",
+            "n2",
+            "v1",
+            "v2",
+            "est_sysr",
+            "actual",
+            # err_ppm has the same exposure (est/actual * 1e6 can pass
+            # 2^63): clamp with the same exact product-side guard.
             F.expr(
-                "CAST(abs(CAST(n1 AS DECIMAL(38,0)) * n2"
-                " DIV greatest(v1, v2) - actual) AS DECIMAL(38,0))"
-                " * 1000000 DIV actual"
+                "CASE WHEN CAST(abs(CAST(est_sysr AS DECIMAL(38,0))"
+                "               - actual) AS DECIMAL(38,0)) * 1000000"
+                " > CAST(9223372036854775807 AS DECIMAL(38,0)) * actual"
+                " THEN CAST(9223372036854775807 AS BIGINT)"
+                " ELSE CAST(abs(CAST(est_sysr AS DECIMAL(38,0))"
+                "          - actual) AS DECIMAL(38,0))"
+                "      * 1000000 DIV actual END"
             ).alias("err_ppm"),
         )
         .orderBy("p1", "p2")
@@ -994,16 +1020,27 @@ actual AS (
   SELECT a.pred AS p1, b.pred AS p2,
          CAST(sum(a.f * b.f) AS BIGINT) AS actual
   FROM fan a JOIN fan b USING (obj)
-  GROUP BY 1, 2)
-SELECT ac.p1, ac.p2, s1.n AS n1, s2.n AS n2, s1.v AS v1, s2.v AS v2,
-       CAST(CAST(s1.n AS HUGEINT) * s2.n // greatest(s1.v, s2.v)
-            AS BIGINT) AS est_sysr,
-       ac.actual,
-       CAST(abs(CAST(s1.n AS HUGEINT) * s2.n // greatest(s1.v, s2.v)
-                - ac.actual) * 1000000 // ac.actual AS BIGINT) AS err_ppm
-FROM actual ac
-JOIN stats s1 ON ac.p1 = s1.pred
-JOIN stats s2 ON ac.p2 = s2.pred
+  GROUP BY 1, 2),
+est AS (
+  SELECT ac.p1, ac.p2, s1.n AS n1, s2.n AS n2, s1.v AS v1, s2.v AS v2,
+         CASE WHEN CAST(s1.n AS HUGEINT) * s2.n
+                   > CAST(9223372036854775807 AS HUGEINT)
+                     * greatest(s1.v, s2.v)
+              THEN CAST(9223372036854775807 AS BIGINT)
+              ELSE CAST(CAST(s1.n AS HUGEINT) * s2.n
+                        // greatest(s1.v, s2.v) AS BIGINT) END
+           AS est_sysr,
+         ac.actual
+  FROM actual ac
+  JOIN stats s1 ON ac.p1 = s1.pred
+  JOIN stats s2 ON ac.p2 = s2.pred)
+SELECT p1, p2, n1, n2, v1, v2, est_sysr, actual,
+       CASE WHEN abs(CAST(est_sysr AS HUGEINT) - actual) * 1000000
+                 > CAST(9223372036854775807 AS HUGEINT) * actual
+            THEN CAST(9223372036854775807 AS BIGINT)
+            ELSE CAST(abs(CAST(est_sysr AS HUGEINT) - actual)
+                      * 1000000 // actual AS BIGINT) END AS err_ppm
+FROM est
 ORDER BY p1, p2
 """
 

@@ -269,10 +269,15 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         # itself is engine-divergent at .5 boundaries (Spark rounds the
         # Double.toString shortest repr, DuckDB the binary value; the
         # mean of integer ticks lands on exact halves routinely, and
-        # sf0.1 hit one). (2·s1+n) DIV (2·n) is half-up for s1 ≥ 0;
+        # sf0.1 hit one). Half-up is done sign-correct: abs-space DIV
+        # with the sign reapplied, so Spark DIV (truncate) == DuckDB //
+        # (floor) on the nonneg dividend and ties round away from zero;
         # ticks/1e4 is then one exact-input IEEE division in both.
         (
-            F.expr("(2 * s1 + n) DIV (2 * n)").cast("double") / 10000.0
+            F.expr(
+                "CASE WHEN s1 < 0 THEN -((-2 * s1 + n) DIV (2 * n)) ELSE (2 * s1 + n) DIV (2 * n) END"
+            ).cast("double")
+            / 10000.0
         ).alias("baseline_mean"),
         # zscore = a/n · sqrt(n(n−1)) / sqrt(b); op tree mirrored
         # verbatim in the oracle so both engines round identically
@@ -304,7 +309,7 @@ stats AS (
     ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)),
 scored AS (
   SELECT user_id, event_id, v4,
-         CAST((2 * s1 + n) // (2 * n) AS DOUBLE) / 10000.0
+         CAST((CASE WHEN s1 < 0 THEN -((-2 * s1 + n) // (2 * n)) ELSE (2 * s1 + n) // (2 * n) END) AS DOUBLE) / 10000.0
            AS baseline_mean,
          round((vt * n - s1) / n
                * sqrt(n * (n - 1))

@@ -192,6 +192,36 @@ def test_decontaminate_broadcast_gate(spark):
     )
 
 
+def test_decontaminate_gate_is_job_free(spark):
+    """Round-5 ADVICE fix: building the decontaminate DataFrame must
+    not run a data-scan Spark job (the gate resolves from parquet
+    footers or an explicit eval_docs hint). spark.read.parquet itself
+    runs a metadata-sized listing job in Spark 4, so the assertion is
+    a DELTA: building the query costs no more jobs than bare
+    load_table calls — the old eager pruned doc_id COUNT is gone."""
+    from deja_view_spark.sources.catalog import load_table
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    base0 = n_jobs()
+    load_table(spark, SF, "documents")
+    per_load = n_jobs() - base0
+
+    before = n_jobs()
+    df = q_docs_decontaminate(spark, SF)
+    delta = n_jobs() - before
+    assert delta <= per_load, (
+        f"gate ran extra Spark jobs at plan time: {delta} > {per_load}"
+    )
+    before = n_jobs()
+    df2 = q_docs_decontaminate(spark, SF, eval_docs=10)
+    assert n_jobs() - before <= per_load
+    assert df.columns == df2.columns == ["doc_id", "n_eval_hits", "max_overlap"]
+
+
 def test_write_training_shards_roundtrip(spark, tmp_path):
     from deja_view_spark.operators.packing import (
         pack_shards,

@@ -54,6 +54,37 @@ def test_join_cardinality_exact_vs_sysr(spark, tmp_path):
     assert (fs.est_sysr, fs.actual, fs.err_ppm) == (2, 2, 0)
 
 
+def test_join_cardinality_overflow_clamp(spark):
+    """The est_sysr / err_ppm clamp (round-5 ADVICE fix): quotients
+    past 2^63 must clamp to BIGINT max via the exact product-side
+    guard, not NULL (Spark IntegralDivide) or error (DuckDB CAST)."""
+    bigmax = 9223372036854775807
+    est_expr = (
+        "CASE WHEN CAST(n1 AS DECIMAL(38,0)) * n2"
+        " > CAST(9223372036854775807 AS DECIMAL(38,0))"
+        "   * greatest(v1, v2)"
+        " THEN CAST(9223372036854775807 AS BIGINT)"
+        " ELSE CAST(n1 AS DECIMAL(38,0)) * n2"
+        "      DIV greatest(v1, v2) END"
+    )
+    rows = spark.createDataFrame(
+        [
+            # quotient 8e36 >> 2^63: clamps
+            Row(n1=4_000_000_000_000_000_000,
+                n2=4_000_000_000_000_000_000, v1=2, v2=2),
+            # product overflows BIGINT but quotient fits: exact value
+            Row(n1=4_000_000_000_000_000_000,
+                n2=4_000_000_000_000_000_000,
+                v1=4_000_000_000_000_000_000, v2=1),
+            # small case: plain integer division
+            Row(n1=9, n2=9, v1=2, v2=2),
+        ]
+    ).selectExpr(f"{est_expr} AS est_sysr").collect()
+    assert rows[0].est_sysr == bigmax
+    assert rows[1].est_sysr == 4_000_000_000_000_000_000
+    assert rows[2].est_sysr == 40
+
+
 # ------------------------------------------- events_growth_accounting
 
 
