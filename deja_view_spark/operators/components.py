@@ -162,23 +162,45 @@ def connected_components_alternating(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(id, component) labeling via alternating large-star/small-star
     — O(log diameter) rounds, the general-graph scale path (see module
     docstring). Output is identical to ``connected_components`` on the
     same graph: component = min id, isolated ``vertices`` label
     themselves.
+
+    ``loop_partitions`` bounds the per-round shuffle width, same
+    discipline as ``connected_components`` (commit a6a069d measured
+    task launch at 2-2.5x the CC wall when the loop's tiny round
+    tables inherit the session's data-sized width): every per-round
+    ``distinct`` is fronted by an explicit ``repartition(p, "a")`` —
+    hash(a) is a subset of the distinct's (a, b) cluster keys, so the
+    dedup runs at width p with no second exchange and leaves each
+    table hash(a)-partitioned for the star rounds' groupBy("a")/
+    join("a") and the convergence anti-join. None = auto: ~250k edge
+    rows per partition, floored at 4, capped at the session width.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
+    if loop_partitions is None:
+        sess_w = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        loop_partitions = max(4, min(sess_w, e.count() // 125_000 + 1))
+    p = loop_partitions
+
     all_verts = e.select("a").unionByName(e.select(F.col("b").alias("a")))
     if vertices is not None:
         all_verts = all_verts.unionByName(vertices.select(F.col("id").alias("a")))
-    all_verts = all_verts.distinct().localCheckpoint(eager=True)
+    all_verts = (
+        all_verts.repartition(p, "a").distinct().localCheckpoint(eager=True)
+    )
 
     cur = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(p, "a")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -189,11 +211,18 @@ def connected_components_alternating(
         und = (
             ls.unionByName(ls.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .where(F.col("a") != F.col("b"))
+            .repartition(p, "a")
             .distinct()
         )
-        ss = _small_star(und).where(F.col("a") != F.col("b")).distinct()
+        ss = (
+            _small_star(und)
+            .where(F.col("a") != F.col("b"))
+            .repartition(p, "a")
+            .distinct()
+        )
         nxt = (
             ss.unionByName(ss.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .repartition(p, "a")
             .distinct()
             .localCheckpoint(eager=False)
         )

@@ -113,8 +113,17 @@ class IncrementalComponents:
         )
         n_pairs = root_pairs.count()
         if n_pairs:
+            # size the root-graph CC loop from the count we already
+            # paid for: the batch's root graph is tiny next to the
+            # session's data-sized shuffle width, and the loop would
+            # otherwise launch ~sess_width near-empty tasks per round
+            # (the overhead commit a6a069d measured at 2-2.5x CC wall)
+            sess_w = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            loop_p = max(4, min(sess_w, n_pairs // 125_000 + 1))
             remap = connected_components_alternating(
-                root_pairs, src="a", dst="b"
+                root_pairs, src="a", dst="b", loop_partitions=loop_p
             ).select(
                 F.col("id").alias("root"), F.col("component").alias("new_root")
             )
