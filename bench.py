@@ -108,6 +108,11 @@ def elapsed() -> float:
 # money shapes, the dedup family (exact / minhash / method scoreboard
 # / semantic / span / decontaminate), graph + KG marquee, retrieval
 # (ANN / BM25 / incremental probe), and clustering.
+# ordered CHEAPEST-FIRST within the set (r4/r5 storm timings): a
+# budget-squeezed sweep window then still times most of the anchor
+# set plus tail queries instead of burning half its seconds on the
+# 40s dedup-eval harness before anything else lands (run observed:
+# 8 timed / 230 skipped with the expensive anchors up front)
 ANCHOR_QUERIES = [
     "lineitem_pricing_summary",
     "top_customers_by_revenue",
@@ -115,17 +120,17 @@ ANCHOR_QUERIES = [
     "large_orders",
     "small_quantity_revenue",
     "docs_exact_dedup",
-    "docs_minhash_pairs",
-    "docs_dedup_method_eval",
-    "docs_semantic_dedup",
-    "docs_span_dedup",
     "docs_decontaminate",
-    "events_pagerank",
     "kg_two_hop",
     "ann_ivf_topk",
     "docs_bm25_topk",
     "incremental_probe",
     "embeddings_kmeans",
+    "events_pagerank",
+    "docs_span_dedup",
+    "docs_semantic_dedup",
+    "docs_minhash_pairs",
+    "docs_dedup_method_eval",
 ]
 
 
